@@ -1,0 +1,155 @@
+"""Dataclass configuration for kernels, models, engine, and mesh.
+
+TPU-native replacement for the reference's three config mechanisms
+(compile-time template params ``<D_HEAD, Q_TILE_ROWS, KV_TILE_ROWS>`` at
+FlashAttention.cuh:59, runtime kernel args at FlashAttention.cuh:60-62, and
+the hardware-derived tile heuristics of helpers.hpp:8-30). Here block sizes
+are plain static dataclasses threaded into ``pallas_call`` as Python-level
+constants — the JIT analogue of template parameters — and the hardware
+heuristics live in :mod:`tpu_flash.utils.tuning`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+def _check_pos(name: str, v: int) -> None:
+    if v <= 0:
+        raise ValueError(f"{name} must be positive, got {v}")
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Tile shapes for the flash-attention kernels.
+
+    The TPU analogue of the reference's ``Q_TILE_ROWS``/``KV_TILE_ROWS``
+    template parameters (FlashAttention.cuh:59) and the ``calculateSizeBlockQ``
+    / ``calculateSizeBlockKV`` host heuristics (helpers.hpp:8-30). Two-level
+    KV tiling: ``block_kv_major`` controls HBM→VMEM DMA granularity (the
+    pipelining the reference built by hand with loader warps), ``block_kv``
+    controls the per-MXU-matmul scores tile.
+    """
+
+    block_q: int = 128
+    block_kv_major: int = 128
+    block_kv: int = 128
+    # Backward-pass tiles (dKV kernel iterates Q inside KV; dQ the reverse).
+    block_q_dkv: int = 128
+    block_kv_dkv: int = 128
+    block_q_dq: int = 128
+    block_kv_dq: int = 128
+
+    def __post_init__(self):
+        for f in dataclasses.fields(self):
+            _check_pos(f.name, getattr(self, f.name))
+        if self.block_kv_major % self.block_kv != 0:
+            raise ValueError(
+                f"block_kv ({self.block_kv}) must divide block_kv_major "
+                f"({self.block_kv_major})"
+            )
+
+    @property
+    def has_backward_blocks(self) -> bool:
+        return True
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionConfig:
+    """Shapes of one attention operator — the model-level contract.
+
+    Generalises the reference's runtime kernel args
+    ``batchSize/numHeads/seqLen/scale/is_causal`` (FlashAttention.cuh:60-62)
+    to GQA (separate q/kv head counts) and per-dtype precision.
+    """
+
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    causal: bool = True
+    sm_scale: Optional[float] = None  # None → 1/sqrt(head_dim)
+
+    def __post_init__(self):
+        _check_pos("num_q_heads", self.num_q_heads)
+        _check_pos("num_kv_heads", self.num_kv_heads)
+        _check_pos("head_dim", self.head_dim)
+        if self.num_q_heads % self.num_kv_heads != 0:
+            raise ValueError(
+                f"num_q_heads ({self.num_q_heads}) must be a multiple of "
+                f"num_kv_heads ({self.num_kv_heads})"
+            )
+
+    @property
+    def q_per_kv(self) -> int:
+        return self.num_q_heads // self.num_kv_heads
+
+    @property
+    def scale(self) -> float:
+        if self.sm_scale is not None:
+            return self.sm_scale
+        return float(self.head_dim) ** -0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    """Paged KV-cache layout: page size, capacity, and quantization."""
+
+    page_size: int = 128  # tokens per page; lane-aligned
+    num_pages: int = 1024
+    max_pages_per_seq: int = 64
+    kv_dtype: str = "bfloat16"  # payload dtype: bfloat16 | int8 | int4
+    scale_dtype: str = "float32"
+
+    def __post_init__(self):
+        _check_pos("page_size", self.page_size)
+        _check_pos("num_pages", self.num_pages)
+        _check_pos("max_pages_per_seq", self.max_pages_per_seq)
+        if self.kv_dtype not in ("bfloat16", "float32", "int8", "int4"):
+            raise ValueError(f"unsupported kv_dtype {self.kv_dtype!r}")
+
+    @property
+    def quantized(self) -> bool:
+        return self.kv_dtype in ("int8", "int4")
+
+    @property
+    def max_context(self) -> int:
+        return self.page_size * self.max_pages_per_seq
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Continuous-batching decode engine configuration."""
+
+    max_batch_size: int = 8
+    max_seq_len: int = 8192
+    prefill_chunk: int = 512
+    cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+
+    def __post_init__(self):
+        _check_pos("max_batch_size", self.max_batch_size)
+        _check_pos("max_seq_len", self.max_seq_len)
+        _check_pos("prefill_chunk", self.prefill_chunk)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Named device-mesh layout. Axis sizes of 1 are dropped at build time.
+
+    ``data``  — batch / request parallelism (DP)
+    ``model`` — attention-head tensor parallelism (TP, GQA-aware)
+    ``seq``   — sequence/context parallelism (ring attention)
+    """
+
+    data: int = 1
+    model: int = 1
+    seq: int = 1
+
+    def __post_init__(self):
+        _check_pos("data", self.data)
+        _check_pos("model", self.model)
+        _check_pos("seq", self.seq)
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model * self.seq

@@ -1,0 +1,154 @@
+"""Exact-attention oracles in pure jnp.
+
+The numerical contract every kernel in this framework must match — the
+TPU-native equivalent of the reference's two golden references: the PyTorch
+``multi_head_attention`` (check.py:4-25) and the CPU exact-softmax loop in its
+integration test (tests/main.cu:74-91). All math is done in float32 regardless
+of input dtype, with masking applied as a large negative additive bias (the
+reference uses -1e9 at tests/main.cu:84; we use a dtype-aware large-negative
+to stay NaN-free, see DEFAULT_MASK_VALUE).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# -0.7 * float32 max: large enough to zero out after exp, small enough that
+# (mask + mask) does not overflow to -inf and produce NaN in exp(x - m).
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def reference_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    q_offset: int = 0,
+) -> jax.Array:
+    """Exact multi-head attention: softmax(scale * Q K^T + mask) V.
+
+    Args:
+      q: [batch, num_heads, q_len, head_dim]
+      k: [batch, num_heads, kv_len, head_dim]
+      v: [batch, num_heads, kv_len, head_dim]
+      causal: apply causal mask (q position i attends to kv positions <= i).
+      sm_scale: score scale; defaults to 1/sqrt(head_dim) (check.py:19).
+      bias: optional additive [batch, num_heads, q_len, kv_len] bias.
+      q_segment_ids / kv_segment_ids: [batch, q_len] / [batch, kv_len] int
+        segment ids; attention is masked across segment boundaries.
+      q_offset: global position of q[..., 0, :] for causal masking when the
+        query block is a suffix of the kv sequence (decode).
+
+    Returns:
+      [batch, num_heads, q_len, head_dim] in q.dtype.
+    """
+    orig_dtype = q.dtype
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+    head_dim = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else head_dim**-0.5
+
+    scores = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=jax.lax.Precision.HIGHEST)
+        * scale
+    )
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+
+    mask = None
+    if causal:
+        q_len, kv_len = q.shape[2], k.shape[2]
+        q_pos = jnp.arange(q_len)[:, None] + q_offset
+        kv_pos = jnp.arange(kv_len)[None, :]
+        mask = kv_pos <= q_pos  # [q_len, kv_len]
+        mask = mask[None, None]
+    if q_segment_ids is not None:
+        seg = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
+        seg = seg[:, None]  # [batch, 1, q_len, kv_len]
+        mask = seg if mask is None else jnp.logical_and(mask, seg)
+
+    if mask is not None:
+        scores = jnp.where(mask, scores, DEFAULT_MASK_VALUE)
+
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights, v, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.astype(orig_dtype)
+
+
+def reference_gqa_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    q_offset: int = 0,
+) -> jax.Array:
+    """Exact grouped-query attention.
+
+    Args:
+      q: [batch, num_q_heads, q_len, head_dim]
+      k, v: [batch, num_kv_heads, kv_len, head_dim], num_kv_heads divides
+        num_q_heads.
+    """
+    num_q_heads = q.shape[1]
+    num_kv_heads = k.shape[1]
+    if num_q_heads % num_kv_heads != 0:
+        raise ValueError(f"{num_q_heads=} not a multiple of {num_kv_heads=}")
+    rep = num_q_heads // num_kv_heads
+    k = jnp.repeat(k, rep, axis=1)
+    v = jnp.repeat(v, rep, axis=1)
+    return reference_attention(
+        q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset
+    )
+
+
+def reference_decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+    *,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Exact single-token GQA decode against a (ragged) dense KV cache.
+
+    Args:
+      q: [batch, num_q_heads, head_dim] — one new token per sequence.
+      k_cache, v_cache: [batch, num_kv_heads, max_len, head_dim].
+      lengths: [batch] int32 valid lengths per sequence.
+    """
+    max_len = k_cache.shape[2]
+    num_q_heads, num_kv_heads = q.shape[1], k_cache.shape[1]
+    rep = num_q_heads // num_kv_heads
+    k = jnp.repeat(k_cache, rep, axis=1).astype(jnp.float32)
+    v = jnp.repeat(v_cache, rep, axis=1).astype(jnp.float32)
+    scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
+
+    scores = (
+        jnp.einsum(
+            "bhd,bhkd->bhk",
+            q.astype(jnp.float32),
+            k,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        * scale
+    )
+    valid = jnp.arange(max_len)[None, None, :] < lengths[:, None, None]
+    scores = jnp.where(valid, scores, DEFAULT_MASK_VALUE)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhk,bhkd->bhd", weights, v, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.astype(q.dtype)

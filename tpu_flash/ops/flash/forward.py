@@ -1,0 +1,283 @@
+"""Pallas TPU flash-attention forward kernel.
+
+TPU-native re-design of the reference's fused attention kernel
+(``twoLoaderMhaFlashAttentionKernel``, kernels/FlashAttention.cuh:59-84):
+
+* The reference's warp-specialized loader/compute split with
+  ``cuda::pipeline`` double buffering (loaders.cuh:114-203) becomes Pallas
+  grid pipelining: ``BlockSpec`` index maps stream Q/K/V HBM→VMEM tiles with
+  compiler-managed double buffering, overlapping DMA with MXU compute.
+* The per-(q_row, kv_row) warp-shuffle dot products and reductions
+  (utils.cuh:18-33, 58-81) become whole-tile MXU matmuls
+  (``jax.lax.dot_general``) and VPU lane reductions (``jnp.max/sum``).
+* The online-softmax state (running max m, running sum l) lives in VMEM
+  scratch carried across the KV grid dimension — the analogue of the
+  reference's registers/smem state — but normalization is **deferred** to a
+  single epilogue (FA2-style), fixing the reference's eager per-tile
+  ``/l_new`` divides (utils.cuh:79-80).
+* The reference's tile-level causal early-out (utils.cuh:36-45) becomes grid
+  predication (``@pl.when`` on the block diagonal) plus index-map clamping so
+  fully-masked KV blocks are neither fetched nor computed.
+* The reference's flattened batch·head·seq loop bug (attention leaking across
+  batch/head boundaries for B·H > 1, computers.cuh:33,42) is structurally
+  impossible here: batch and head are independent grid dimensions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.core.config import BlockSizes
+from tpu_flash.core.reference import DEFAULT_MASK_VALUE
+
+NUM_LANES = 128
+
+TRANS_B_DIM_NUMBERS = (((1,), (1,)), ((), ()))  # q @ k.T
+
+
+def _flash_fwd_kernel(
+    q_ref,  # [1, 1, block_q, head_dim]
+    k_ref,  # [1, 1, block_kv_major, head_dim]
+    v_ref,  # [1, 1, block_kv_major, head_dim]
+    o_ref,  # [1, 1, block_q, head_dim]
+    lse_ref,  # [1, 1, block_q, NUM_LANES] or None
+    m_scratch,  # VMEM [block_q, NUM_LANES] f32
+    l_scratch,  # VMEM [block_q, NUM_LANES] f32
+    acc_scratch,  # VMEM [block_q, head_dim] f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_kv: int,
+    q_offset: int,
+    kv_len: int,  # true (unpadded) kv length
+    num_kv_blocks: int,
+    mask_kv_tail: bool,
+):
+    block_q = q_ref.shape[2]
+    block_kv_major = k_ref.shape[2]
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    if causal:
+        # Block-diagonal predicate: run only if some (q_pos >= kv_pos) pair
+        # exists in this tile pair — the grid-level form of the reference's
+        # per-element early-out at utils.cuh:43.
+        max_q_pos = (q_idx + 1) * block_q - 1 + q_offset
+        should_run = max_q_pos >= kv_idx * block_kv_major
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]  # [block_q, head_dim]
+        for start in range(0, block_kv_major, block_kv):
+            k = k_ref[0, 0, start : start + block_kv, :]
+            s = jax.lax.dot_general(
+                q, k, TRANS_B_DIM_NUMBERS, preferred_element_type=jnp.float32
+            )
+            if sm_scale != 1.0:
+                s = s * sm_scale
+
+            kv_base = kv_idx * block_kv_major + start
+            need_causal = causal
+            if need_causal or mask_kv_tail:
+                row_ids = (
+                    q_offset
+                    + q_idx * block_q
+                    + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                )
+                col_ids = kv_base + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv), 1
+                )
+                mask = None
+                if need_causal:
+                    mask = col_ids <= row_ids
+                if mask_kv_tail:
+                    tail = col_ids < kv_len
+                    mask = tail if mask is None else jnp.logical_and(mask, tail)
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scratch[...]  # [block_q, NUM_LANES], lane-replicated
+            l_prev = l_scratch[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+            m_next = jnp.maximum(m_prev, m_curr)  # [block_q, NUM_LANES]
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])  # [block_q, block_kv]
+            l_curr = jnp.sum(p, axis=1, keepdims=True)
+            l_scratch[...] = l_prev * alpha + l_curr
+            m_scratch[...] = m_next
+
+            v = v_ref[0, 0, start : start + block_kv, :]
+            pv = jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    # Epilogue on the last KV block this Q block visits. For causal Q blocks
+    # that end before the last KV block, that is the diagonal block.
+    if causal:
+        last_kv = jnp.minimum(
+            num_kv_blocks - 1,
+            ((q_idx + 1) * block_q - 1 + q_offset) // block_kv_major,
+        )
+    else:
+        last_kv = num_kv_blocks - 1
+
+    @pl.when(kv_idx == last_kv)
+    def _epilogue():
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            m = m_scratch[...]
+            lse_ref[0, 0] = jnp.where(
+                m == -jnp.inf, -jnp.inf, m + jnp.log(l_scratch[...])
+            ).astype(lse_ref.dtype)
+
+
+def flash_attention_forward(
+    q: jax.Array,  # [batch, num_q_heads, q_len, head_dim] (padded, aligned)
+    k: jax.Array,  # [batch, num_kv_heads, kv_len_padded, head_dim]
+    v: jax.Array,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_sizes: BlockSizes,
+    q_offset: int = 0,
+    kv_len: Optional[int] = None,  # true kv length before padding
+    save_residuals: bool = False,
+    interpret: bool = False,
+):
+    """Launch the forward kernel on pre-padded inputs.
+
+    Shapes must already satisfy: q_len % block_q == 0,
+    kv_len_padded % block_kv_major == 0, head_dim % 128 == 0.
+    Returns ``o`` or ``(o, lse)`` with lse of shape [b, hq, q_len]
+    (logsumexp of scaled scores, the FA2 backward residual).
+    """
+    batch, num_q_heads, q_len, head_dim = q.shape
+    _, num_kv_heads, kv_len_padded, _ = k.shape
+    if kv_len is None:
+        kv_len = kv_len_padded
+    q_per_kv = num_q_heads // num_kv_heads
+
+    block_q = min(block_sizes.block_q, q_len)
+    block_kv_major = min(block_sizes.block_kv_major, kv_len_padded)
+    block_kv = min(block_sizes.block_kv, block_kv_major)
+    num_q_blocks = q_len // block_q
+    num_kv_blocks = kv_len_padded // block_kv_major
+
+    if causal:
+        # Clamp the KV index past the diagonal so masked-out blocks re-map to
+        # the diagonal block — Pallas elides refetches of an unchanged block,
+        # so above-diagonal K/V tiles never leave HBM.
+        def kv_block_index(q, kv):
+            last = ((q + 1) * block_q - 1 + q_offset) // block_kv_major
+            return jnp.minimum(kv, last)
+
+    else:
+
+        def kv_block_index(q, kv):
+            return kv
+
+    grid = (batch, num_q_heads, num_q_blocks, num_kv_blocks)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, q, kv: (b, h, q, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv_major, head_dim),
+            lambda b, h, q, kv: (b, h // q_per_kv, kv_block_index(q, kv), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv_major, head_dim),
+            lambda b, h, q, kv: (b, h // q_per_kv, kv_block_index(q, kv), 0),
+        ),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, q, kv: (b, h, q, 0)
+        ),
+    ]
+    if save_residuals:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (batch, num_q_heads, q_len, NUM_LANES), jnp.float32
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, NUM_LANES), lambda b, h, q, kv: (b, h, q, 0)
+            )
+        )
+
+    base_kernel = functools.partial(
+        _flash_fwd_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_kv=block_kv,
+        q_offset=q_offset,
+        kv_len=kv_len,
+        num_kv_blocks=num_kv_blocks,
+        mask_kv_tail=kv_len < kv_len_padded,
+    )
+    if save_residuals:
+        kernel = base_kernel
+    else:
+        # No lse output ref in the positional list; splice in None.
+        def kernel(q_r, k_r, v_r, o_r, m_s, l_s, acc_s):
+            return base_kernel(q_r, k_r, v_r, o_r, None, m_s, l_s, acc_s)
+
+    scratch_shapes = [
+        pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # m
+        pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # l
+        pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
+    ]
+
+    # 2 matmuls (QK^T and PV), 2*M*N*K flops each.
+    cost = pl.CostEstimate(
+        flops=4 * batch * num_q_heads * q_len * kv_len_padded * head_dim,
+        bytes_accessed=(
+            q.size * q.dtype.itemsize
+            + k.size * k.dtype.itemsize
+            + v.size * v.dtype.itemsize
+            + q.size * q.dtype.itemsize  # O
+        ),
+        transcendentals=batch * num_q_heads * q_len * kv_len_padded,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q, k, v)
+
+    o = outs[0]
+    if save_residuals:
+        lse = outs[1][..., 0]  # lanes are replicated; keep one
+        return o, lse
+    return o

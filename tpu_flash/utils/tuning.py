@@ -1,0 +1,88 @@
+"""Hardware-aware kernel tile selection.
+
+TPU-native descendant of the reference's host tile heuristics
+(``calculateSizeBlockQ`` / ``calculateSizeBlockKV``, helpers.hpp:8-30), with
+the lesson of that file applied: its register/L2 formulas drifted from
+reality and were overridden with a hardcoded 64 (helpers.hpp:17-18, 28-29).
+Here the *formula* is a VMEM-budget feasibility check and the *choice* comes
+from an empirically-tuned per-generation table, formula only as fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+
+from tpu_flash.core.config import BlockSizes
+
+NUM_LANES = 128
+# Leave headroom under the ~128 MiB VMEM for pipelining double buffers:
+# Pallas allocates 2x each input/output block for the grid pipeline.
+DEFAULT_VMEM_BUDGET = 64 * 2**20
+
+
+def _itemsize(dtype) -> int:
+    return jnp.dtype(dtype).itemsize
+
+
+def fwd_vmem_bytes(
+    block_q: int,
+    block_kv_major: int,
+    block_kv: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> int:
+    """VMEM footprint of one forward grid cell (with 2x pipeline buffers)."""
+    itm = _itemsize(dtype)
+    q = block_q * head_dim * itm
+    kv = 2 * block_kv_major * head_dim * itm  # K and V
+    o = block_q * head_dim * itm
+    scores = block_q * block_kv * 4  # f32 scores tile
+    scratch = block_q * (2 * NUM_LANES + head_dim) * 4  # m, l, acc f32
+    return 2 * (q + kv + o) + scores + scratch
+
+
+@functools.lru_cache(maxsize=None)
+def default_block_sizes(
+    q_len: int,
+    kv_len: int,
+    head_dim: int,
+    dtype_str: str = "bfloat16",
+    vmem_budget: int = DEFAULT_VMEM_BUDGET,
+) -> BlockSizes:
+    """Pick forward/backward tile shapes for the given problem shape.
+
+    Strategy: prefer large Q tiles (better MXU occupancy on the two matmuls
+    and fewer revisits of K/V) and a KV-major tile that amortizes HBM DMA,
+    shrinking until the VMEM feasibility check passes.
+    """
+    dtype = jnp.dtype(dtype_str)
+
+    # Priors: 256-row Q tiles keep both matmuls MXU-shaped for head_dim>=128;
+    # 512-row KV major tiles amortize DMA issue overhead.
+    block_q = 256 if q_len >= 256 else max(8, min(q_len, 256))
+    block_kv_major = 512 if kv_len >= 512 else max(NUM_LANES, min(kv_len, 512))
+    block_kv = min(512, block_kv_major)
+
+    while (
+        fwd_vmem_bytes(block_q, block_kv_major, block_kv, head_dim, dtype)
+        > vmem_budget
+    ):
+        if block_kv_major >= block_q and block_kv_major > NUM_LANES:
+            block_kv_major //= 2
+            block_kv = min(block_kv, block_kv_major)
+        elif block_q > NUM_LANES:
+            block_q //= 2
+        else:
+            break  # minimum shapes; let the compiler complain if it must
+
+    return BlockSizes(
+        block_q=block_q,
+        block_kv_major=block_kv_major,
+        block_kv=block_kv,
+        block_q_dkv=min(block_q, 128),
+        block_kv_dkv=min(block_kv_major, 128),
+        block_q_dq=min(block_q, 128),
+        block_kv_dq=min(block_kv_major, 128),
+    )
