@@ -1,0 +1,160 @@
+"""Parity tests: Pallas flash-attention forward vs the jnp exact oracle.
+
+Differential testing with asserted tolerances across shape x dtype x causal
+sweeps — the upgrade of the reference's printed-not-asserted max-abs-diff
+integration test (tests/main.cu:93-97) demanded by SURVEY.md §4.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.core.config import BlockSizes
+from tpu_flash.core.reference import reference_attention, reference_gqa_attention
+from tpu_flash.ops.flash import flash_attention
+
+F32_TOL = dict(atol=2e-5, rtol=2e-5)
+BF16_TOL = dict(atol=1e-2, rtol=1e-2)  # BASELINE config 1 gate
+
+
+def _qkv(key, b, hq, hkv, sq, skv, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, hq, sq, d), dtype)
+    k = jax.random.normal(kk, (b, hkv, skv, d), dtype)
+    v = jax.random.normal(kv, (b, hkv, skv, d), dtype)
+    return q, k, v
+
+
+class TestParityFP32:
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize(
+        "b,h,s,d",
+        [
+            (1, 1, 128, 64),  # BASELINE config 1 shape
+            (2, 2, 256, 128),
+            (1, 1, 384, 128),
+        ],
+    )
+    def test_mha(self, b, h, s, d, causal):
+        q, k, v = _qkv(jax.random.PRNGKey(0), b, h, h, s, s, d)
+        out = flash_attention(q, k, v, causal=causal)
+        ref = reference_attention(q, k, v, causal=causal)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    def test_baseline_config1_tolerance(self):
+        """BASELINE config 1: B=1, seq=128, d=64, FP32, non-causal, <=1e-2."""
+        q, k, v = _qkv(jax.random.PRNGKey(7), 1, 1, 1, 128, 128, 64)
+        out = flash_attention(q, k, v, causal=False)
+        ref = reference_attention(q, k, v, causal=False)
+        assert float(jnp.max(jnp.abs(out - ref))) <= 1e-2
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_unaligned_shapes_padded_and_masked(self, causal):
+        # seq not a multiple of any block, head_dim not a multiple of 128.
+        q, k, v = _qkv(jax.random.PRNGKey(1), 1, 2, 2, 100, 100, 72)
+        out = flash_attention(q, k, v, causal=causal)
+        ref = reference_attention(q, k, v, causal=causal)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    def test_cross_attention_different_kv_len(self):
+        q, k, v = _qkv(jax.random.PRNGKey(2), 1, 2, 2, 64, 320, 64)
+        out = flash_attention(q, k, v)
+        ref = reference_attention(q, k, v)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    @pytest.mark.parametrize("q_per_kv", [2, 4])
+    def test_gqa(self, q_per_kv):
+        hkv = 2
+        q, k, v = _qkv(
+            jax.random.PRNGKey(3), 1, hkv * q_per_kv, hkv, 128, 128, 64
+        )
+        out = flash_attention(q, k, v, causal=True)
+        ref = reference_gqa_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    def test_q_offset_chunked_prefill(self):
+        # A 128-row query chunk at global offset 256 of a 512-key sequence
+        # must match the same rows of full causal attention.
+        q, k, v = _qkv(jax.random.PRNGKey(4), 1, 2, 2, 512, 512, 64)
+        full = flash_attention(q, k, v, causal=True)
+        chunk = flash_attention(
+            q[:, :, 256:384], k, v, causal=True, q_offset=256
+        )
+        np.testing.assert_allclose(chunk, full[:, :, 256:384], **F32_TOL)
+
+    def test_sm_scale_override(self):
+        q, k, v = _qkv(jax.random.PRNGKey(5), 1, 1, 1, 128, 128, 64)
+        out = flash_attention(q, k, v, sm_scale=0.05)
+        ref = reference_attention(q, k, v, sm_scale=0.05)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    def test_small_blocks_multi_kv_iters(self):
+        # Force many KV grid steps + inner two-level tiling.
+        bs = BlockSizes(block_q=128, block_kv_major=256, block_kv=128)
+        q, k, v = _qkv(jax.random.PRNGKey(6), 1, 1, 1, 256, 1024, 64)
+        out = flash_attention(q, k, v, causal=True, block_sizes=bs)
+        ref = reference_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+
+class TestParityBF16:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_mha_bf16(self, causal):
+        q, k, v = _qkv(
+            jax.random.PRNGKey(0), 1, 4, 4, 256, 256, 128, jnp.bfloat16
+        )
+        out = flash_attention(q, k, v, causal=causal)
+        ref = reference_attention(q, k, v, causal=causal)
+        np.testing.assert_allclose(
+            out.astype(jnp.float32), ref.astype(jnp.float32), **BF16_TOL
+        )
+
+    def test_llama2_prefill_shape_small(self):
+        # Scaled-down Llama-2-7B attention: d=128, causal BF16, GQA=1.
+        q, k, v = _qkv(
+            jax.random.PRNGKey(1), 1, 8, 8, 512, 512, 128, jnp.bfloat16
+        )
+        out = flash_attention(q, k, v, causal=True)
+        ref = reference_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(
+            out.astype(jnp.float32), ref.astype(jnp.float32), **BF16_TOL
+        )
+
+
+class TestResiduals:
+    def test_lse_matches_exact(self):
+        q, k, v = _qkv(jax.random.PRNGKey(0), 1, 2, 2, 128, 128, 64)
+        out, lse = flash_attention(q, k, v, causal=True, save_residuals=True)
+        scale = 64**-0.5
+        s = (
+            jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, precision=jax.lax.Precision.HIGHEST
+            )
+            * scale
+        )
+        mask = jnp.tril(jnp.ones((128, 128), bool))
+        s = jnp.where(mask, s, -jnp.inf)
+        expected_lse = jax.nn.logsumexp(s, axis=-1)
+        np.testing.assert_allclose(lse, expected_lse, atol=1e-4, rtol=1e-4)
+
+
+class TestStability:
+    def test_large_scores_no_overflow(self):
+        # Score magnitudes that would overflow exp() without running-max
+        # rescaling — the property the reference kernel provides via
+        # updateSoftmaxState (utils.cuh:58-81).
+        key = jax.random.PRNGKey(0)
+        q, k, v = _qkv(key, 1, 1, 1, 128, 128, 64)
+        q = q * 100.0
+        out = flash_attention(q, k, v)
+        ref = reference_attention(q, k, v)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_all_ones_like_reference_test(self):
+        # The reference's integration test input (tests/main.cu:33-35).
+        q = jnp.ones((1, 1, 16, 16))
+        out = flash_attention(q, q, q)
+        # softmax of constant rows = uniform; output = mean of V = ones.
+        np.testing.assert_allclose(out, jnp.ones_like(q), atol=1e-5)

@@ -4,7 +4,9 @@ The TPU analogue of the reference's host launch recipe (tests/main.cu:50-61):
 where the reference burns tile shapes into the binary via template params and
 asserts ``seqLen % tile == 0`` (helpers.hpp:34), this layer pads arbitrary
 shapes to hardware alignment (lane dim 128, block multiples), masks the
-padding inside the kernel, and slices results back.
+padding inside the kernel, and slices results back. Training support (absent
+in the reference) is wired via ``jax.custom_vjp`` onto the Pallas backward
+kernels.
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_flash.core.config import BlockSizes
+from tpu_flash.ops.flash.backward import flash_attention_backward
 from tpu_flash.ops.flash.forward import NUM_LANES, flash_attention_forward
 from tpu_flash.utils.tuning import default_block_sizes
 
@@ -37,68 +40,132 @@ def _pad_axis(x: jax.Array, axis: int, target: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "causal",
-        "sm_scale",
-        "block_sizes",
-        "q_offset",
-        "save_residuals",
-        "interpret",
-    ),
-)
-def _flash_attention(
-    q,
-    k,
-    v,
-    causal,
-    sm_scale,
-    block_sizes,
-    q_offset,
-    save_residuals,
-    interpret,
-):
-    batch, num_q_heads, q_len, head_dim = q.shape
-    _, num_kv_heads, kv_len, _ = k.shape
+def _pow2_round_up(x: int, lo: int) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
 
-    if sm_scale is None:
-        sm_scale = head_dim**-0.5
-    if block_sizes is None:
-        block_sizes = default_block_sizes(q_len, kv_len, head_dim)
-    if interpret is None:
-        interpret = _default_interpret()
 
-    # Hardware alignment: lane dim (head_dim) to 128; sequence dims to block
-    # multiples. Zero-padded head_dim is exact (pads contribute 0 to QK^T and
-    # zero columns to O); padded KV rows are masked in-kernel; padded Q rows
-    # are sliced off.
+def _padded_shapes(q_shape, kv_len, block_sizes):
+    """(head_dim_p, block_q, block_kv_major, q_len_p, kv_len_p).
+
+    Sequence dims are padded to a power of two (>= 8 sublanes for Q, >= 128
+    lanes for KV) below the requested block size so that the forward AND
+    backward block sizes — all powers of two in the tuning table — divide the
+    padded lengths.
+    """
+    q_len, head_dim = q_shape[2], q_shape[3]
     head_dim_p = _round_up(head_dim, NUM_LANES)
-    block_q = min(block_sizes.block_q, _round_up(q_len, 8))
-    block_kv_major = min(block_sizes.block_kv_major, _round_up(kv_len, NUM_LANES))
+    block_q = min(block_sizes.block_q, _pow2_round_up(q_len, 8))
+    block_kv_major = min(
+        block_sizes.block_kv_major, _pow2_round_up(kv_len, NUM_LANES)
+    )
     q_len_p = _round_up(q_len, block_q)
     kv_len_p = _round_up(kv_len, block_kv_major)
+    return head_dim_p, block_q, block_kv_major, q_len_p, kv_len_p
 
+
+def _pad_qkv(q, k, v, block_sizes):
+    head_dim_p, _, _, q_len_p, kv_len_p = _padded_shapes(
+        q.shape, k.shape[2], block_sizes
+    )
     qp = _pad_axis(_pad_axis(q, 3, head_dim_p), 2, q_len_p)
     kp = _pad_axis(_pad_axis(k, 3, head_dim_p), 2, kv_len_p)
     vp = _pad_axis(_pad_axis(v, 3, head_dim_p), 2, kv_len_p)
+    return qp, kp, vp
 
-    out = flash_attention_forward(
-        qp,
-        kp,
-        vp,
-        causal=causal,
-        sm_scale=sm_scale,
-        block_sizes=block_sizes,
-        q_offset=q_offset,
-        kv_len=kv_len,
-        save_residuals=save_residuals,
+
+# ---------------------------------------------------------------------------
+# custom_vjp core (fixed static params, original shapes in/out)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_core(q, k, v, causal, sm_scale, block_sizes, q_offset, interpret):
+    q_len, head_dim = q.shape[2], q.shape[3]
+    qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    o = flash_attention_forward(
+        qp, kp, vp,
+        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        q_offset=q_offset, kv_len=k.shape[2], save_residuals=False,
         interpret=interpret,
     )
-    if save_residuals:
-        o, lse = out
-        return o[:, :, :q_len, :head_dim], lse[:, :, :q_len]
-    return out[:, :, :q_len, :head_dim]
+    return o[:, :, :q_len, :head_dim]
+
+
+def _flash_core_fwd(q, k, v, causal, sm_scale, block_sizes, q_offset,
+                    interpret):
+    q_len, head_dim = q.shape[2], q.shape[3]
+    qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    o_p, lse_p = flash_attention_forward(
+        qp, kp, vp,
+        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
+        interpret=interpret,
+    )
+    o = o_p[:, :, :q_len, :head_dim]
+    return o, (q, k, v, o_p, lse_p)
+
+
+def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
+                    residuals, g):
+    q, k, v, o_p, lse_p = residuals
+    batch, num_q_heads, q_len, head_dim = q.shape
+    num_kv_heads, kv_len = k.shape[1], k.shape[2]
+    q_per_kv = num_q_heads // num_kv_heads
+
+    qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    q_len_p = qp.shape[2]
+    head_dim_p = qp.shape[3]
+    do_p = _pad_axis(_pad_axis(g, 3, head_dim_p), 2, q_len_p)
+    lse_rep = jnp.broadcast_to(
+        _pad_axis(lse_p, 2, q_len_p)[..., None],
+        (batch, num_q_heads, q_len_p, NUM_LANES),
+    )
+
+    dq, dk, dv = flash_attention_backward(
+        qp, kp, vp, o_p, lse_rep, do_p,
+        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        q_offset=q_offset, kv_len=kv_len, interpret=interpret,
+    )
+    dq = dq[:, :, :q_len, :head_dim]
+    dk = dk[:, :, :kv_len, :head_dim]
+    dv = dv[:, :, :kv_len, :head_dim]
+    if q_per_kv > 1:
+        # Per-q-head dK/dV partials → sum over each GQA group.
+        dk = dk.reshape(batch, num_kv_heads, q_per_kv, kv_len, head_dim)
+        dk = dk.sum(axis=2).astype(k.dtype)
+        dv = dv.reshape(batch, num_kv_heads, q_per_kv, kv_len, head_dim)
+        dv = dv.sum(axis=2).astype(v.dtype)
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_sizes", "q_offset", "save_residuals",
+        "interpret",
+    ),
+)
+def _flash_entry(q, k, v, causal, sm_scale, block_sizes, q_offset,
+                 save_residuals, interpret):
+    if not save_residuals:
+        return _flash_core(
+            q, k, v, causal, sm_scale, block_sizes, q_offset, interpret
+        )
+    q_len, head_dim = q.shape[2], q.shape[3]
+    qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    o_p, lse_p = flash_attention_forward(
+        qp, kp, vp,
+        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
+        interpret=interpret,
+    )
+    return o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len]
 
 
 def flash_attention(
@@ -113,10 +180,11 @@ def flash_attention(
     save_residuals: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Fused multi-head / grouped-query flash attention.
+    """Fused multi-head / grouped-query flash attention (differentiable).
 
     O = softmax(sm_scale * Q K^T + mask) V, computed tile-by-tile with online
     softmax so the (q_len, kv_len) score matrix is never materialized.
+    Gradients flow through FA2-style Pallas backward kernels.
 
     Args:
       q: [batch, num_q_heads, q_len, head_dim].
@@ -129,7 +197,7 @@ def flash_attention(
         tuning table (utils/tuning.py).
       q_offset: global position of the first query row (chunked prefill).
       save_residuals: also return ``lse = logsumexp(scaled scores)`` of shape
-        [batch, num_q_heads, q_len] (the FA2 backward residual).
+        [batch, num_q_heads, q_len] (not differentiable through this path).
       interpret: run the kernel in interpreter mode (default: auto — True
         when no TPU backend is present, so CI runs on CPU).
 
@@ -150,7 +218,17 @@ def flash_attention(
         )
     if q.shape[-1] != k.shape[-1]:
         raise ValueError(f"head_dim mismatch: {q.shape[-1]} vs {k.shape[-1]}")
-    return _flash_attention(
-        q, k, v, causal, sm_scale, block_sizes, q_offset, save_residuals,
-        interpret,
+
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    if block_sizes is None:
+        block_sizes = default_block_sizes(
+            q.shape[2], k.shape[2], q.shape[3], str(q.dtype)
+        )
+    if interpret is None:
+        interpret = _default_interpret()
+
+    return _flash_entry(
+        q, k, v, causal, float(sm_scale), block_sizes, q_offset,
+        save_residuals, interpret,
     )

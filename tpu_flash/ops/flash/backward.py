@@ -1,0 +1,385 @@
+"""Pallas TPU flash-attention backward kernels (FA2-style).
+
+The reference is forward/inference-only (no gradient code anywhere in its
+tree); training support is part of this framework's capabilities contract, so
+the backward pass is designed TPU-first rather than translated:
+
+* Residuals are ``o`` and ``lse = logsumexp(scaled scores)`` — the softmax is
+  *recomputed* per tile from ``p = exp(s - lse)``, never materialized.
+* Two kernels with independent tilings (SURVEY.md §7 hard-parts list):
+  - dKV: grid (batch, q_head, kv_block, q_block) — for a resident KV tile,
+    stream Q/dO tiles and accumulate dK/dV in VMEM scratch.
+  - dQ:  grid (batch, q_head, q_block, kv_block) — for a resident Q tile,
+    stream K/V tiles and accumulate dQ in VMEM scratch.
+* ``di = rowsum(o * do)`` is precomputed once in the wrapper and shared by
+  both kernels.
+* Causal blocks that are fully masked are skipped by grid predication, and
+  their fetches are elided by clamped BlockSpec index maps (same trick as
+  the forward kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.core.config import BlockSizes
+
+NUM_LANES = 128
+
+TRANS_B = (((1,), (1,)), ((), ()))  # a @ b.T
+CONTRACT_0 = (((0,), (0,)), ((), ()))  # a.T @ b without explicit transpose
+
+
+def _precision(dtype):
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _recompute_p(q, k, lse_col, *, sm_scale, causal, mask_kv_tail, kv_len,
+                 q_pos0, kv_pos0, precision):
+    """Recompute attention weights p = exp(sm_scale * q k^T - lse), masked."""
+    block_q, block_kv = q.shape[0], k.shape[0]
+    s = jax.lax.dot_general(
+        q, k, TRANS_B, preferred_element_type=jnp.float32, precision=precision
+    )
+    if sm_scale != 1.0:
+        s = s * sm_scale
+    p = jnp.exp(s - lse_col)
+    if causal or mask_kv_tail:
+        row_ids = q_pos0 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 0
+        )
+        col_ids = kv_pos0 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1
+        )
+        mask = None
+        if causal:
+            mask = col_ids <= row_ids
+        if mask_kv_tail:
+            tail = col_ids < kv_len
+            mask = tail if mask is None else jnp.logical_and(mask, tail)
+        p = jnp.where(mask, p, 0.0)
+    return s, p
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref,  # [1, 1, block_q, head_dim]
+    k_ref,  # [1, 1, block_kv, head_dim]
+    v_ref,
+    do_ref,  # [1, 1, block_q, head_dim]
+    lse_ref,  # [1, 1, block_q, NUM_LANES]
+    di_ref,  # [1, 1, block_q, NUM_LANES]
+    dk_ref,  # [1, 1, block_kv, head_dim] out
+    dv_ref,  # out
+    dk_scratch,  # VMEM [block_kv, head_dim] f32
+    dv_scratch,
+    *,
+    causal: bool,
+    sm_scale: float,
+    q_offset: int,
+    kv_len: int,
+    mask_kv_tail: bool,
+    num_q_blocks: int,
+):
+    block_q = q_ref.shape[2]
+    block_kv = k_ref.shape[2]
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    if causal:
+        max_q_pos = (q_idx + 1) * block_q - 1 + q_offset
+        should_run = max_q_pos >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    precision = _precision(q_ref.dtype)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse_col = lse_ref[0, 0][:, :1]
+        di_col = di_ref[0, 0][:, :1]
+
+        _, p = _recompute_p(
+            q, k, lse_col,
+            sm_scale=sm_scale, causal=causal, mask_kv_tail=mask_kv_tail,
+            kv_len=kv_len, q_pos0=q_offset + q_idx * block_q,
+            kv_pos0=kv_idx * block_kv, precision=precision,
+        )
+
+        # dv += p^T @ do    (contract over the q dimension, no transpose op)
+        dv_scratch[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, CONTRACT_0,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # dp = do @ v^T ; ds = p * (dp - di) * sm_scale
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), TRANS_B,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - di_col)
+        if sm_scale != 1.0:
+            ds = ds * sm_scale
+        # dk += ds^T @ q
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, CONTRACT_0,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _epilogue():
+        dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref,  # [1, 1, block_q, head_dim]
+    k_ref,  # [1, 1, block_kv, head_dim]
+    v_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dq_ref,  # [1, 1, block_q, head_dim] out
+    dq_scratch,  # VMEM [block_q, head_dim] f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    q_offset: int,
+    kv_len: int,
+    mask_kv_tail: bool,
+    num_kv_blocks: int,
+):
+    block_q = q_ref.shape[2]
+    block_kv = k_ref.shape[2]
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    if causal:
+        max_q_pos = (q_idx + 1) * block_q - 1 + q_offset
+        should_run = max_q_pos >= kv_idx * block_kv
+        last_kv = jnp.minimum(
+            num_kv_blocks - 1,
+            ((q_idx + 1) * block_q - 1 + q_offset) // block_kv,
+        )
+    else:
+        should_run = True
+        last_kv = num_kv_blocks - 1
+
+    precision = _precision(q_ref.dtype)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse_col = lse_ref[0, 0][:, :1]
+        di_col = di_ref[0, 0][:, :1]
+
+        _, p = _recompute_p(
+            q, k, lse_col,
+            sm_scale=sm_scale, causal=causal, mask_kv_tail=mask_kv_tail,
+            kv_len=kv_len, q_pos0=q_offset + q_idx * block_q,
+            kv_pos0=kv_idx * block_kv, precision=precision,
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), TRANS_B,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - di_col)
+        if sm_scale != 1.0:
+            ds = ds * sm_scale
+        dq_scratch[...] += jax.lax.dot(
+            ds.astype(k.dtype), k,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(kv_idx == last_kv)
+    def _epilogue():
+        dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def flash_attention_backward(
+    q: jax.Array,  # padded [b, hq, q_len_p, head_dim_p]
+    k: jax.Array,  # padded [b, hkv, kv_len_p, head_dim_p]
+    v: jax.Array,
+    o: jax.Array,  # padded like q
+    lse_rep: jax.Array,  # [b, hq, q_len_p, NUM_LANES] lane-replicated
+    do: jax.Array,  # padded like q
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_sizes: BlockSizes,
+    q_offset: int,
+    kv_len: int,
+    interpret: bool,
+):
+    """Compute (dq, dk, dv) on pre-padded inputs.
+
+    Returns dk/dv with num_q_heads (per-q-head partials); the caller sums
+    groups of q_per_kv heads for GQA.
+    """
+    batch, num_q_heads, q_len, head_dim = q.shape
+    _, num_kv_heads, kv_len_padded, _ = k.shape
+    q_per_kv = num_q_heads // num_kv_heads
+    mask_kv_tail = kv_len < kv_len_padded
+
+    # di = rowsum(o * do), lane-replicated to match lse layout.
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di_rep = jnp.broadcast_to(di[..., None], (*di.shape, NUM_LANES))
+
+    # ---- dKV kernel ----
+    block_q = min(block_sizes.block_q_dkv, q_len)
+    block_kv = min(block_sizes.block_kv_dkv, kv_len_padded)
+    if q_len % block_q or kv_len_padded % block_kv:
+        raise ValueError(
+            f"backward block sizes ({block_q}, {block_kv}) must divide the "
+            f"padded sequence lengths ({q_len}, {kv_len_padded}); use "
+            f"power-of-two block sizes"
+        )
+    num_q_blocks = q_len // block_q
+    num_kv_blocks = kv_len_padded // block_kv
+
+    if causal:
+        # Early (fully-masked) q blocks re-map to the first contributing
+        # block so their fetches are elided.
+        def q_block_index(q_i, kv_i):
+            first = jnp.maximum(
+                (kv_i * block_kv - q_offset) // block_q, 0
+            )
+            return jnp.maximum(q_i, first)
+
+    else:
+
+        def q_block_index(q_i, kv_i):
+            return q_i
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, head_dim),
+        lambda b, h, kv, q_i: (b, h, q_block_index(q_i, kv), 0),
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_kv, head_dim),
+        lambda b, h, kv, q_i: (b, h // q_per_kv, kv, 0),
+    )
+    res_spec = pl.BlockSpec(
+        (1, 1, block_q, NUM_LANES),
+        lambda b, h, kv, q_i: (b, h, q_block_index(q_i, kv), 0),
+    )
+
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        q_offset=q_offset,
+        kv_len=kv_len,
+        mask_kv_tail=mask_kv_tail,
+        num_q_blocks=num_q_blocks,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(batch, num_q_heads, num_kv_blocks, num_q_blocks),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, res_spec, res_spec],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_kv, head_dim), lambda b, h, kv, q_i: (b, h, kv, 0)
+            )
+        ]
+        * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, num_q_heads, kv_len_padded, head_dim), k.dtype
+            )
+        ]
+        * 2,
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, head_dim), jnp.float32),
+            pltpu.VMEM((block_kv, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse_rep, di_rep)
+
+    # ---- dQ kernel ----
+    block_q_dq = min(block_sizes.block_q_dq, q_len)
+    block_kv_dq = min(block_sizes.block_kv_dq, kv_len_padded)
+    if q_len % block_q_dq or kv_len_padded % block_kv_dq:
+        raise ValueError(
+            f"dq block sizes ({block_q_dq}, {block_kv_dq}) must divide the "
+            f"padded sequence lengths ({q_len}, {kv_len_padded})"
+        )
+    num_q_blocks_dq = q_len // block_q_dq
+    num_kv_blocks_dq = kv_len_padded // block_kv_dq
+
+    if causal:
+
+        def kv_block_index(q_i, kv_i):
+            last = ((q_i + 1) * block_q_dq - 1 + q_offset) // block_kv_dq
+            return jnp.minimum(kv_i, last)
+
+    else:
+
+        def kv_block_index(q_i, kv_i):
+            return kv_i
+
+    q_spec_dq = pl.BlockSpec(
+        (1, 1, block_q_dq, head_dim), lambda b, h, q_i, kv: (b, h, q_i, 0)
+    )
+    kv_spec_dq = pl.BlockSpec(
+        (1, 1, block_kv_dq, head_dim),
+        lambda b, h, q_i, kv: (b, h // q_per_kv, kv_block_index(q_i, kv), 0),
+    )
+    res_spec_dq = pl.BlockSpec(
+        (1, 1, block_q_dq, NUM_LANES), lambda b, h, q_i, kv: (b, h, q_i, 0)
+    )
+
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        q_offset=q_offset,
+        kv_len=kv_len,
+        mask_kv_tail=mask_kv_tail,
+        num_kv_blocks=num_kv_blocks_dq,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(batch, num_q_heads, num_q_blocks_dq, num_kv_blocks_dq),
+        in_specs=[
+            q_spec_dq, kv_spec_dq, kv_spec_dq, q_spec_dq, res_spec_dq,
+            res_spec_dq,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q_dq, head_dim), lambda b, h, q_i, kv: (b, h, q_i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q_dq, head_dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse_rep, di_rep)
+
+    return dq, dk, dv

@@ -79,13 +79,25 @@ def _flash_fwd_kernel(
     else:
         should_run = True
 
+    # FP32 inputs take the exactness path: force true-f32 MXU passes. BF16
+    # and narrower take the default fast path.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
     @pl.when(should_run)
     def _run():
         q = q_ref[0, 0]  # [block_q, head_dim]
         for start in range(0, block_kv_major, block_kv):
             k = k_ref[0, 0, start : start + block_kv, :]
             s = jax.lax.dot_general(
-                q, k, TRANS_B_DIM_NUMBERS, preferred_element_type=jnp.float32
+                q,
+                k,
+                TRANS_B_DIM_NUMBERS,
+                preferred_element_type=jnp.float32,
+                precision=precision,
             )
             if sm_scale != 1.0:
                 s = s * sm_scale
@@ -121,7 +133,10 @@ def _flash_fwd_kernel(
 
             v = v_ref[0, 0, start : start + block_kv, :]
             pv = jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                p.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+                precision=precision,
             )
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
 

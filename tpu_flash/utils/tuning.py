@@ -59,11 +59,19 @@ def default_block_sizes(
     """
     dtype = jnp.dtype(dtype_str)
 
+    def pow2_round_up(x: int, lo: int) -> int:
+        p = lo
+        while p < x:
+            p *= 2
+        return p
+
     # Priors: 256-row Q tiles keep both matmuls MXU-shaped for head_dim>=128;
-    # 512-row KV major tiles amortize DMA issue overhead.
-    block_q = 256 if q_len >= 256 else max(8, min(q_len, 256))
-    block_kv_major = 512 if kv_len >= 512 else max(NUM_LANES, min(kv_len, 512))
-    block_kv = min(512, block_kv_major)
+    # 512-row KV major tiles amortize DMA issue overhead. All tiles are
+    # powers of two so forward and backward tilings divide the padded
+    # sequence lengths.
+    block_q = min(256, pow2_round_up(q_len, 8))
+    block_kv_major = min(512, pow2_round_up(kv_len, NUM_LANES))
+    block_kv = block_kv_major
 
     while (
         fwd_vmem_bytes(block_q, block_kv_major, block_kv, head_dim, dtype)
