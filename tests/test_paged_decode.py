@@ -1,0 +1,139 @@
+"""Paged GQA decode kernel: parity vs dense oracle, quantized KV paths.
+
+Exercises the explicit-DMA double-buffered page pipeline (the framework's
+``cuda::pipeline`` analogue) in interpreter mode, which executes the kernel
+serially and catches indexing/slot races (SURVEY.md §5, race detection).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.core.reference import (
+    gather_pages_to_dense,
+    reference_decode_attention,
+)
+from tpu_flash.ops.decode import paged_attention
+from tpu_flash.ops.quant import QuantizedTensor, dequantize, quantize
+
+
+def _make_paged_cache(key, num_kv_heads, num_pages, page_size, head_dim,
+                      batch, pages_per_seq, lengths):
+    """Random pages + a valid page table (each sequence gets distinct
+    pages, shuffled to be non-contiguous)."""
+    kk, kv, kp = jax.random.split(key, 3)
+    k_pages = jax.random.normal(
+        kk, (num_kv_heads, num_pages, page_size, head_dim)
+    )
+    v_pages = jax.random.normal(
+        kv, (num_kv_heads, num_pages, page_size, head_dim)
+    )
+    perm = jax.random.permutation(kp, num_pages)
+    needed = batch * pages_per_seq
+    assert needed <= num_pages
+    page_indices = perm[:needed].reshape(batch, pages_per_seq).astype(jnp.int32)
+    return k_pages, v_pages, page_indices
+
+
+class TestPagedDecode:
+    @pytest.mark.parametrize("q_per_kv", [1, 4])
+    def test_parity_vs_dense_oracle(self, q_per_kv):
+        batch, hkv, d, ps, pps = 3, 2, 128, 128, 4
+        hq = hkv * q_per_kv
+        key = jax.random.PRNGKey(0)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.array([512, 200, 1], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 64, ps, d, batch, pps, lengths
+        )
+        q = jax.random.normal(kq, (batch, hq, d))
+
+        out = paged_attention(
+            q, k_pages, v_pages, lengths, page_indices,
+            pages_per_compute_block=2,
+        )
+        k_dense = gather_pages_to_dense(k_pages, page_indices)
+        v_dense = gather_pages_to_dense(v_pages, page_indices)
+        ref = reference_decode_attention(q, k_dense, v_dense, lengths)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_partial_last_block_masked(self):
+        # length cuts mid-page and mid-block.
+        batch, hkv, d, ps, pps = 1, 1, 128, 128, 4
+        key = jax.random.PRNGKey(1)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.array([3 * 128 + 37], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 16, ps, d, batch, pps, lengths
+        )
+        q = jax.random.normal(kq, (batch, 2, d))
+        out = paged_attention(
+            q, k_pages, v_pages, lengths, page_indices,
+            pages_per_compute_block=2,
+        )
+        k_dense = gather_pages_to_dense(k_pages, page_indices)
+        v_dense = gather_pages_to_dense(v_pages, page_indices)
+        ref = reference_decode_attention(q, k_dense, v_dense, lengths)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.parametrize("quant", ["int8", "int4"])
+    def test_quantized_kv_parity(self, quant):
+        batch, hkv, d, ps, pps = 2, 2, 128, 128, 2
+        key = jax.random.PRNGKey(2)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.array([256, 130], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 32, ps, d, batch, pps, lengths
+        )
+        q = jax.random.normal(kq, (batch, 4, d))
+
+        k_qt = quantize(k_pages, quant)
+        v_qt = quantize(v_pages, quant)
+        out = paged_attention(
+            q, k_qt, v_qt, lengths, page_indices, pages_per_compute_block=2
+        )
+        # Oracle on the *dequantized* cache: the kernel's fused dequant must
+        # match explicit dequantization exactly (same scheme).
+        k_dense = gather_pages_to_dense(dequantize(k_qt), page_indices)
+        v_dense = gather_pages_to_dense(dequantize(v_qt), page_indices)
+        ref = reference_decode_attention(q, k_dense, v_dense, lengths)
+        np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-3)
+
+    @pytest.mark.parametrize("quant", ["int8", "int4"])
+    def test_quantized_kv_close_to_fp(self, quant):
+        # End-to-end quantization error vs the fp cache stays within the
+        # scheme's expected delta (BASELINE config 3 contract).
+        batch, hkv, d, ps, pps = 1, 1, 128, 128, 2
+        key = jax.random.PRNGKey(3)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.array([256], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 8, ps, d, batch, pps, lengths
+        )
+        q = jax.random.normal(kq, (batch, 1, d))
+        out_q = paged_attention(
+            q, quantize(k_pages, quant), quantize(v_pages, quant),
+            lengths, page_indices, pages_per_compute_block=2,
+        )
+        out_fp = paged_attention(
+            q, k_pages, v_pages, lengths, page_indices,
+            pages_per_compute_block=2,
+        )
+        tol = 0.02 if quant == "int8" else 0.15
+        assert float(jnp.max(jnp.abs(out_q - out_fp))) <= tol
+
+    def test_single_page_sequences(self):
+        batch, hkv, d, ps = 2, 1, 128, 128
+        key = jax.random.PRNGKey(4)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.array([5, 128], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 8, ps, d, batch, 1, lengths
+        )
+        q = jax.random.normal(kq, (batch, 1, d))
+        out = paged_attention(q, k_pages, v_pages, lengths, page_indices)
+        k_dense = gather_pages_to_dense(k_pages, page_indices)
+        v_dense = gather_pages_to_dense(v_pages, page_indices)
+        ref = reference_decode_attention(q, k_dense, v_dense, lengths)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)

@@ -152,3 +152,15 @@ def reference_decode_attention(
         "bhk,bhkd->bhd", weights, v, precision=jax.lax.Precision.HIGHEST
     )
     return out.astype(q.dtype)
+
+
+def gather_pages_to_dense(
+    pages: jax.Array,  # [num_kv_heads, num_pages, page_size, head_dim]
+    page_indices: jax.Array,  # [batch, pages_per_seq]
+) -> jax.Array:
+    """Materialize a paged cache as dense [batch, hkv, max_len, head_dim] —
+    the oracle-side inverse of the page table, for differential testing of
+    the paged decode kernel."""
+    gathered = pages[:, page_indices]  # [hkv, batch, pages_per_seq, ps, d]
+    hkv, batch, pps, ps, d = gathered.shape
+    return gathered.transpose(1, 0, 2, 3, 4).reshape(batch, hkv, pps * ps, d)

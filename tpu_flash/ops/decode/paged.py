@@ -1,0 +1,408 @@
+"""Paged GQA decode attention with quantized KV pages.
+
+The decode-side analogue of the reference's execution model: where the
+reference overlaps HBM→SMEM tile streaming with compute via two dedicated
+loader warps and ``cuda::pipeline`` double buffering (loaders.cuh:114-203,
+FlashAttention.cuh:68-83), this kernel overlaps HBM→VMEM *page* streaming
+with MXU compute via explicit ``pltpu.make_async_copy`` DMAs, a
+double-buffered VMEM page buffer, and DMA semaphores — the true TPU
+equivalent of ``cuda::pipeline`` (SURVEY.md §5, distributed-communication
+backend row).
+
+Design:
+  * KV cache lives in HBM as pages: [num_kv_heads, num_pages, page_size, d]
+    (int8 payload, or int4 packed split-nibble with d/2 lanes, or bf16/f32),
+    plus per-token scale pages [num_kv_heads, num_pages, page_size] when
+    quantized.
+  * ``page_indices`` and ``lengths`` arrive via scalar prefetch
+    (PrefetchScalarGridSpec), so page DMAs for non-contiguous pages are
+    issued before compute needs them — one concurrent DMA per page.
+  * Grid (batch, num_kv_heads, kv_blocks); the kernel walks active blocks
+    and prefetches the next active block's pages (possibly in the next
+    head/sequence) while computing the current block — the same
+    producer/consumer overlap the reference builds with loader warps.
+  * Online softmax state (m, l, acc) in VMEM scratch across kv blocks;
+    deferred normalization in the epilogue.
+  * Dequantization is fused rank-1 style: K scales multiply score columns,
+    V scales fold into P's columns — integer payloads never materialize as
+    dequantized tiles in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.core.reference import DEFAULT_MASK_VALUE
+from tpu_flash.ops.quant.quantize import QuantizedTensor, _unpack_int4
+
+
+class _MultiPageCopy:
+    """Issue one async DMA per (non-contiguous) KV page of a compute block.
+
+    All page DMAs start concurrently and signal one semaphore; waiting for
+    the block waits for them all. Our own TPU-native take on the pattern
+    the reference implements with per-fragment ``cuda::memcpy_async``
+    (loaders.cuh:55-83).
+    """
+
+    def __init__(
+        self,
+        pages_hbm,  # [num_kv_heads, num_pages, page_size, payload_d]
+        scales_hbm,  # [num_kv_heads, num_pages, page_size] or None
+        buf,  # VMEM [2, pages_per_block, page_size, payload_d]
+        scale_buf,  # VMEM [2, 1, pages_per_block * page_size] or None
+        sem,  # DMA sem [2]
+        scale_sem,  # DMA sem [2] or None
+        page_indices_ref,  # scalar-prefetch [batch, pages_per_seq]
+        b,
+        h,
+        block_idx,
+        slot,
+        pages_per_block: int,
+        pages_per_seq: int,
+        page_size: int,
+    ):
+        self._copies = []
+        self._scale_copies = []
+        first = block_idx * pages_per_block
+        for j in range(pages_per_block):
+            pidx = page_indices_ref[b, first + j]
+            self._copies.append(
+                pltpu.make_async_copy(
+                    pages_hbm.at[h, pidx], buf.at[slot, j], sem.at[slot]
+                )
+            )
+            if scales_hbm is not None:
+                self._scale_copies.append(
+                    pltpu.make_async_copy(
+                        scales_hbm.at[h, pidx],
+                        scale_buf.at[
+                            slot, 0, pl.ds(j * page_size, page_size)
+                        ],
+                        scale_sem.at[slot],
+                    )
+                )
+
+    def start(self):
+        for c in self._copies + self._scale_copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies + self._scale_copies:
+            c.wait()
+
+
+def _paged_attn_kernel(
+    # scalar prefetch
+    lengths_ref,  # [batch]
+    page_indices_ref,  # [batch, pages_per_seq]
+    # inputs
+    q_ref,  # [1, 1, q_per_kv, head_dim]
+    k_pages_hbm,  # ANY [num_kv_heads, num_pages, page_size, payload_d]
+    k_scales_hbm,  # ANY or None
+    v_pages_hbm,
+    v_scales_hbm,
+    # outputs
+    o_ref,  # [1, 1, q_per_kv, head_dim]
+    # scratch
+    m_scratch,  # VMEM [q_per_kv_padded, 128]
+    l_scratch,
+    acc_scratch,  # VMEM [q_per_kv_padded, head_dim]
+    k_buf,
+    k_scale_buf,
+    v_buf,
+    v_scale_buf,
+    k_sem,
+    k_scale_sem,
+    v_sem,
+    v_scale_sem,
+    *,
+    batch: int,
+    num_kv_heads: int,
+    pages_per_block: int,
+    pages_per_seq: int,
+    page_size: int,
+    head_dim: int,
+    sm_scale: float,
+    kv_quant: Optional[str],  # None | "int8" | "int4"
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+    bk = pages_per_block * page_size
+
+    length = lengths_ref[b]
+    num_active = pl.cdiv(length, bk)
+
+    quantized = kv_quant is not None
+
+    def make_copy(pages, scales, buf, sbuf, sem, ssem, bb, hh, ii, slot):
+        return _MultiPageCopy(
+            pages, scales if quantized else None, buf,
+            sbuf if quantized else None, sem, ssem if quantized else None,
+            page_indices_ref, bb, hh, ii, slot,
+            pages_per_block=pages_per_block, pages_per_seq=pages_per_seq,
+            page_size=page_size,
+        )
+
+    def next_block_indices(b, h, i):
+        """Next *active* (b, h, block) in grid order; sequences are
+        guaranteed length >= 1 so every (b, h) has >= 1 active block."""
+        ni = i + 1
+        roll_h = ni >= num_active
+        ni = jnp.where(roll_h, 0, ni)
+        nh = jnp.where(roll_h, h + 1, h)
+        roll_b = nh >= num_kv_heads
+        nh = jnp.where(roll_b, 0, nh)
+        nb = jnp.where(roll_b, b + 1, b)
+        return nb, nh, ni
+
+    @pl.when(i < num_active)
+    def _active():
+        @pl.when(i == 0)
+        def _reset_state():
+            m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+            l_scratch[...] = jnp.zeros_like(l_scratch)
+            acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+        # --- pipeline bookkeeping ---
+        # The double-buffer slot parity is the count of *active* grid cells
+        # before this one (statelessly recomputed; active cells alternate
+        # slots, inactive cells are skipped by the walk).
+        def count_before(bb):
+            def body(x, acc):
+                return acc + jnp.where(
+                    x < bb, pl.cdiv(lengths_ref[x], bk) * num_kv_heads, 0
+                )
+
+            return jax.lax.fori_loop(0, batch, body, 0)
+
+        cells_before = count_before(b) + h * num_active + i
+        slot = jax.lax.rem(cells_before, 2)
+
+        @pl.when(cells_before == 0)
+        def _prime_first():
+            make_copy(
+                k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
+                k_scale_sem, b, h, i, 0,
+            ).start()
+            make_copy(
+                v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
+                v_scale_sem, b, h, i, 0,
+            ).start()
+
+        # --- prefetch next active block ---
+        nb, nh, ni = next_block_indices(b, h, i)
+
+        @pl.when(nb < batch)
+        def _prefetch_next():
+            next_slot = 1 - slot
+            make_copy(
+                k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
+                k_scale_sem, nb, nh, ni, next_slot,
+            ).start()
+            make_copy(
+                v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
+                v_scale_sem, nb, nh, ni, next_slot,
+            ).start()
+
+        # --- wait K, compute scores ---
+        make_copy(
+            k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
+            k_scale_sem, b, h, i, slot,
+        ).wait()
+
+        q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [q_per_kv, d]
+
+        k_raw = k_buf[slot]  # [ppb, page_size, payload_d]
+        k_flat = k_raw.reshape(bk, k_raw.shape[-1])
+        if kv_quant == "int4":
+            k_flat = _unpack_int4(k_flat)
+        k_f = k_flat.astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k_f, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [q_per_kv, bk]
+        if quantized:
+            s = s * k_scale_buf[slot]  # [1, bk] column scales
+
+        # Mask positions beyond the sequence length.
+        pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+
+        # --- online softmax update ---
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scratch[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+
+        # --- wait V, accumulate output ---
+        make_copy(
+            v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
+            v_scale_sem, b, h, i, slot,
+        ).wait()
+
+        v_raw = v_buf[slot]
+        v_flat = v_raw.reshape(bk, v_raw.shape[-1])
+        if kv_quant == "int4":
+            v_flat = _unpack_int4(v_flat)
+        v_f = v_flat.astype(jnp.float32)
+        if quantized:
+            p = p * v_scale_buf[slot]  # fold V scales into P columns
+
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
+            p, v_f, preferred_element_type=jnp.float32
+        )
+
+        @pl.when(i == num_active - 1)
+        def _epilogue():
+            l = l_scratch[:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def paged_attention(
+    q: jax.Array,  # [batch, num_q_heads, head_dim]
+    k_pages,  # jax.Array or QuantizedTensor
+    v_pages,
+    lengths: jax.Array,  # [batch] int32, all >= 1
+    page_indices: jax.Array,  # [batch, pages_per_seq] int32
+    *,
+    sm_scale: Optional[float] = None,
+    pages_per_compute_block: int = 4,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Single-token GQA decode attention over a paged (optionally quantized)
+    KV cache.
+
+    Args:
+      q: [batch, num_q_heads, head_dim] current-token queries.
+      k_pages / v_pages: dense [num_kv_heads, num_pages, page_size, head_dim]
+        arrays, or ``QuantizedTensor`` with int8 / packed-int4 payloads and
+        per-token scales.
+      lengths: valid context length per sequence (>= 1).
+      page_indices: page table; entry [b, j] is the physical page holding
+        tokens [j*page_size, (j+1)*page_size) of sequence b.
+      pages_per_compute_block: pages per kernel block (block kv size =
+        pages_per_compute_block * page_size).
+
+    Returns:
+      [batch, num_q_heads, head_dim] attention output in q.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kv_quant = None
+    k_scales = v_scales = None
+    if isinstance(k_pages, QuantizedTensor):
+        kv_quant = k_pages.dtype_name
+        if kv_quant not in ("int8", "int4"):
+            raise ValueError(f"unsupported KV quant {kv_quant!r}")
+        k_vals, k_scales = k_pages.values, k_pages.scales
+        v_vals, v_scales = v_pages.values, v_pages.scales
+        k_scales = k_scales.squeeze(-1)  # [hkv, pages, page_size]
+        v_scales = v_scales.squeeze(-1)
+    else:
+        k_vals, v_vals = k_pages, v_pages
+
+    batch, num_q_heads, head_dim = q.shape
+    num_kv_heads, num_pages, page_size, payload_d = k_vals.shape
+    pages_per_seq = page_indices.shape[1]
+    if num_q_heads % num_kv_heads:
+        raise ValueError(
+            f"num_q_heads ({num_q_heads}) must be a multiple of "
+            f"num_kv_heads ({num_kv_heads})"
+        )
+    q_per_kv = num_q_heads // num_kv_heads
+    # Pad the per-group query rows to the f32 sublane minimum (8) so the
+    # VMEM state tiles are hardware-shaped; pad rows are sliced off after.
+    q_per_kv_p = (q_per_kv + 7) // 8 * 8
+    ppb = min(pages_per_compute_block, pages_per_seq)
+    if pages_per_seq % ppb:
+        raise ValueError(
+            f"pages_per_seq ({pages_per_seq}) must be a multiple of "
+            f"pages_per_compute_block ({ppb})"
+        )
+    num_blocks = pages_per_seq // ppb
+    bk = ppb * page_size
+
+    q4 = q.reshape(batch, num_kv_heads, q_per_kv, head_dim)
+    if q_per_kv_p != q_per_kv:
+        q4 = jnp.pad(
+            q4, ((0, 0), (0, 0), (0, q_per_kv_p - q_per_kv), (0, 0))
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, num_kv_heads, num_blocks),
+        in_specs=[
+            # Index maps receive the scalar-prefetch refs after the grid
+            # indices; they are unused here.
+            pl.BlockSpec(
+                (1, 1, q_per_kv_p, head_dim),
+                lambda b, h, i, *_: (b, h, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # k pages
+            pl.BlockSpec(memory_space=pl.ANY),  # k scales
+            pl.BlockSpec(memory_space=pl.ANY),  # v pages
+            pl.BlockSpec(memory_space=pl.ANY),  # v scales
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, q_per_kv_p, head_dim), lambda b, h, i, *_: (b, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((q_per_kv_p, 128), jnp.float32),  # m
+            pltpu.VMEM((q_per_kv_p, 128), jnp.float32),  # l
+            pltpu.VMEM((q_per_kv_p, head_dim), jnp.float32),  # acc
+            pltpu.VMEM((2, ppb, page_size, payload_d), k_vals.dtype),
+            pltpu.VMEM((2, 1, bk), jnp.float32),  # k scales (flat rows)
+            pltpu.VMEM((2, ppb, page_size, payload_d), v_vals.dtype),
+            pltpu.VMEM((2, 1, bk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _paged_attn_kernel,
+        batch=batch,
+        num_kv_heads=num_kv_heads,
+        pages_per_block=ppb,
+        pages_per_seq=pages_per_seq,
+        page_size=page_size,
+        head_dim=head_dim,
+        sm_scale=float(sm_scale if sm_scale is not None else head_dim**-0.5),
+        kv_quant=kv_quant,
+    )
+
+    if kv_quant is None:
+        # Dummy 1-element scale arrays keep the argument arity fixed.
+        k_scales = jnp.zeros((1, 1, 1), jnp.float32)
+        v_scales = jnp.zeros((1, 1, 1), jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q4.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, page_indices, q4, k_vals, k_scales, v_vals, v_scales)
+
+    out = out[:, :, :q_per_kv, :]
+    return out.reshape(batch, num_q_heads, head_dim)

@@ -1,0 +1,151 @@
+"""Quantization for activations and the KV cache.
+
+The reference is FP32-only (helpers.hpp:13, utils.cuh:13); quantized Q/K/V
+and a quantized KV cache are north-star extensions (BASELINE.json). Scheme:
+symmetric per-row (per-token, per-head) absmax scaling — the last axis of a
+tensor shares one scale, so dequantization fuses into the QK^T / PV matmuls
+as a rank-1 rescale of the scores/outputs:
+
+    (q_int * s_q) @ (k_int * s_k)^T == s_q * (q_int @ k_int^T) * s_k^T
+
+which is how the attention kernels consume QuantizedTensor without ever
+materializing dequantized operands in VMEM.
+
+Supported payloads: int8, int4 (packed two-per-byte in int8 carrier), and
+float8_e4m3fn. int4 packing keeps the *lane* dimension contiguous so a page
+of packed KV is still a dense (page, head_dim/2) tile for DMA.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT8_MAX = 127.0
+INT4_MAX = 7.0
+FP8_MAX = 448.0  # e4m3fn
+
+
+class QuantizedTensor(NamedTuple):
+    """Payload + per-row scales. ``values`` has the logical shape (int4:
+    packed last dim = ceil(d/2)); ``scales`` has the same shape with the
+    last axis reduced to 1."""
+
+    values: jax.Array
+    scales: jax.Array
+    dtype_name: str  # "int8" | "int4" | "fp8"
+
+    @property
+    def logical_shape(self):
+        if self.dtype_name == "int4":
+            return (*self.values.shape[:-1], self.values.shape[-1] * 2)
+        return self.values.shape
+
+
+def _pack_int4(x_int: jax.Array) -> jax.Array:
+    """Pack int4 values in [-8, 7] into int8 with *split* layout: element j
+    in the low nibble, element j + d/2 in the high nibble. Unpacking is then
+    a lane-dim concat — free on TPU — instead of an interleave relayout."""
+    d = x_int.shape[-1]
+    lo = x_int[..., : d // 2] & 0xF
+    hi = x_int[..., d // 2 :] & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of _pack_int4 (split layout), sign-extending each nibble."""
+    packed = packed.astype(jnp.int32)
+    lo = (packed << 28) >> 28  # sign-extend low nibble
+    hi = (packed << 24) >> 28  # sign-extend high nibble
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def quantize(x: jax.Array, dtype_name: str = "int8") -> QuantizedTensor:
+    """Symmetric per-row (last-axis) absmax quantization."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    if dtype_name == "int8":
+        scale = jnp.where(absmax == 0, 1.0, absmax / INT8_MAX)
+        q = jnp.clip(jnp.round(xf / scale), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    elif dtype_name == "int4":
+        if x.shape[-1] % 2:
+            raise ValueError("int4 packing requires an even last dimension")
+        scale = jnp.where(absmax == 0, 1.0, absmax / INT4_MAX)
+        qi = jnp.clip(jnp.round(xf / scale), -INT4_MAX, INT4_MAX).astype(
+            jnp.int32
+        )
+        q = _pack_int4(qi)
+    elif dtype_name == "fp8":
+        scale = jnp.where(absmax == 0, 1.0, absmax / FP8_MAX)
+        q = (xf / scale).astype(jnp.float8_e4m3fn)
+    else:
+        raise ValueError(f"unsupported quant dtype {dtype_name!r}")
+    return QuantizedTensor(values=q, scales=scale, dtype_name=dtype_name)
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    if qt.dtype_name == "int4":
+        vals = _unpack_int4(qt.values).astype(jnp.float32)
+    else:
+        vals = qt.values.astype(jnp.float32)
+    return (vals * qt.scales).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas quantization kernel (per-row, int8) — used on the KV-cache
+# append path so new K/V tokens are quantized on-chip without an HBM
+# round-trip of the fp values.
+# ---------------------------------------------------------------------------
+
+
+def _quant_kernel(x_ref, v_ref, s_ref):
+    x = x_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / INT8_MAX)
+    v_ref[...] = jnp.clip(jnp.round(x / scale), -INT8_MAX, INT8_MAX).astype(
+        jnp.int8
+    )
+    s_ref[...] = jnp.broadcast_to(scale, s_ref.shape).astype(s_ref.dtype)
+
+
+def quantize_pallas(
+    x: jax.Array, *, block_rows: int = 256, interpret: bool | None = None
+) -> QuantizedTensor:
+    """INT8 per-row quantization as a single fused Pallas pass.
+
+    x: [..., rows, d] with rows % 8 == 0 and d % 128 == 0 preferred.
+    Scales are emitted lane-replicated [..., rows, 128] then sliced, so the
+    kernel writes lane-aligned tiles only.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    *lead, rows, d = x.shape
+    x2 = x.reshape(-1, d)
+    n = x2.shape[0]
+    block_rows = min(block_rows, n)
+    if n % block_rows:
+        raise ValueError(f"rows ({n}) must divide block_rows ({block_rows})")
+
+    vals, scales = pl.pallas_call(
+        _quant_kernel,
+        grid=(n // block_rows,),
+        in_specs=[pl.BlockSpec((block_rows, d), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 128), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d), jnp.int8),
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2)
+    return QuantizedTensor(
+        values=vals.reshape(*lead, rows, d),
+        scales=scales[:, :1].reshape(*lead, rows, 1),
+        dtype_name="int8",
+    )
