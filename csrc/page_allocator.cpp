@@ -1,0 +1,97 @@
+// Native page allocator + sequence page-table bookkeeping for the paged
+// KV cache. Host-side runtime component (the engine's hot admission path):
+// O(1) page alloc/free via a free-list stack, per-sequence page tracking,
+// and batch-slot management. Exposed to Python over a C ABI via ctypes.
+//
+// The reference project's host layer is C++ (main.cpp, helpers.hpp); this
+// is the TPU framework's native host runtime counterpart: where the
+// reference's host code sized tiles for one kernel launch, this manages the
+// physical-page state behind continuous batching across thousands of steps.
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct PageAllocator {
+  std::vector<int32_t> free_stack;          // LIFO free list
+  std::unordered_map<int64_t, std::vector<int32_t>> seq_pages;
+  int32_t num_pages;
+
+  explicit PageAllocator(int32_t n) : num_pages(n) {
+    free_stack.reserve(n);
+    // Push in reverse so pages are handed out in ascending order initially
+    // (keeps early DMA patterns contiguous-ish).
+    for (int32_t i = n - 1; i >= 0; --i) free_stack.push_back(i);
+  }
+
+  int32_t num_free() const { return static_cast<int32_t>(free_stack.size()); }
+
+  // Allocate n pages for sequence `seq`. All-or-nothing. Returns 0 on
+  // success and writes page ids to `out`; -1 if insufficient pages.
+  int alloc(int64_t seq, int32_t n, int32_t* out) {
+    if (n < 0 || static_cast<size_t>(n) > free_stack.size()) return -1;
+    auto& pages = seq_pages[seq];
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t p = free_stack.back();
+      free_stack.pop_back();
+      pages.push_back(p);
+      out[i] = p;
+    }
+    return 0;
+  }
+
+  // Release every page owned by `seq`. Returns the number released.
+  int32_t release(int64_t seq) {
+    auto it = seq_pages.find(seq);
+    if (it == seq_pages.end()) return 0;
+    int32_t n = static_cast<int32_t>(it->second.size());
+    for (int32_t p : it->second) free_stack.push_back(p);
+    seq_pages.erase(it);
+    return n;
+  }
+
+  // Copy the page table of `seq` into out (up to cap); returns count.
+  int32_t get_pages(int64_t seq, int32_t* out, int32_t cap) const {
+    auto it = seq_pages.find(seq);
+    if (it == seq_pages.end()) return 0;
+    int32_t n = static_cast<int32_t>(it->second.size());
+    if (n > cap) n = cap;
+    std::memcpy(out, it->second.data(), n * sizeof(int32_t));
+    return n;
+  }
+
+  int32_t num_seqs() const { return static_cast<int32_t>(seq_pages.size()); }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* pa_create(int32_t num_pages) { return new PageAllocator(num_pages); }
+
+void pa_destroy(void* h) { delete static_cast<PageAllocator*>(h); }
+
+int32_t pa_num_free(void* h) {
+  return static_cast<PageAllocator*>(h)->num_free();
+}
+
+int32_t pa_num_seqs(void* h) {
+  return static_cast<PageAllocator*>(h)->num_seqs();
+}
+
+int pa_alloc(void* h, int64_t seq, int32_t n, int32_t* out) {
+  return static_cast<PageAllocator*>(h)->alloc(seq, n, out);
+}
+
+int32_t pa_release(void* h, int64_t seq) {
+  return static_cast<PageAllocator*>(h)->release(seq);
+}
+
+int32_t pa_get_pages(void* h, int64_t seq, int32_t* out, int32_t cap) {
+  return static_cast<PageAllocator*>(h)->get_pages(seq, out, cap);
+}
+
+}  // extern "C"

@@ -155,7 +155,12 @@ class TestSoftmaxMergeAlgebra:
         merged = states[0]
         for st in states[1:]:
             merged = merge_softmax_states(merged, st)
-        expected = jax.nn.softmax(s_full, axis=-1) @ v_full
+        expected = jnp.einsum(
+            "qk,kd->qd",
+            jax.nn.softmax(s_full, axis=-1),
+            v_full,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         np.testing.assert_allclose(
             finalize(merged), expected, atol=1e-5, rtol=1e-5
         )

@@ -76,7 +76,12 @@ def state_from_block(
     # Fully-masked rows: keep m=-inf convention, p=0.
     p = jnp.where(m == -jnp.inf, 0.0, jnp.exp(scores - m))
     l = jnp.sum(p, axis=-1, keepdims=True)
-    acc = jnp.einsum("...qk,...kd->...qd", p, v.astype(preferred_dtype))
+    acc = jnp.einsum(
+        "...qk,...kd->...qd",
+        p,
+        v.astype(preferred_dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return SoftmaxState(acc=acc, m=m, l=l)
 
 

@@ -1,0 +1,171 @@
+"""Paged KV-cache: device-side page arrays + jit-friendly append ops.
+
+Layout per layer (matching ops/decode/paged.py):
+  k_pages, v_pages: [num_layers, num_kv_heads, num_pages, page_size, d_pay]
+  k_scales, v_scales (quantized): [num_layers, num_kv_heads, num_pages,
+                                   page_size]
+
+Appends are pure functions (returning updated arrays) so they jit/donate
+cleanly; page allocation is host-side (engine/allocator.py). Quantized
+caches quantize new tokens per-row at append time (INT8 or split-nibble
+INT4, ops/quant/quantize.py), so the cache never holds fp K/V.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_flash.core.config import CacheConfig
+from tpu_flash.ops.quant.quantize import (
+    INT4_MAX,
+    INT8_MAX,
+    QuantizedTensor,
+    _pack_int4,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PagedKVCache:
+    """Device arrays of one model's KV pages across layers."""
+
+    k_pages: jax.Array
+    v_pages: jax.Array
+    k_scales: Optional[jax.Array]
+    v_scales: Optional[jax.Array]
+    page_size: int
+    kv_dtype: str  # "bfloat16" | "float32" | "int8" | "int4"
+
+    def tree_flatten(self):
+        children = (self.k_pages, self.v_pages, self.k_scales, self.v_scales)
+        aux = (self.page_size, self.kv_dtype)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        num_layers: int,
+        num_kv_heads: int,
+        head_dim: int,
+        config: CacheConfig,
+    ) -> "PagedKVCache":
+        quant = config.quantized
+        if config.kv_dtype == "int4":
+            payload_dtype, d_pay = jnp.int8, head_dim // 2
+        elif config.kv_dtype == "int8":
+            payload_dtype, d_pay = jnp.int8, head_dim
+        else:
+            payload_dtype, d_pay = jnp.dtype(config.kv_dtype), head_dim
+        shape = (num_layers, num_kv_heads, config.num_pages,
+                 config.page_size, d_pay)
+        k_pages = jnp.zeros(shape, payload_dtype)
+        v_pages = jnp.zeros(shape, payload_dtype)
+        scales = None
+        if quant:
+            scales = jnp.ones(shape[:-1], jnp.float32)
+        return cls(
+            k_pages=k_pages,
+            v_pages=v_pages,
+            k_scales=scales,
+            v_scales=scales,
+            page_size=config.page_size,
+            kv_dtype=config.kv_dtype,
+        )
+
+    @property
+    def num_layers(self) -> int:
+        return self.k_pages.shape[0]
+
+    @property
+    def quantized(self) -> bool:
+        return self.kv_dtype in ("int8", "int4")
+
+    def layer_view(self, layer: int):
+        """(k, v) for ops/decode/paged.py — QuantizedTensor when quantized."""
+        if not self.quantized:
+            return self.k_pages[layer], self.v_pages[layer]
+        k = QuantizedTensor(
+            self.k_pages[layer], self.k_scales[layer][..., None],
+            self.kv_dtype,
+        )
+        v = QuantizedTensor(
+            self.v_pages[layer], self.v_scales[layer][..., None],
+            self.kv_dtype,
+        )
+        return k, v
+
+    # -- appends ------------------------------------------------------------
+
+    def append(
+        self,
+        layer: int,
+        new_k: jax.Array,  # [num_tokens, num_kv_heads, head_dim]
+        new_v: jax.Array,
+        page_ids: jax.Array,  # [num_tokens] physical page per token
+        offsets: jax.Array,  # [num_tokens] slot within the page
+    ) -> "PagedKVCache":
+        """Scatter new tokens' K/V into their pages (pure update)."""
+        kq, ks = _quantize_rows(new_k, self.kv_dtype)
+        vq, vs = _quantize_rows(new_v, self.kv_dtype)
+        # Mixed basic/advanced indexing moves the advanced (token) dim to the
+        # front: the scatter target shape is [tokens, hkv, d] — exactly the
+        # layout of the incoming tokens.
+        k_pages = self.k_pages.at[layer, :, page_ids, offsets, :].set(
+            kq.astype(self.k_pages.dtype)
+        )
+        v_pages = self.v_pages.at[layer, :, page_ids, offsets, :].set(
+            vq.astype(self.v_pages.dtype)
+        )
+        k_scales, v_scales = self.k_scales, self.v_scales
+        if self.quantized:
+            k_scales = k_scales.at[layer, :, page_ids, offsets].set(ks)
+            v_scales = v_scales.at[layer, :, page_ids, offsets].set(vs)
+        return dataclasses.replace(
+            self,
+            k_pages=k_pages,
+            v_pages=v_pages,
+            k_scales=k_scales,
+            v_scales=v_scales,
+        )
+
+
+def _quantize_rows(x: jax.Array, kv_dtype: str):
+    """Per-row symmetric quantization of new tokens; identity for fp."""
+    if kv_dtype == "int8":
+        xf = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        scale = jnp.where(absmax == 0, 1.0, absmax / INT8_MAX)
+        q = jnp.clip(jnp.round(xf / scale), -INT8_MAX, INT8_MAX).astype(
+            jnp.int8
+        )
+        return q, scale[..., 0]
+    if kv_dtype == "int4":
+        xf = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        scale = jnp.where(absmax == 0, 1.0, absmax / INT4_MAX)
+        qi = jnp.clip(jnp.round(xf / scale), -INT4_MAX, INT4_MAX).astype(
+            jnp.int32
+        )
+        return _pack_int4(qi), scale[..., 0]
+    return x, None
+
+
+def positions_to_page_slots(
+    positions: jax.Array, page_table_row: jax.Array, page_size: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Map absolute token positions of one sequence to (physical page,
+    in-page offset) using its page table row."""
+    logical = positions // page_size
+    offsets = positions % page_size
+    return page_table_row[logical], offsets

@@ -1,0 +1,179 @@
+"""Continuous-batching scheduler.
+
+Host-side control plane of the decode engine: admits requests while batch
+slots and physical pages are available, plans chunked prefill for newly
+admitted sequences, plans one decode step for running ones, and releases
+pages at completion. Page accounting delegates to the native allocator
+(engine/allocator.py). The reference has no scheduling layer at all — this
+is part of the north-star engine scope (BASELINE.json: "continuous-batching
+decode").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from collections import deque
+from typing import Deque, Dict, List, Optional
+
+from tpu_flash.core.config import EngineConfig
+from tpu_flash.engine.allocator import PageAllocator
+
+
+class RequestState(enum.Enum):
+    WAITING = "waiting"
+    PREFILL = "prefill"
+    RUNNING = "running"
+    FINISHED = "finished"
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt_len: int
+    max_new_tokens: int
+    state: RequestState = RequestState.WAITING
+    # progress
+    prefilled: int = 0  # prompt tokens already prefetched into the cache
+    generated: int = 0
+    batch_slot: int = -1
+
+    @property
+    def context_len(self) -> int:
+        return self.prefilled + self.generated
+
+    @property
+    def done(self) -> bool:
+        return self.generated >= self.max_new_tokens
+
+
+@dataclasses.dataclass
+class PrefillChunk:
+    req_id: int
+    batch_slot: int
+    start: int  # first prompt position in this chunk
+    length: int  # tokens in this chunk
+
+
+@dataclasses.dataclass
+class StepPlan:
+    """What the runner must execute this engine step."""
+
+    prefill: List[PrefillChunk]
+    decode_slots: List[int]  # batch slots with one token to decode
+    finished: List[int]  # req_ids completed last step (pages released)
+
+
+class Scheduler:
+    def __init__(self, config: EngineConfig):
+        self.config = config
+        self.allocator = PageAllocator(config.cache.num_pages)
+        self.waiting: Deque[Request] = deque()
+        self.active: Dict[int, Request] = {}  # req_id -> Request
+        self.slots: List[Optional[int]] = [None] * config.max_batch_size
+        self._page_size = config.cache.page_size
+
+    # -- client API ---------------------------------------------------------
+
+    def add_request(self, req: Request) -> None:
+        if req.prompt_len <= 0:
+            raise ValueError("prompt_len must be >= 1")
+        total = req.prompt_len + req.max_new_tokens
+        if total > self.config.cache.max_context:
+            raise ValueError(
+                f"request needs {total} tokens of context; cache supports "
+                f"{self.config.cache.max_context}"
+            )
+        self.waiting.append(req)
+
+    def num_active(self) -> int:
+        return len(self.active)
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.active)
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _pages_needed(self, tokens: int) -> int:
+        return -(-tokens // self._page_size)
+
+    def _free_slot(self) -> int:
+        for i, s in enumerate(self.slots):
+            if s is None:
+                return i
+        return -1
+
+    def step(self) -> StepPlan:
+        """Plan one engine step. Mutates request states optimistically; the
+        runner must execute the plan before the next call."""
+        finished: List[int] = []
+
+        # 1. retire finished requests, release pages and slots.
+        for req_id in [r for r, q in self.active.items() if q.done]:
+            req = self.active.pop(req_id)
+            req.state = RequestState.FINISHED
+            self.allocator.release(req_id)
+            self.slots[req.batch_slot] = None
+            finished.append(req_id)
+
+        # 2. admit waiting requests: need a batch slot + all pages for the
+        #    full context (prompt + generation budget) up front, so decode
+        #    can never fail mid-flight.
+        while self.waiting:
+            req = self.waiting[0]
+            slot = self._free_slot()
+            if slot < 0:
+                break
+            pages = self._pages_needed(req.prompt_len + req.max_new_tokens)
+            got = self.allocator.alloc(req.req_id, pages)
+            if got is None:
+                break  # head-of-line blocking keeps admission fair
+            self.waiting.popleft()
+            req.state = RequestState.PREFILL
+            req.batch_slot = slot
+            self.slots[slot] = req.req_id
+            self.active[req.req_id] = req
+
+        # 3. plan prefill chunks for sequences still prefilling.
+        prefill: List[PrefillChunk] = []
+        chunk = self.config.prefill_chunk
+        for req in self.active.values():
+            if req.state is not RequestState.PREFILL:
+                continue
+            n = min(chunk, req.prompt_len - req.prefilled)
+            prefill.append(
+                PrefillChunk(
+                    req_id=req.req_id,
+                    batch_slot=req.batch_slot,
+                    start=req.prefilled,
+                    length=n,
+                )
+            )
+            req.prefilled += n
+            if req.prefilled >= req.prompt_len:
+                req.state = RequestState.RUNNING
+                # The prefill's last-token logits produce the first new
+                # token, counted by the runner via report_decoded.
+
+        # 4. plan one decode token for all running sequences (those that
+        #    just finished prefill decode via the prefill logits instead).
+        decode_slots = [
+            req.batch_slot
+            for req in self.active.values()
+            if req.state is RequestState.RUNNING
+            and not any(c.req_id == req.req_id for c in prefill)
+        ]
+
+        return StepPlan(
+            prefill=prefill, decode_slots=sorted(decode_slots),
+            finished=finished,
+        )
+
+    def report_decoded(self, req_id: int, n: int = 1) -> None:
+        """The runner reports n generated tokens for a request."""
+        req = self.active.get(req_id)
+        if req is not None:
+            req.generated += n
+
+    def page_table(self, req_id: int) -> List[int]:
+        return self.allocator.pages_of(req_id)
