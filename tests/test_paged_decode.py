@@ -15,7 +15,7 @@ from tpu_flash.core.reference import (
     reference_decode_attention,
 )
 from tpu_flash.ops.decode import paged_attention
-from tpu_flash.ops.quant import QuantizedTensor, dequantize, quantize
+from tpu_flash.ops.quant import QuantizedTensor, dequantize, quantize_pages
 
 
 def _make_paged_cache(key, num_kv_heads, num_pages, page_size, head_dim,
@@ -88,8 +88,8 @@ class TestPagedDecode:
         )
         q = jax.random.normal(kq, (batch, 4, d))
 
-        k_qt = quantize(k_pages, quant)
-        v_qt = quantize(v_pages, quant)
+        k_qt = quantize_pages(k_pages, quant)
+        v_qt = quantize_pages(v_pages, quant)
         out = paged_attention(
             q, k_qt, v_qt, lengths, page_indices, pages_per_compute_block=2
         )
@@ -113,7 +113,7 @@ class TestPagedDecode:
         )
         q = jax.random.normal(kq, (batch, 1, d))
         out_q = paged_attention(
-            q, quantize(k_pages, quant), quantize(v_pages, quant),
+            q, quantize_pages(k_pages, quant), quantize_pages(v_pages, quant),
             lengths, page_indices, pages_per_compute_block=2,
         )
         out_fp = paged_attention(

@@ -1,0 +1,106 @@
+"""End-to-end engine test: the paged continuous-batching engine must decode
+exactly what an incremental dense-cache oracle decodes for the same model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.core.config import CacheConfig, EngineConfig
+from tpu_flash.core.reference import reference_gqa_attention
+from tpu_flash.engine.runner import InferenceEngine
+from tpu_flash.models import TINY_TEST, FlashTransformer
+from tpu_flash.models.transformer import _rms_norm, apply_rope
+
+
+def _oracle_generate(model, params, prompt, n_new):
+    """Greedy generation with a plain dense forward re-run each step — the
+    slowest possible exact oracle."""
+    cfg = model.config
+    tokens = list(prompt)
+    out = []
+    for _ in range(n_new):
+        logits = model.forward(
+            params, jnp.asarray(tokens, jnp.int32)[None], interpret=True
+        )
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        tokens.append(nxt)
+    return out
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = FlashTransformer(TINY_TEST)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _engine(model, params, kv_dtype="float32", max_batch=2):
+    cfg = EngineConfig(
+        max_batch_size=max_batch,
+        max_seq_len=256,
+        prefill_chunk=64,
+        cache=CacheConfig(
+            page_size=8, num_pages=64, max_pages_per_seq=8, kv_dtype=kv_dtype
+        ),
+    )
+    return InferenceEngine(model, params, cfg, interpret=True)
+
+
+class TestEngineEndToEnd:
+    def test_single_request_matches_oracle(self, model_and_params):
+        model, params = model_and_params
+        engine = _engine(model, params)
+        prompt = [3, 14, 15, 9, 2, 6]
+        rid = engine.submit(prompt, max_new_tokens=5)
+        outputs = engine.run()
+        expected = _oracle_generate(model, params, prompt, 5)
+        assert outputs[rid] == expected
+
+    def test_concurrent_requests_isolated(self, model_and_params):
+        # Two sequences decoding in the same batch must not cross-talk —
+        # the bug class of the reference's flattened batch loop
+        # (computers.cuh:33,42) that SURVEY.md flags as "do not reproduce".
+        model, params = model_and_params
+        engine = _engine(model, params, max_batch=2)
+        p1, p2 = [1, 2, 3, 4], [9, 8, 7, 6, 5]
+        r1 = engine.submit(p1, max_new_tokens=4)
+        r2 = engine.submit(p2, max_new_tokens=4)
+        outputs = engine.run()
+        assert outputs[r1] == _oracle_generate(model, params, p1, 4)
+        assert outputs[r2] == _oracle_generate(model, params, p2, 4)
+
+    def test_more_requests_than_slots(self, model_and_params):
+        model, params = model_and_params
+        engine = _engine(model, params, max_batch=2)
+        prompts = [[i + 1, i + 2, i + 3] for i in range(4)]
+        rids = [engine.submit(p, max_new_tokens=3) for p in prompts]
+        outputs = engine.run()
+        for rid, p in zip(rids, prompts):
+            assert outputs[rid] == _oracle_generate(model, params, p, 3)
+        # All pages returned.
+        assert engine.scheduler.allocator.num_seqs == 0
+
+    def test_int8_cache_engine_close(self, model_and_params):
+        # INT8 KV cache: generated tokens may legitimately diverge after
+        # several steps, but the first greedy token must match and decode
+        # must complete.
+        model, params = model_and_params
+        engine = _engine(model, params, kv_dtype="int8")
+        prompt = [5, 10, 15, 20]
+        rid = engine.submit(prompt, max_new_tokens=3)
+        outputs = engine.run()
+        expected = _oracle_generate(model, params, prompt, 3)
+        assert len(outputs[rid]) == 3
+        assert outputs[rid][0] == expected[0]
+
+    def test_metrics_populated(self, model_and_params):
+        model, params = model_and_params
+        engine = _engine(model, params)
+        engine.submit([1, 2, 3], max_new_tokens=3)
+        engine.run()
+        s = engine.metrics.summary()
+        assert s["decode_tokens"] >= 2
+        assert s["prefill_tokens"] == 3
+        assert s["decode_tokens_per_s"] > 0

@@ -21,12 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_flash.core.config import CacheConfig
-from tpu_flash.ops.quant.quantize import (
-    INT4_MAX,
-    INT8_MAX,
-    QuantizedTensor,
-    _pack_int4,
-)
+from tpu_flash.ops.quant.quantize import INT4_MAX, INT8_MAX, QuantizedTensor
 
 
 @jax.tree_util.register_pytree_node_class
@@ -61,24 +56,32 @@ class PagedKVCache:
         config: CacheConfig,
     ) -> "PagedKVCache":
         quant = config.quantized
+        page_rows = config.page_size
         if config.kv_dtype == "int4":
-            payload_dtype, d_pay = jnp.int8, head_dim // 2
+            # Token-packed nibbles: half the page rows, full lane width
+            # (keeps DMA slices 128-lane aligned; see ops/quant/quantize.py).
+            payload_dtype, page_rows = jnp.int8, config.page_size // 2
+            if config.page_size % 2:
+                raise ValueError("int4 cache requires an even page_size")
         elif config.kv_dtype == "int8":
-            payload_dtype, d_pay = jnp.int8, head_dim
+            payload_dtype = jnp.int8
         else:
-            payload_dtype, d_pay = jnp.dtype(config.kv_dtype), head_dim
+            payload_dtype = jnp.dtype(config.kv_dtype)
         shape = (num_layers, num_kv_heads, config.num_pages,
-                 config.page_size, d_pay)
+                 page_rows, head_dim)
         k_pages = jnp.zeros(shape, payload_dtype)
         v_pages = jnp.zeros(shape, payload_dtype)
-        scales = None
-        if quant:
-            scales = jnp.ones(shape[:-1], jnp.float32)
+        # Scales are per *logical token* regardless of payload packing.
+        # Distinct buffers (not one aliased array) so jit donation works.
+        scale_shape = (num_layers, num_kv_heads, config.num_pages,
+                       config.page_size)
+        k_scales = jnp.ones(scale_shape, jnp.float32) if quant else None
+        v_scales = jnp.ones(scale_shape, jnp.float32) if quant else None
         return cls(
             k_pages=k_pages,
             v_pages=v_pages,
-            k_scales=scales,
-            v_scales=scales,
+            k_scales=k_scales,
+            v_scales=v_scales,
             page_size=config.page_size,
             kv_dtype=config.kv_dtype,
         )
@@ -95,13 +98,14 @@ class PagedKVCache:
         """(k, v) for ops/decode/paged.py — QuantizedTensor when quantized."""
         if not self.quantized:
             return self.k_pages[layer], self.v_pages[layer]
+        packing = "tokens" if self.kv_dtype == "int4" else "lanes"
         k = QuantizedTensor(
             self.k_pages[layer], self.k_scales[layer][..., None],
-            self.kv_dtype,
+            self.kv_dtype, packing,
         )
         v = QuantizedTensor(
             self.v_pages[layer], self.v_scales[layer][..., None],
-            self.kv_dtype,
+            self.kv_dtype, packing,
         )
         return k, v
 
@@ -118,15 +122,36 @@ class PagedKVCache:
         """Scatter new tokens' K/V into their pages (pure update)."""
         kq, ks = _quantize_rows(new_k, self.kv_dtype)
         vq, vs = _quantize_rows(new_v, self.kv_dtype)
-        # Mixed basic/advanced indexing moves the advanced (token) dim to the
-        # front: the scatter target shape is [tokens, hkv, d] — exactly the
-        # layout of the incoming tokens.
-        k_pages = self.k_pages.at[layer, :, page_ids, offsets, :].set(
-            kq.astype(self.k_pages.dtype)
-        )
-        v_pages = self.v_pages.at[layer, :, page_ids, offsets, :].set(
-            vq.astype(self.v_pages.dtype)
-        )
+        if self.kv_dtype == "int4":
+            # Token-packed nibbles: read-modify-write the shared byte at
+            # payload row (offset % rows); low nibble holds tokens in the
+            # first half of the page, high nibble the second half.
+            rows = self.k_pages.shape[3]
+            prow = offsets % rows
+            is_high = (offsets >= rows)[:, None, None]
+
+            def rmw(pages, qi):
+                old = pages[layer, :, page_ids, prow, :]  # [tok, hkv, d]
+                nib = (qi & 0xF).astype(jnp.int8)
+                new = jnp.where(
+                    is_high,
+                    (old & jnp.int8(0x0F)) | (nib << 4),
+                    (old & jnp.int8(-16)) | nib,
+                )
+                return pages.at[layer, :, page_ids, prow, :].set(new)
+
+            k_pages = rmw(self.k_pages, kq)
+            v_pages = rmw(self.v_pages, vq)
+        else:
+            # Mixed basic/advanced indexing moves the advanced (token) dim
+            # to the front: the scatter target shape is [tokens, hkv, d] —
+            # exactly the layout of the incoming tokens.
+            k_pages = self.k_pages.at[layer, :, page_ids, offsets, :].set(
+                kq.astype(self.k_pages.dtype)
+            )
+            v_pages = self.v_pages.at[layer, :, page_ids, offsets, :].set(
+                vq.astype(self.v_pages.dtype)
+            )
         k_scales, v_scales = self.k_scales, self.v_scales
         if self.quantized:
             k_scales = k_scales.at[layer, :, page_ids, offsets].set(ks)
@@ -157,7 +182,8 @@ def _quantize_rows(x: jax.Array, kv_dtype: str):
         qi = jnp.clip(jnp.round(xf / scale), -INT4_MAX, INT4_MAX).astype(
             jnp.int32
         )
-        return _pack_int4(qi), scale[..., 0]
+        # Unpacked nibble values; append() packs them into the shared byte.
+        return qi, scale[..., 0]
     return x, None
 
 

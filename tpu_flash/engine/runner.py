@@ -1,0 +1,263 @@
+"""Inference engine: continuous-batching decode over the paged KV cache.
+
+Ties together the flagship model (models/transformer.py), the paged cache
+(engine/cache.py), the native page allocator, and the scheduler
+(engine/scheduler.py):
+
+  * prefill: whole-prompt causal forward through the flash kernel; K/V of
+    every prompt token appended (quantizing on the fly) into the sequence's
+    pages; the last-position logits emit the first generated token.
+    (Chunked prefill against paged history needs a ragged prefill kernel —
+    roadmapped in ROADMAP.md.)
+  * decode: one fused step for the whole batch — per layer: project Q/K/V
+    for the current token, append K/V to pages, run the paged GQA decode
+    kernel. Inactive batch slots write to a reserved trash page so the
+    static-shape step never corrupts live pages.
+  * Greedy sampling; per-request token buffers host-side.
+
+Everything device-side is jitted with static shapes: prompts pad to
+power-of-two buckets, decode is a single fixed-shape program.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_flash.core.config import EngineConfig
+from tpu_flash.engine.cache import PagedKVCache
+from tpu_flash.engine.metrics import EngineMetrics
+from tpu_flash.engine.scheduler import Request, RequestState, Scheduler
+from tpu_flash.models.transformer import FlashTransformer, _rms_norm
+
+
+def _pow2_bucket(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        model: FlashTransformer,
+        params,
+        config: EngineConfig,
+        interpret: Optional[bool] = None,
+    ):
+        cfg = model.config
+        self.model = model
+        self.params = params
+        self.config = config
+        self.interpret = (
+            interpret
+            if interpret is not None
+            else jax.default_backend() != "tpu"
+        )
+        # Page num_pages-1 is the trash page for inactive-slot writes; the
+        # scheduler's allocator never hands it out.
+        if config.cache.num_pages < 2:
+            raise ValueError("need at least 2 pages (one is reserved)")
+        self.trash_page = config.cache.num_pages - 1
+        self.scheduler = Scheduler(config)
+        self.scheduler.allocator = __import__(
+            "tpu_flash.engine.allocator", fromlist=["PageAllocator"]
+        ).PageAllocator(config.cache.num_pages - 1)
+        self.cache = PagedKVCache.create(
+            cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, config.cache
+        )
+        mb = config.max_batch_size
+        pps = config.cache.max_pages_per_seq
+        self.page_tables = jnp.zeros((mb, pps), jnp.int32)
+        self.lengths = jnp.zeros((mb,), jnp.int32)
+        self.last_tokens = jnp.zeros((mb,), jnp.int32)
+        self.active = np.zeros((mb,), bool)
+        self.outputs: Dict[int, List[int]] = {}
+        self.metrics = EngineMetrics()
+        self._next_id = 0
+        self._decode_fn = jax.jit(
+            functools.partial(self._decode_step_impl),
+            donate_argnums=(1,),
+        )
+        self._prefill_fns: Dict[int, object] = {}
+
+    # -- client API ----------------------------------------------------------
+
+    def submit(self, prompt: List[int], max_new_tokens: int) -> int:
+        req_id = self._next_id
+        self._next_id += 1
+        req = Request(
+            req_id=req_id,
+            prompt_len=len(prompt),
+            max_new_tokens=max_new_tokens,
+        )
+        if len(prompt) > self.config.prefill_chunk:
+            raise ValueError(
+                f"prompt ({len(prompt)}) exceeds prefill_chunk "
+                f"({self.config.prefill_chunk}); chunked prefill over paged "
+                f"history is not yet supported"
+            )
+        req._prompt = list(prompt)  # host-side stash
+        self.scheduler.add_request(req)
+        self.outputs[req_id] = []
+        return req_id
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drive the engine until all requests finish."""
+        while self.scheduler.has_work():
+            self.step()
+        return self.outputs
+
+    # -- engine step ----------------------------------------------------------
+
+    def step(self) -> None:
+        plan = self.scheduler.step()
+        t0 = time.perf_counter()
+        for chunk in plan.prefill:
+            req = self.scheduler.active[chunk.req_id]
+            self._run_prefill(req, chunk)
+        n_decoded = 0
+        if plan.decode_slots:
+            n_decoded = self._run_decode(plan.decode_slots)
+        self.metrics.record_step(
+            prefill_tokens=sum(c.length for c in plan.prefill),
+            decode_tokens=n_decoded,
+            step_seconds=time.perf_counter() - t0,
+            batch_occupancy=self.scheduler.num_active()
+            / self.config.max_batch_size,
+        )
+
+    # -- prefill ---------------------------------------------------------------
+
+    def _prefill_impl(self, params, cache, tokens, table_row, n_valid,
+                      slot_pages_padded):
+        """tokens: [1, bucket]; appends K/V for the first n_valid tokens
+        (pad tokens go to the trash page) and returns (cache, logits of the
+        last valid position)."""
+        model = self.model
+        cfg = model.config
+        ps = self.config.cache.page_size
+        bucket = tokens.shape[1]
+        logits, kvs = model.forward(
+            params, tokens, q_offset=0, interpret=self.interpret,
+            return_kv=True,
+        )
+        positions = jnp.arange(bucket)
+        valid = positions < n_valid
+        page_ids = jnp.where(
+            valid, table_row[positions // ps], self.trash_page
+        )
+        offsets = positions % ps
+        for li, (k, v) in enumerate(kvs):
+            # [1, hkv, s, d] -> [s, hkv, d]
+            cache = cache.append(
+                li, k[0].transpose(1, 0, 2), v[0].transpose(1, 0, 2),
+                page_ids, offsets,
+            )
+        last = logits[0, n_valid - 1]
+        return cache, last
+
+    def _run_prefill(self, req: Request, chunk) -> None:
+        prompt = req._prompt
+        n = len(prompt)
+        bucket = _pow2_bucket(max(n, 8))
+        if bucket not in self._prefill_fns:
+            self._prefill_fns[bucket] = jax.jit(
+                self._prefill_impl, donate_argnums=(1,)
+            )
+        tokens = jnp.asarray(
+            prompt + [0] * (bucket - n), jnp.int32
+        )[None]
+        table = self.scheduler.page_table(req.req_id)
+        pps = self.config.cache.max_pages_per_seq
+        table_row = jnp.asarray(
+            table + [self.trash_page] * (pps - len(table)), jnp.int32
+        )
+        self.cache, last_logits = self._prefill_fns[bucket](
+            self.params, self.cache, tokens, table_row, n, None
+        )
+        next_token = int(jnp.argmax(last_logits))
+        slot = req.batch_slot
+        self.page_tables = self.page_tables.at[slot].set(table_row)
+        self.lengths = self.lengths.at[slot].set(n)
+        self.last_tokens = self.last_tokens.at[slot].set(next_token)
+        self.active[slot] = True
+        self.outputs[req.req_id].append(next_token)
+        self.scheduler.report_decoded(req.req_id)
+
+    # -- decode ------------------------------------------------------------------
+
+    def _decode_step_impl(self, params, cache, tokens, lengths, page_tables,
+                          active_mask):
+        """One decode token for every batch slot (inactive slots write to
+        the trash page and their outputs are ignored)."""
+        model = self.model
+        cfg = model.config
+        ps = self.config.cache.page_size
+        positions = lengths  # new token position == current length
+        x = params["embed"][tokens].astype(model.dtype)  # [mb, hidden]
+
+        page_ids = jnp.where(
+            active_mask,
+            jnp.take_along_axis(
+                page_tables, (positions // ps)[:, None], axis=1
+            )[:, 0],
+            self.trash_page,
+        )
+        offsets = positions % ps
+        attn_lengths = jnp.maximum(jnp.where(active_mask, lengths + 1, 1), 1)
+
+        for li, layer in enumerate(params["layers"]):
+            xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+            q, k_new, v_new = model.decode_qkv(params, li, xn, positions)
+            cache = cache.append(li, k_new, v_new, page_ids, offsets)
+            k_view, v_view = cache.layer_view(li)
+            from tpu_flash.ops.decode import paged_attention
+
+            attn = paged_attention(
+                q, k_view, v_view, attn_lengths, page_tables,
+                interpret=self.interpret,
+            )  # [mb, hq, d]
+            attn = attn.reshape(x.shape[0], -1)
+            x = x + attn @ layer["wo"]
+            xn = _rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+            x = x + model._mlp(layer, xn)
+        x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+        logits = (x @ params["lm_head"]).astype(jnp.float32)
+        next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        new_lengths = jnp.where(active_mask, lengths + 1, lengths)
+        return cache, next_tokens, new_lengths
+
+    def _run_decode(self, decode_slots: List[int]) -> int:
+        mask = np.zeros((self.config.max_batch_size,), bool)
+        for s in decode_slots:
+            mask[s] = True
+        mask &= self.active
+        active_mask = jnp.asarray(mask)
+        self.cache, next_tokens, self.lengths = self._decode_fn(
+            self.params, self.cache, self.last_tokens, self.lengths,
+            self.page_tables, active_mask,
+        )
+        next_host = np.asarray(next_tokens)
+        n = 0
+        for s in decode_slots:
+            if not mask[s]:
+                continue
+            rid = self.scheduler.slots[s]
+            if rid is None:
+                continue
+            tok = int(next_host[s])
+            self.outputs[rid].append(tok)
+            self.scheduler.report_decoded(rid)
+            self.last_tokens = self.last_tokens.at[s].set(tok)
+            req = self.scheduler.active.get(rid)
+            if req is not None and req.done:
+                self.active[s] = False
+            n += 1
+        return n

@@ -1,0 +1,77 @@
+"""Model configurations for the BASELINE attention shapes.
+
+BASELINE.json configs 2 and 3 name Llama-2-7B (32 heads, d=128) and
+Llama-3-8B (8 KV heads / GQA) attention geometries; these dataclasses pin
+them, plus a tiny config for CI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from tpu_flash.core.config import AttentionConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    dtype: str = "bfloat16"
+
+    @property
+    def attention(self) -> AttentionConfig:
+        return AttentionConfig(
+            num_q_heads=self.num_q_heads,
+            num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            causal=True,
+        )
+
+    @property
+    def q_per_kv(self) -> int:
+        return self.num_q_heads // self.num_kv_heads
+
+
+LLAMA2_7B = ModelConfig(
+    name="llama2-7b",
+    vocab_size=32000,
+    hidden_size=4096,
+    num_layers=32,
+    num_q_heads=32,
+    num_kv_heads=32,
+    head_dim=128,
+    intermediate_size=11008,
+)
+
+LLAMA3_8B = ModelConfig(
+    name="llama3-8b",
+    vocab_size=128256,
+    hidden_size=4096,
+    num_layers=32,
+    num_q_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    intermediate_size=14336,
+    rope_theta=500000.0,
+)
+
+# Tiny config for CI: same structure, trivial sizes.
+TINY_TEST = ModelConfig(
+    name="tiny-test",
+    vocab_size=256,
+    hidden_size=64,
+    num_layers=2,
+    num_q_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    dtype="float32",
+)

@@ -1,0 +1,190 @@
+"""Flagship model: a Llama-style decoder transformer on tpu_flash kernels.
+
+Pure-JAX pytree parameters (no framework dependency): RMSNorm → fused GQA
+flash attention (ops/flash) with rotary embeddings → SwiGLU MLP, pre-norm
+residuals, weight-tied-free LM head. Prefill uses the Pallas flash kernel
+(causal, chunked via q_offset); decode uses the paged-attention kernel over
+the quantized KV cache. The reference project stops at a single attention
+kernel — this is the "model runner for the BASELINE attention shapes"
+surface (SURVEY.md §7 layer 4) that the engine drives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_flash.models.configs import ModelConfig
+from tpu_flash.ops.flash import flash_attention
+
+Params = Dict[str, Any]
+
+
+def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)).astype(dtype) * weight
+
+
+def rope_frequencies(head_dim: int, theta: float) -> jax.Array:
+    return 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+
+
+def apply_rope(
+    x: jax.Array,  # [batch, heads, seq, head_dim]
+    positions: jax.Array,  # [batch, seq] or [seq]
+    freqs: jax.Array,  # [head_dim // 2]
+) -> jax.Array:
+    """Rotary position embedding (split-half convention)."""
+    dtype = x.dtype
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [b, s, d/2]
+    cos = jnp.cos(angles)[:, None]  # [b, 1, s, d/2]
+    sin = jnp.sin(angles)[:, None]
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2].astype(jnp.float32), x[..., d2:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+    return out.astype(dtype)
+
+
+class FlashTransformer:
+    """Stateless module: params are an explicit pytree."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        self.dtype = jnp.dtype(config.dtype)
+        self.freqs = rope_frequencies(config.head_dim, config.rope_theta)
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Params:
+        cfg = self.config
+        h, d = cfg.hidden_size, cfg.head_dim
+        qd, kvd = cfg.num_q_heads * d, cfg.num_kv_heads * d
+        n_keys = 4 + cfg.num_layers * 7
+        keys = iter(jax.random.split(key, n_keys))
+
+        def dense(key, fan_in, shape):
+            return (
+                jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5
+            ).astype(self.dtype)
+
+        layers = []
+        for _ in range(cfg.num_layers):
+            layers.append(
+                {
+                    "attn_norm": jnp.ones((h,), self.dtype),
+                    "wq": dense(next(keys), h, (h, qd)),
+                    "wk": dense(next(keys), h, (h, kvd)),
+                    "wv": dense(next(keys), h, (h, kvd)),
+                    "wo": dense(next(keys), qd, (qd, h)),
+                    "mlp_norm": jnp.ones((h,), self.dtype),
+                    "w_gate": dense(next(keys), h, (h, cfg.intermediate_size)),
+                    "w_up": dense(next(keys), h, (h, cfg.intermediate_size)),
+                    "w_down": dense(
+                        next(keys), cfg.intermediate_size,
+                        (cfg.intermediate_size, h),
+                    ),
+                }
+            )
+        return {
+            "embed": dense(next(keys), 1, (cfg.vocab_size, h)),
+            "layers": layers,
+            "final_norm": jnp.ones((h,), self.dtype),
+            "lm_head": dense(next(keys), h, (h, cfg.vocab_size)),
+        }
+
+    # -- qkv plumbing ---------------------------------------------------------
+
+    def _qkv(self, layer: Params, x: jax.Array, positions: jax.Array):
+        """x: [batch, seq, hidden] -> q [b,hq,s,d], k/v [b,hkv,s,d] (roped
+        q/k)."""
+        cfg = self.config
+        b, s, _ = x.shape
+        q = (x @ layer["wq"]).reshape(b, s, cfg.num_q_heads, cfg.head_dim)
+        k = (x @ layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = (x @ layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q.transpose(0, 2, 1, 3), positions, self.freqs)
+        k = apply_rope(k.transpose(0, 2, 1, 3), positions, self.freqs)
+        return q, k, v.transpose(0, 2, 1, 3)
+
+    def _mlp(self, layer: Params, x: jax.Array) -> jax.Array:
+        gate = jax.nn.silu((x @ layer["w_gate"]).astype(jnp.float32))
+        up = (x @ layer["w_up"]).astype(jnp.float32)
+        return ((gate * up).astype(x.dtype)) @ layer["w_down"]
+
+    # -- full forward (training / whole-prompt prefill) ----------------------
+
+    def forward(
+        self,
+        params: Params,
+        tokens: jax.Array,  # [batch, seq] int32
+        *,
+        q_offset: int = 0,
+        interpret: Optional[bool] = None,
+        return_kv: bool = False,
+    ):
+        """Causal forward over a token block using the flash prefill kernel.
+
+        Returns logits [batch, seq, vocab]; with return_kv=True also a list
+        of per-layer (k, v) [b, hkv, s, d] for cache appends.
+        """
+        cfg = self.config
+        x = params["embed"][tokens].astype(self.dtype)
+        positions = q_offset + jnp.arange(tokens.shape[1])
+        kvs = []
+        for layer in params["layers"]:
+            xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+            q, k, v = self._qkv(layer, xn, positions)
+            if return_kv:
+                kvs.append((k, v))
+            attn = flash_attention(
+                q, k, v, causal=True, q_offset=q_offset, interpret=interpret
+            )
+            b, h, s, d = attn.shape
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+            x = x + attn @ layer["wo"]
+            xn = _rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+            x = x + self._mlp(layer, xn)
+        x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+        logits = (x @ params["lm_head"]).astype(jnp.float32)
+        if return_kv:
+            return logits, kvs
+        return logits
+
+    def loss_fn(self, params: Params, tokens: jax.Array) -> jax.Array:
+        """Next-token cross-entropy over a batch — the training objective
+        used by the multi-chip training step."""
+        logits = self.forward(params, tokens[:, :-1])
+        targets = tokens[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+        return jnp.mean(nll)
+
+    # -- decode (one token per sequence, vs KV arrays) ------------------------
+
+    def decode_qkv(
+        self,
+        params: Params,
+        layer_idx: int,
+        x: jax.Array,  # [batch, hidden] current-token activations
+        positions: jax.Array,  # [batch] absolute positions
+    ):
+        """Per-layer projections for the decode path: q [b, hq, d] and new
+        k/v [b, hkv, d], rope applied."""
+        layer = params["layers"][layer_idx]
+        cfg = self.config
+        b = x.shape[0]
+        q = (x @ layer["wq"]).reshape(b, cfg.num_q_heads, 1, cfg.head_dim)
+        k = (x @ layer["wk"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
+        v = (x @ layer["wv"]).reshape(b, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions[:, None], self.freqs)[:, :, 0]
+        k = apply_rope(k, positions[:, None], self.freqs)[:, :, 0]
+        return q, k, v

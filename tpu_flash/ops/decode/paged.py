@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.core.reference import DEFAULT_MASK_VALUE
-from tpu_flash.ops.quant.quantize import QuantizedTensor, _unpack_int4
+from tpu_flash.ops.quant.quantize import QuantizedTensor, _unpack_int4_tokens
 
 
 class _MultiPageCopy:
@@ -221,15 +221,19 @@ def _paged_attn_kernel(
 
         q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [q_per_kv, d]
 
-        k_raw = k_buf[slot]  # [ppb, page_size, payload_d]
-        k_flat = k_raw.reshape(bk, k_raw.shape[-1])
+        k_raw = k_buf[slot]  # [ppb, page_rows, head_dim]
         if kv_quant == "int4":
-            k_flat = _unpack_int4(k_flat)
-        k_f = k_flat.astype(jnp.float32)
+            # Token-packed nibbles: [ppb, ps/2, d] -> [ppb, ps, d].
+            k_raw = _unpack_int4_tokens(k_raw)
+        k_f = k_raw.reshape(bk, head_dim).astype(jnp.float32)
+
+        # Decode state is f32 end-to-end; force true-f32 MXU passes so the
+        # kernel meets the exactness contract vs the oracle.
+        precision = jax.lax.Precision.HIGHEST
 
         s = jax.lax.dot_general(
             q, k_f, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # [q_per_kv, bk]
         if quantized:
             s = s * k_scale_buf[slot]  # [1, bk] column scales
@@ -255,15 +259,14 @@ def _paged_attn_kernel(
         ).wait()
 
         v_raw = v_buf[slot]
-        v_flat = v_raw.reshape(bk, v_raw.shape[-1])
         if kv_quant == "int4":
-            v_flat = _unpack_int4(v_flat)
-        v_f = v_flat.astype(jnp.float32)
+            v_raw = _unpack_int4_tokens(v_raw)
+        v_f = v_raw.reshape(bk, head_dim).astype(jnp.float32)
         if quantized:
             p = p * v_scale_buf[slot]  # fold V scales into P columns
 
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
-            p, v_f, preferred_element_type=jnp.float32
+            p, v_f, preferred_element_type=jnp.float32, precision=precision
         )
 
         @pl.when(i == num_active - 1)
@@ -310,6 +313,11 @@ def paged_attention(
         kv_quant = k_pages.dtype_name
         if kv_quant not in ("int8", "int4"):
             raise ValueError(f"unsupported KV quant {kv_quant!r}")
+        if kv_quant == "int4" and k_pages.packing != "tokens":
+            raise ValueError(
+                "int4 KV pages must be token-packed (quantize_pages); "
+                "lane packing breaks TPU DMA alignment"
+            )
         k_vals, k_scales = k_pages.values, k_pages.scales
         v_vals, v_scales = v_pages.values, v_pages.scales
         k_scales = k_scales.squeeze(-1)  # [hkv, pages, page_size]
@@ -318,7 +326,9 @@ def paged_attention(
         k_vals, v_vals = k_pages, v_pages
 
     batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, num_pages, page_size, payload_d = k_vals.shape
+    num_kv_heads, num_pages, page_rows, payload_d = k_vals.shape
+    # Logical tokens per page (int4 token-packs two per payload row).
+    page_size = page_rows * 2 if kv_quant == "int4" else page_rows
     pages_per_seq = page_indices.shape[1]
     if num_q_heads % num_kv_heads:
         raise ValueError(
@@ -366,9 +376,9 @@ def paged_attention(
             pltpu.VMEM((q_per_kv_p, 128), jnp.float32),  # m
             pltpu.VMEM((q_per_kv_p, 128), jnp.float32),  # l
             pltpu.VMEM((q_per_kv_p, head_dim), jnp.float32),  # acc
-            pltpu.VMEM((2, ppb, page_size, payload_d), k_vals.dtype),
+            pltpu.VMEM((2, ppb, page_rows, payload_d), k_vals.dtype),
             pltpu.VMEM((2, 1, bk), jnp.float32),  # k scales (flat rows)
-            pltpu.VMEM((2, ppb, page_size, payload_d), v_vals.dtype),
+            pltpu.VMEM((2, ppb, page_rows, payload_d), v_vals.dtype),
             pltpu.VMEM((2, 1, bk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

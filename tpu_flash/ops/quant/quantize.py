@@ -31,17 +31,32 @@ FP8_MAX = 448.0  # e4m3fn
 
 
 class QuantizedTensor(NamedTuple):
-    """Payload + per-row scales. ``values`` has the logical shape (int4:
-    packed last dim = ceil(d/2)); ``scales`` has the same shape with the
-    last axis reduced to 1."""
+    """Payload + per-row scales.
+
+    ``packing`` describes where int4 nibbles live:
+      * "lanes"  — packed along the last (lane) dim: payload d/2 lanes.
+      * "tokens" — packed along the second-to-last (token/sublane) dim:
+        payload rows/2, full d lanes. This is the KV-page layout: TPU DMA
+        slices must keep a 128-aligned lane dim, so pages pack two *tokens*
+        per byte (row j = token j low nibble, token j + rows/2 high nibble).
+    ``scales`` always has the *logical* shape with the last axis reduced
+    to 1.
+    """
 
     values: jax.Array
     scales: jax.Array
     dtype_name: str  # "int8" | "int4" | "fp8"
+    packing: str = "lanes"
 
     @property
     def logical_shape(self):
         if self.dtype_name == "int4":
+            if self.packing == "tokens":
+                return (
+                    *self.values.shape[:-2],
+                    self.values.shape[-2] * 2,
+                    self.values.shape[-1],
+                )
             return (*self.values.shape[:-1], self.values.shape[-1] * 2)
         return self.values.shape
 
@@ -64,7 +79,25 @@ def _unpack_int4(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
-def quantize(x: jax.Array, dtype_name: str = "int8") -> QuantizedTensor:
+def _pack_int4_tokens(x_int: jax.Array) -> jax.Array:
+    """Pack int4 along the second-to-last (token) dim: row j low nibble,
+    row j + rows/2 high nibble. Lane dim stays full width (DMA-aligned)."""
+    rows = x_int.shape[-2]
+    lo = x_int[..., : rows // 2, :] & 0xF
+    hi = x_int[..., rows // 2 :, :] & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def _unpack_int4_tokens(packed: jax.Array) -> jax.Array:
+    packed = packed.astype(jnp.int32)
+    lo = (packed << 28) >> 28
+    hi = (packed << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def quantize(
+    x: jax.Array, dtype_name: str = "int8", packing: str = "lanes"
+) -> QuantizedTensor:
     """Symmetric per-row (last-axis) absmax quantization."""
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -72,24 +105,41 @@ def quantize(x: jax.Array, dtype_name: str = "int8") -> QuantizedTensor:
         scale = jnp.where(absmax == 0, 1.0, absmax / INT8_MAX)
         q = jnp.clip(jnp.round(xf / scale), -INT8_MAX, INT8_MAX).astype(jnp.int8)
     elif dtype_name == "int4":
-        if x.shape[-1] % 2:
-            raise ValueError("int4 packing requires an even last dimension")
         scale = jnp.where(absmax == 0, 1.0, absmax / INT4_MAX)
         qi = jnp.clip(jnp.round(xf / scale), -INT4_MAX, INT4_MAX).astype(
             jnp.int32
         )
-        q = _pack_int4(qi)
+        if packing == "tokens":
+            if x.shape[-2] % 2:
+                raise ValueError("token packing needs an even row count")
+            q = _pack_int4_tokens(qi)
+        else:
+            if x.shape[-1] % 2:
+                raise ValueError("lane packing needs an even last dimension")
+            q = _pack_int4(qi)
     elif dtype_name == "fp8":
         scale = jnp.where(absmax == 0, 1.0, absmax / FP8_MAX)
         q = (xf / scale).astype(jnp.float8_e4m3fn)
     else:
         raise ValueError(f"unsupported quant dtype {dtype_name!r}")
-    return QuantizedTensor(values=q, scales=scale, dtype_name=dtype_name)
+    return QuantizedTensor(
+        values=q, scales=scale, dtype_name=dtype_name, packing=packing
+    )
+
+
+def quantize_pages(pages: jax.Array, dtype_name: str) -> QuantizedTensor:
+    """Quantize KV pages [..., page_size, head_dim] in the cache layout:
+    int8 keeps the page shape; int4 token-packs to [..., page_size/2, d]."""
+    packing = "tokens" if dtype_name == "int4" else "lanes"
+    return quantize(pages, dtype_name, packing=packing)
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     if qt.dtype_name == "int4":
-        vals = _unpack_int4(qt.values).astype(jnp.float32)
+        if qt.packing == "tokens":
+            vals = _unpack_int4_tokens(qt.values).astype(jnp.float32)
+        else:
+            vals = _unpack_int4(qt.values).astype(jnp.float32)
     else:
         vals = qt.values.astype(jnp.float32)
     return (vals * qt.scales).astype(dtype)
