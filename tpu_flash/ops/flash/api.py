@@ -144,6 +144,78 @@ def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+# Residuals variant: returns (o, lse) and is differentiable in BOTH outputs.
+# Ring attention consumes lse in its cross-chip merge, so its cotangent is
+# live; it folds into the standard backward as di_eff = di - dlse (see
+# flash_attention_backward).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_core_res(q, k, v, causal, sm_scale, block_sizes, q_offset,
+                    interpret):
+    q_len, head_dim = q.shape[2], q.shape[3]
+    qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    o_p, lse_p = flash_attention_forward(
+        qp, kp, vp,
+        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
+        interpret=interpret,
+    )
+    return o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len]
+
+
+def _flash_core_res_fwd(q, k, v, causal, sm_scale, block_sizes, q_offset,
+                        interpret):
+    q_len, head_dim = q.shape[2], q.shape[3]
+    qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    o_p, lse_p = flash_attention_forward(
+        qp, kp, vp,
+        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
+        interpret=interpret,
+    )
+    out = (o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len])
+    return out, (q, k, v, o_p, lse_p)
+
+
+def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
+                        residuals, gs):
+    g, g_lse = gs
+    q, k, v, o_p, lse_p = residuals
+    batch, num_q_heads, q_len, head_dim = q.shape
+    num_kv_heads, kv_len = k.shape[1], k.shape[2]
+    q_per_kv = num_q_heads // num_kv_heads
+
+    qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    q_len_p = qp.shape[2]
+    head_dim_p = qp.shape[3]
+    do_p = _pad_axis(_pad_axis(g, 3, head_dim_p), 2, q_len_p)
+    dlse_p = _pad_axis(g_lse, 2, q_len_p)
+    lse_rep = jnp.broadcast_to(
+        _pad_axis(lse_p, 2, q_len_p)[..., None],
+        (batch, num_q_heads, q_len_p, NUM_LANES),
+    )
+
+    dq, dk, dv = flash_attention_backward(
+        qp, kp, vp, o_p, lse_rep, do_p,
+        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
+        q_offset=q_offset, kv_len=kv_len, interpret=interpret,
+        dlse=dlse_p,
+    )
+    dq = dq[:, :, :q_len, :head_dim]
+    dk = dk[:, :, :kv_len, :head_dim]
+    dv = dv[:, :, :kv_len, :head_dim]
+    if q_per_kv > 1:
+        dk = dk.reshape(batch, num_kv_heads, q_per_kv, kv_len, head_dim)
+        dk = dk.sum(axis=2).astype(k.dtype)
+        dv = dv.reshape(batch, num_kv_heads, q_per_kv, kv_len, head_dim)
+        dv = dv.sum(axis=2).astype(v.dtype)
+    return dq, dk, dv
+
+
+_flash_core_res.defvjp(_flash_core_res_fwd, _flash_core_res_bwd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -157,15 +229,9 @@ def _flash_entry(q, k, v, causal, sm_scale, block_sizes, q_offset,
         return _flash_core(
             q, k, v, causal, sm_scale, block_sizes, q_offset, interpret
         )
-    q_len, head_dim = q.shape[2], q.shape[3]
-    qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
-    o_p, lse_p = flash_attention_forward(
-        qp, kp, vp,
-        causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
-        interpret=interpret,
+    return _flash_core_res(
+        q, k, v, causal, sm_scale, block_sizes, q_offset, interpret
     )
-    return o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len]
 
 
 def flash_attention(

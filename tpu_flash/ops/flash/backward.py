@@ -233,19 +233,27 @@ def flash_attention_backward(
     q_offset: int,
     kv_len: int,
     interpret: bool,
+    dlse: Optional[jax.Array] = None,  # [b, hq, q_len_p] lse cotangent
 ):
     """Compute (dq, dk, dv) on pre-padded inputs.
 
     Returns dk/dv with num_q_heads (per-q-head partials); the caller sums
     groups of q_per_kv heads for GQA.
+
+    When the forward's lse output is itself used downstream (ring
+    attention's cross-chip merge), its cotangent enters the softmax
+    backward as ds = p * (dp - di + dlse) — since dL/ds_ij = p_ij — which
+    folds into the same kernels as di_eff = di - dlse.
     """
     batch, num_q_heads, q_len, head_dim = q.shape
     _, num_kv_heads, kv_len_padded, _ = k.shape
     q_per_kv = num_q_heads // num_kv_heads
     mask_kv_tail = kv_len < kv_len_padded
 
-    # di = rowsum(o * do), lane-replicated to match lse layout.
+    # di = rowsum(o * do) [- dlse], lane-replicated to match lse layout.
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        di = di - dlse.astype(jnp.float32)
     di_rep = jnp.broadcast_to(di[..., None], (*di.shape, NUM_LANES))
 
     # ---- dKV kernel ----
