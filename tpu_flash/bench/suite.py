@@ -1,0 +1,221 @@
+"""Benchmark harness: per-config kernel benchmarks + roofline comparison.
+
+The reference has no timing code at all (SURVEY.md §6); this module
+self-establishes the BASELINE.md numbers. Timing discipline: jit + warmup
+compile, then N timed iterations bracketed by ``jax.block_until_ready``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_flash.core.config import BlockSizes
+from tpu_flash.ops.flash import flash_attention
+from tpu_flash.utils.device import device_info
+
+
+def attention_flops(
+    batch: int, heads: int, q_len: int, kv_len: int, head_dim: int,
+    causal: bool,
+) -> float:
+    """Matmul FLOPs of one attention call (QK^T + PV, 2*M*N*K each)."""
+    full = 4.0 * batch * heads * q_len * kv_len * head_dim
+    return full / 2 if causal else full
+
+
+def attention_hbm_bytes(
+    batch, q_heads, kv_heads, q_len, kv_len, head_dim, itemsize
+) -> float:
+    q = batch * q_heads * q_len * head_dim
+    kv = 2 * batch * kv_heads * kv_len * head_dim
+    o = q
+    return (q + kv + o) * itemsize
+
+
+def _time_chained(
+    step: Callable[..., jax.Array],
+    x0: jax.Array,
+    *rest: jax.Array,
+    inner: int = 16,
+    repeats: int = 3,
+) -> float:
+    """Seconds per op via differential timing of in-jit chained loops.
+
+    ``step(x, *rest)`` must map x -> same-shape x (the data dependency
+    defeats CSE/DCE and forces sequential execution). The result is fetched
+    to host — on remote execution paths ``block_until_ready`` can return
+    before the device finishes, so only a D2H transfer bounds completion.
+    Timing inner vs 2*inner iterations cancels dispatch/transfer overhead.
+    ``rest`` operands are explicit jit args (closure capture would embed
+    them as constants in the compile payload).
+    """
+
+    @jax.jit
+    def run(x, n, *rest):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            return c[0] + 1, step(c[1], *rest)
+
+        _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), x))
+        return jnp.sum(out.astype(jnp.float32))
+
+    n1, n2 = jnp.int32(inner), jnp.int32(2 * inner)
+    float(run(x0, n1, *rest))  # compile once (dynamic trip count)
+    t1 = min(
+        _wall(lambda: float(run(x0, n1, *rest))) for _ in range(repeats)
+    )
+    t2 = min(
+        _wall(lambda: float(run(x0, n2, *rest))) for _ in range(repeats)
+    )
+    return max((t2 - t1) / inner, 1e-9)
+
+
+def _wall(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    seconds: float
+    tflops: float
+    roofline_tflops: float
+    hbm_gbps: float
+
+    @property
+    def roofline_frac(self) -> float:
+        return self.tflops / self.roofline_tflops if self.roofline_tflops else 0.0
+
+
+def bench_flash_prefill(
+    batch: int = 1,
+    num_q_heads: int = 32,
+    num_kv_heads: int = 32,
+    seq: int = 2048,
+    head_dim: int = 128,
+    dtype=jnp.bfloat16,
+    causal: bool = True,
+    block_sizes: Optional[BlockSizes] = None,
+    iters: int = 20,
+) -> BenchResult:
+    """BASELINE config 2 by default: Llama-2-7B prefill shapes."""
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (batch, num_q_heads, seq, head_dim), dtype)
+    k = jax.random.normal(kk, (batch, num_kv_heads, seq, head_dim), dtype)
+    v = jax.random.normal(kv, (batch, num_kv_heads, seq, head_dim), dtype)
+
+    def step(x, k, v):
+        o = flash_attention(x, k, v, causal=causal, block_sizes=block_sizes)
+        return o.astype(x.dtype)
+
+    secs = _time_chained(step, q, k, v, inner=max(4, iters // 2))
+
+    flops = attention_flops(
+        batch, num_q_heads, seq, seq, head_dim, causal
+    )
+    bytes_ = attention_hbm_bytes(
+        batch, num_q_heads, num_kv_heads, seq, seq, head_dim,
+        jnp.dtype(dtype).itemsize,
+    )
+    info = device_info()
+    roofline = info.roofline_attention_tflops(flops, bytes_)
+    return BenchResult(
+        name=f"flash_prefill b{batch} h{num_q_heads} s{seq} d{head_dim} "
+        f"{jnp.dtype(dtype).name}{' causal' if causal else ''}",
+        seconds=secs,
+        tflops=flops / secs / 1e12,
+        roofline_tflops=roofline,
+        hbm_gbps=bytes_ / secs / 1e9,
+    )
+
+
+def bench_decode_tokens_per_s(
+    batch: int = 8,
+    num_q_heads: int = 32,
+    num_kv_heads: int = 8,
+    head_dim: int = 128,
+    context: int = 4096,
+    page_size: int = 128,
+    kv_quant: Optional[str] = "int8",
+    pages_per_compute_block: int = 8,
+    iters: int = 20,
+):
+    """BASELINE config 3 by default: Llama-3-8B GQA decode, INT8 KV, 4K ctx.
+    Returns (tokens_per_second, seconds_per_step, hbm_gbps)."""
+    from tpu_flash.core.reference import gather_pages_to_dense  # noqa: F401
+    from tpu_flash.ops.decode import paged_attention
+    from tpu_flash.ops.quant import quantize_pages
+
+    pages_per_seq = context // page_size
+    num_pages = batch * pages_per_seq + 1
+    key = jax.random.PRNGKey(0)
+    kk, kv, kq = jax.random.split(key, 3)
+    k_pages = jax.random.normal(
+        kk, (num_kv_heads, num_pages, page_size, head_dim), jnp.float32
+    )
+    v_pages = jax.random.normal(
+        kv, (num_kv_heads, num_pages, page_size, head_dim), jnp.float32
+    )
+    if kv_quant:
+        k_pages = quantize_pages(k_pages, kv_quant)
+        v_pages = quantize_pages(v_pages, kv_quant)
+    page_indices = (
+        jnp.arange(batch * pages_per_seq, dtype=jnp.int32)
+        .reshape(batch, pages_per_seq)
+    )
+    lengths = jnp.full((batch,), context, jnp.int32)
+    q = jax.random.normal(kq, (batch, num_q_heads, head_dim), jnp.float32)
+
+    # QuantizedTensor has static string fields; ship raw arrays across the
+    # jit boundary and rebuild inside.
+    if kv_quant:
+        packing = k_pages.packing
+        parts = (
+            k_pages.values, k_pages.scales, v_pages.values, v_pages.scales,
+        )
+
+        def step(x, lengths, page_indices, kv_, ks_, vv_, vs_):
+            from tpu_flash.ops.quant import QuantizedTensor
+
+            kq_ = QuantizedTensor(kv_, ks_, kv_quant, packing)
+            vq_ = QuantizedTensor(vv_, vs_, kv_quant, packing)
+            o = paged_attention(
+                x, kq_, vq_, lengths, page_indices,
+                pages_per_compute_block=pages_per_compute_block,
+            )
+            return o.astype(x.dtype)
+
+    else:
+        parts = (k_pages, v_pages)
+
+        def step(x, lengths, page_indices, k_, v_):
+            o = paged_attention(
+                x, k_, v_, lengths, page_indices,
+                pages_per_compute_block=pages_per_compute_block,
+            )
+            return o.astype(x.dtype)
+
+    secs = _time_chained(
+        step, q, lengths, page_indices, *parts, inner=max(4, iters // 2)
+    )
+
+    payload_itemsize = 1 if kv_quant else 4
+    kv_bytes = (
+        2 * batch * num_kv_heads * context * head_dim * payload_itemsize
+    )
+    if kv_quant == "int4":
+        kv_bytes /= 2
+    if kv_quant:
+        kv_bytes += 2 * batch * num_kv_heads * context * 4  # scales
+    return batch / secs, secs, kv_bytes / secs / 1e9

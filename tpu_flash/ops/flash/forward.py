@@ -89,7 +89,11 @@ def _flash_fwd_kernel(
 
     @pl.when(should_run)
     def _run():
+        # Fold the softmax scale into the Q tile: O(block_q * d) instead of
+        # an O(block_q * block_kv) pass over the scores.
         q = q_ref[0, 0]  # [block_q, head_dim]
+        if sm_scale != 1.0:
+            q = q * sm_scale
         for start in range(0, block_kv_major, block_kv):
             k = k_ref[0, 0, start : start + block_kv, :]
             s = jax.lax.dot_general(
@@ -99,25 +103,26 @@ def _flash_fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
-            if sm_scale != 1.0:
-                s = s * sm_scale
 
             kv_base = kv_idx * block_kv_major + start
-            need_causal = causal
-            if need_causal or mask_kv_tail:
-                row_ids = (
-                    q_offset
-                    + q_idx * block_q
-                    + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-                )
-                col_ids = kv_base + jax.lax.broadcasted_iota(
+            if causal or mask_kv_tail:
+                # Loop-invariant index matrices + per-tile scalar thresholds:
+                # the iotas are grid-cell independent (hoistable), so the
+                # per-tile mask costs ~2 VPU passes (compare + select).
+                col = jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_kv), 1
                 )
                 mask = None
-                if need_causal:
-                    mask = col_ids <= row_ids
+                if causal:
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_kv), 0
+                    )
+                    # col + kv_base <= row + q_offset + q_idx*block_q
+                    mask = (col - row) <= (
+                        q_offset + q_idx * block_q - kv_base
+                    )
                 if mask_kv_tail:
-                    tail = col_ids < kv_len
+                    tail = col < kv_len - kv_base
                     mask = tail if mask is None else jnp.logical_and(mask, tail)
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 

@@ -65,12 +65,14 @@ def default_block_sizes(
             p *= 2
         return p
 
-    # Priors: 256-row Q tiles keep both matmuls MXU-shaped for head_dim>=128;
-    # 512-row KV major tiles amortize DMA issue overhead. All tiles are
-    # powers of two so forward and backward tilings divide the padded
-    # sequence lengths.
-    block_q = min(256, pow2_round_up(q_len, 8))
-    block_kv_major = min(512, pow2_round_up(kv_len, NUM_LANES))
+    # Priors from the v5e sweep (BENCHLOG.md): per-grid-cell overhead on
+    # this part is large, so big 1024x1024 tiles win decisively over the
+    # 128-512 range (81 vs 31-57 TFLOP/s on Llama-2 2K prefill); inner
+    # block_kv == block_kv_major (two-level tiling measured slower). All
+    # tiles are powers of two so forward and backward tilings divide the
+    # padded sequence lengths.
+    block_q = min(1024, pow2_round_up(q_len, 8))
+    block_kv_major = min(1024, pow2_round_up(kv_len, NUM_LANES))
     block_kv = block_kv_major
 
     while (
@@ -89,8 +91,8 @@ def default_block_sizes(
         block_q=block_q,
         block_kv_major=block_kv_major,
         block_kv=block_kv,
-        block_q_dkv=min(block_q, 128),
-        block_kv_dkv=min(block_kv_major, 128),
-        block_q_dq=min(block_q, 128),
-        block_kv_dq=min(block_kv_major, 128),
+        block_q_dkv=min(block_q, 256),
+        block_kv_dkv=min(block_kv_major, 256),
+        block_q_dq=min(block_q, 256),
+        block_kv_dq=min(block_kv_major, 256),
     )
