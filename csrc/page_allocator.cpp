@@ -8,6 +8,7 @@
 // reference's host code sized tiles for one kernel launch, this manages the
 // physical-page state behind continuous batching across thousands of steps.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -53,6 +54,33 @@ struct PageAllocator {
     return n;
   }
 
+  // Bind sequence `seq` to exactly the given pages (checkpoint-restore
+  // path): every page must currently be free. All-or-nothing; returns 0 on
+  // success, -1 if any page is not free or out of range.
+  int alloc_exact(int64_t seq, const int32_t* pages, int32_t n) {
+    if (n < 0) return -1;
+    for (int32_t i = 0; i < n; ++i) {
+      if (pages[i] < 0 || pages[i] >= num_pages) return -1;
+    }
+    // Verify all requested pages are free before mutating anything.
+    std::vector<char> wanted(num_pages, 0);
+    for (int32_t i = 0; i < n; ++i) {
+      if (wanted[pages[i]]) return -1;  // duplicate in request
+      wanted[pages[i]] = 1;
+    }
+    int32_t found = 0;
+    for (int32_t p : free_stack)
+      if (wanted[p]) ++found;
+    if (found != n) return -1;
+    free_stack.erase(
+        std::remove_if(free_stack.begin(), free_stack.end(),
+                       [&](int32_t p) { return wanted[p] != 0; }),
+        free_stack.end());
+    auto& owned = seq_pages[seq];
+    owned.insert(owned.end(), pages, pages + n);
+    return 0;
+  }
+
   // Copy the page table of `seq` into out (up to cap); returns count.
   int32_t get_pages(int64_t seq, int32_t* out, int32_t cap) const {
     auto it = seq_pages.find(seq);
@@ -84,6 +112,10 @@ int32_t pa_num_seqs(void* h) {
 
 int pa_alloc(void* h, int64_t seq, int32_t n, int32_t* out) {
   return static_cast<PageAllocator*>(h)->alloc(seq, n, out);
+}
+
+int pa_alloc_exact(void* h, int64_t seq, const int32_t* pages, int32_t n) {
+  return static_cast<PageAllocator*>(h)->alloc_exact(seq, pages, n);
 }
 
 int32_t pa_release(void* h, int64_t seq) {

@@ -1,0 +1,112 @@
+"""Import HuggingFace Llama-family weights into tpu_flash param trees.
+
+The reference project has no weight loading at all (its "model" is constant
+all-ones tensors, tests/main.cu:33-35); the BASELINE configs are Llama-2-7B /
+Llama-3-8B attention shapes, so real deployments start from HF checkpoints.
+This maps a ``transformers`` Llama ``state_dict`` (torch tensors or numpy
+arrays) onto ``FlashTransformer.init``'s pytree.
+
+Layout notes:
+* torch ``nn.Linear.weight`` is [out, in]; our dense weights are [in, out]
+  (activations are row vectors) — every projection transposes.
+* HF's rotary convention is split-half (rotate_half on contiguous halves),
+  matching ``models/transformer.py::apply_rope`` — no head permutation is
+  needed when the source is an HF-format checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_flash.models.configs import ModelConfig
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (possibly bf16, which numpy can't hold) → f32 numpy.
+    try:
+        import torch
+
+        if isinstance(t, torch.Tensor):
+            return t.detach().to(torch.float32).cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(t)
+
+
+def params_from_hf_llama(
+    state_dict: Mapping[str, Any], config: ModelConfig
+) -> Dict[str, Any]:
+    """Build a FlashTransformer param tree from an HF Llama state dict."""
+    dtype = jnp.dtype(config.dtype)
+
+    def dense(name: str) -> jnp.ndarray:
+        return jnp.asarray(_to_np(state_dict[name]).T, dtype)
+
+    def vec(name: str) -> jnp.ndarray:
+        return jnp.asarray(_to_np(state_dict[name]), dtype)
+
+    layers = []
+    for i in range(config.num_layers):
+        p = f"model.layers.{i}."
+        layers.append(
+            {
+                "attn_norm": vec(p + "input_layernorm.weight"),
+                "wq": dense(p + "self_attn.q_proj.weight"),
+                "wk": dense(p + "self_attn.k_proj.weight"),
+                "wv": dense(p + "self_attn.v_proj.weight"),
+                "wo": dense(p + "self_attn.o_proj.weight"),
+                "mlp_norm": vec(p + "post_attention_layernorm.weight"),
+                "w_gate": dense(p + "mlp.gate_proj.weight"),
+                "w_up": dense(p + "mlp.up_proj.weight"),
+                "w_down": dense(p + "mlp.down_proj.weight"),
+            }
+        )
+
+    embed = jnp.asarray(_to_np(state_dict["model.embed_tokens.weight"]), dtype)
+    if "lm_head.weight" in state_dict:
+        lm_head = dense("lm_head.weight")
+    else:  # tied embeddings (Llama-3.2-style)
+        lm_head = embed.T.astype(dtype)
+    params = {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": vec("model.norm.weight"),
+        "lm_head": lm_head,
+    }
+    _validate_shapes(params, config)
+    return params
+
+
+def _validate_shapes(params: Dict[str, Any], config: ModelConfig) -> None:
+    h = config.hidden_size
+    qd = config.num_q_heads * config.head_dim
+    kvd = config.num_kv_heads * config.head_dim
+    expect = {
+        "embed": (config.vocab_size, h),
+        "final_norm": (h,),
+        "lm_head": (h, config.vocab_size),
+    }
+    for name, shape in expect.items():
+        if params[name].shape != shape:
+            raise ValueError(
+                f"{name}: got {params[name].shape}, expected {shape}"
+            )
+    layer_expect = {
+        "attn_norm": (h,), "mlp_norm": (h,),
+        "wq": (h, qd), "wk": (h, kvd), "wv": (h, kvd), "wo": (qd, h),
+        "w_gate": (h, config.intermediate_size),
+        "w_up": (h, config.intermediate_size),
+        "w_down": (config.intermediate_size, h),
+    }
+    for i, layer in enumerate(params["layers"]):
+        for name, shape in layer_expect.items():
+            if layer[name].shape != shape:
+                raise ValueError(
+                    f"layers[{i}].{name}: got {layer[name].shape}, "
+                    f"expected {shape}"
+                )

@@ -1,0 +1,234 @@
+"""Orbax-backed checkpointing: params, training state, engine KV snapshots.
+
+Three surfaces (SURVEY.md §5 "Checkpoint / resume" build obligations):
+
+* ``save_params`` / ``restore_params`` — one-shot weight checkpoints for the
+  BASELINE model shapes (Llama-2-7B / Llama-3-8B attention configs).
+* ``TrainCheckpointManager`` — step-indexed keep-N checkpoints of
+  (params, opt_state) for training resume.
+* ``snapshot_engine`` / ``restore_engine`` — a *consistent* snapshot of the
+  decode engine's paged KV cache plus the host-side state that gives the
+  pages meaning (page tables, sequence lengths, allocator ownership,
+  scheduler request progress), so an interrupted serving process can resume
+  decoding mid-sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path) -> pathlib.Path:
+    return pathlib.Path(path).absolute()
+
+
+# ---------------------------------------------------------------------------
+# Params (weights)
+# ---------------------------------------------------------------------------
+
+
+def save_params(path, params, *, force: bool = True) -> None:
+    """Write a param pytree checkpoint (orbax PyTree format)."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(_abs(path), params, force=force)
+
+
+def restore_params(path, like: Optional[Any] = None):
+    """Restore a param pytree. ``like`` (an abstract or concrete pytree of
+    the same structure) pins structure/dtypes; without it the tree is
+    restored from saved metadata."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if like is None:
+            return ckptr.restore(_abs(path))
+        template = jax.tree.map(np.asarray, like)
+        return ckptr.restore(_abs(path), item=template)
+
+
+# ---------------------------------------------------------------------------
+# Training resume
+# ---------------------------------------------------------------------------
+
+
+class TrainCheckpointManager:
+    """Step-indexed keep-N checkpoints of {params, opt_state}.
+
+    Thin policy wrapper over ``orbax.checkpoint.CheckpointManager``; training
+    loops call ``save(step, params, opt_state)`` every K steps and
+    ``restore_latest()`` on restart.
+    """
+
+    def __init__(self, directory, *, max_to_keep: int = 3):
+        self._mgr = ocp.CheckpointManager(
+            _abs(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, params, opt_state=None) -> None:
+        state = {"params": params}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore_latest(self, like_params=None, like_opt_state=None):
+        """Returns (step, params, opt_state) or None if no checkpoint."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        if like_params is not None:
+            template = {"params": jax.tree.map(np.asarray, like_params)}
+            if like_opt_state is not None:
+                template["opt_state"] = jax.tree.map(
+                    np.asarray, like_opt_state
+                )
+            state = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        else:
+            state = self._mgr.restore(step)
+        return step, state["params"], state.get("opt_state")
+
+    def close(self) -> None:
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# Engine / KV-cache snapshots
+# ---------------------------------------------------------------------------
+
+_ENGINE_META = "engine_meta.json"
+_ENGINE_ARRAYS = "engine_arrays.npz"
+
+
+def snapshot_engine(path, engine) -> None:
+    """Snapshot a live ``InferenceEngine``: KV pages (+ scales), page tables,
+    lengths, last tokens, allocator ownership, and per-request scheduler
+    progress. The snapshot is host-side (npz + json) — KV pages for serving
+    snapshots are bulk data, not sharded training state, so plain npz is the
+    right weight class."""
+    path = _abs(path)
+    path.mkdir(parents=True, exist_ok=True)
+    cache = engine.cache
+
+    arrays = {
+        "k_pages": np.asarray(cache.k_pages),
+        "v_pages": np.asarray(cache.v_pages),
+        "page_tables": np.asarray(engine.page_tables),
+        "lengths": np.asarray(engine.lengths),
+        "last_tokens": np.asarray(engine.last_tokens),
+        "active": np.asarray(engine.active),
+    }
+    if cache.quantized:
+        arrays["k_scales"] = np.asarray(cache.k_scales)
+        arrays["v_scales"] = np.asarray(cache.v_scales)
+    np.savez_compressed(path / _ENGINE_ARRAYS, **arrays)
+
+    sched = engine.scheduler
+    requests = {}
+    for req_id, req in sched.active.items():
+        requests[str(req_id)] = {
+            "req_id": req.req_id,
+            "prompt_len": req.prompt_len,
+            "max_new_tokens": req.max_new_tokens,
+            "state": req.state.name,
+            "batch_slot": req.batch_slot,
+            "prefilled": req.prefilled,
+            "generated": req.generated,
+            "prompt": list(getattr(req, "_prompt", [])),
+        }
+    # Pages are allocated per req_id at admission and released at retirement,
+    # so scheduler.active is exactly the set of sequences that own pages.
+    meta = {
+        "page_size": cache.page_size,
+        "kv_dtype": cache.kv_dtype,
+        "requests": requests,
+        "alloc": {
+            str(rid): sched.allocator.pages_of(rid) for rid in sched.active
+        },
+        "outputs": {str(k): v for k, v in engine.outputs.items()},
+        "next_id": engine._next_id,
+    }
+    (path / _ENGINE_META).write_text(json.dumps(meta))
+
+
+def restore_engine(path, engine) -> None:
+    """Restore a snapshot into a freshly-constructed engine of the same
+    config (shapes must match). Resumes mid-decode: page ownership, request
+    progress and device state all round-trip."""
+    import jax.numpy as jnp
+
+    from tpu_flash.engine.scheduler import Request, RequestState
+
+    path = _abs(path)
+    meta = json.loads((path / _ENGINE_META).read_text())
+    data = np.load(path / _ENGINE_ARRAYS)
+
+    if meta["page_size"] != engine.cache.page_size:
+        raise ValueError("snapshot page_size mismatch")
+    if meta["kv_dtype"] != engine.cache.kv_dtype:
+        raise ValueError("snapshot kv_dtype mismatch")
+    if data["k_pages"].shape != engine.cache.k_pages.shape:
+        raise ValueError(
+            f"snapshot cache shape {data['k_pages'].shape} != engine "
+            f"{engine.cache.k_pages.shape}"
+        )
+
+    engine.cache = dataclasses.replace(
+        engine.cache,
+        k_pages=jnp.asarray(data["k_pages"]),
+        v_pages=jnp.asarray(data["v_pages"]),
+        k_scales=(
+            jnp.asarray(data["k_scales"]) if engine.cache.quantized else None
+        ),
+        v_scales=(
+            jnp.asarray(data["v_scales"]) if engine.cache.quantized else None
+        ),
+    )
+    engine.page_tables = jnp.asarray(data["page_tables"])
+    engine.lengths = jnp.asarray(data["lengths"])
+    engine.last_tokens = jnp.asarray(data["last_tokens"])
+    engine.active = np.asarray(data["active"])
+    engine.outputs = {int(k): list(v) for k, v in meta["outputs"].items()}
+    engine._next_id = meta["next_id"]
+
+    sched = engine.scheduler
+    for sid, pages in meta["alloc"].items():
+        # Rebind each sequence to its original *physical* pages — page ids
+        # are baked into the snapshotted page tables, so a fresh alloc of
+        # arbitrary free pages would not do.
+        if not sched.allocator.alloc_exact(int(sid), pages):
+            raise ValueError(
+                f"snapshot pages for seq {sid} unavailable in this allocator"
+            )
+    for rid, rd in meta["requests"].items():
+        req = Request(
+            req_id=rd["req_id"],
+            prompt_len=rd["prompt_len"],
+            max_new_tokens=rd["max_new_tokens"],
+        )
+        req.state = RequestState[rd["state"]]
+        req.batch_slot = rd["batch_slot"]
+        req.prefilled = rd["prefilled"]
+        req.generated = rd["generated"]
+        req._prompt = list(rd["prompt"])
+        sched.active[int(rid)] = req
+        if req.batch_slot is not None and req.batch_slot >= 0:
+            sched.slots[req.batch_slot] = req.req_id

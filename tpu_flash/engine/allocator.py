@@ -64,6 +64,11 @@ def _load_native():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.pa_alloc_exact.restype = ctypes.c_int
+            lib.pa_alloc_exact.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
             lib.pa_release.restype = ctypes.c_int32
             lib.pa_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
             lib.pa_get_pages.restype = ctypes.c_int32
@@ -105,6 +110,14 @@ class _NativeAllocator:
             return None
         return list(out[:n])
 
+    def alloc_exact(self, seq_id: int, pages: List[int]) -> bool:
+        """Bind seq_id to exactly these (currently free) pages — the
+        checkpoint-restore path."""
+        arr = (ctypes.c_int32 * max(len(pages), 1))(*pages)
+        return (
+            self._lib.pa_alloc_exact(self._h, seq_id, arr, len(pages)) == 0
+        )
+
     def release(self, seq_id: int) -> int:
         return self._lib.pa_release(self._h, seq_id)
 
@@ -136,6 +149,17 @@ class _PythonAllocator:
         got = [self._free.pop() for _ in range(n)]
         self._seq_pages.setdefault(seq_id, []).extend(got)
         return got
+
+    def alloc_exact(self, seq_id: int, pages: List[int]) -> bool:
+        if len(set(pages)) != len(pages):
+            return False
+        free = set(self._free)
+        if not all(p in free for p in pages):
+            return False
+        wanted = set(pages)
+        self._free = [p for p in self._free if p not in wanted]
+        self._seq_pages.setdefault(seq_id, []).extend(pages)
+        return True
 
     def release(self, seq_id: int) -> int:
         pages = self._seq_pages.pop(seq_id, [])
