@@ -119,12 +119,18 @@ class CacheConfig:
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
-    """Continuous-batching decode engine configuration."""
+    """Continuous-batching decode engine configuration.
+
+    ``health`` is the failure-detection policy (engine/health.py): NaN/Inf
+    watchdog on step logits and optional per-step fetch deadline. Import is
+    deferred to avoid a core→engine cycle; None means defaults.
+    """
 
     max_batch_size: int = 8
     max_seq_len: int = 8192
     prefill_chunk: int = 512
     cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+    health: Optional[object] = None  # engine.health.HealthConfig
 
     def __post_init__(self):
         _check_pos("max_batch_size", self.max_batch_size)

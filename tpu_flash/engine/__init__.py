@@ -1,5 +1,22 @@
 from tpu_flash.engine.allocator import PageAllocator
 from tpu_flash.engine.cache import PagedKVCache
+from tpu_flash.engine.health import (
+    EngineFailure,
+    HealthConfig,
+    HealthMonitor,
+    NumericsError,
+    StepTimeoutError,
+)
 from tpu_flash.engine.scheduler import Request, Scheduler
 
-__all__ = ["PageAllocator", "PagedKVCache", "Request", "Scheduler"]
+__all__ = [
+    "EngineFailure",
+    "HealthConfig",
+    "HealthMonitor",
+    "NumericsError",
+    "PageAllocator",
+    "PagedKVCache",
+    "Request",
+    "Scheduler",
+    "StepTimeoutError",
+]

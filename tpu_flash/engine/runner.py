@@ -31,6 +31,13 @@ import numpy as np
 
 from tpu_flash.core.config import EngineConfig
 from tpu_flash.engine.cache import PagedKVCache
+from tpu_flash.engine.health import (
+    DeadlineFetcher,
+    HealthConfig,
+    HealthMonitor,
+    StepTimer,
+    watchdog_check,
+)
 from tpu_flash.engine.metrics import EngineMetrics
 from tpu_flash.engine.scheduler import Request, RequestState, Scheduler
 from tpu_flash.models.transformer import FlashTransformer, _rms_norm
@@ -80,6 +87,9 @@ class InferenceEngine:
         self.active = np.zeros((mb,), bool)
         self.outputs: Dict[int, List[int]] = {}
         self.metrics = EngineMetrics()
+        self.health_config = config.health or HealthConfig()
+        self.health = HealthMonitor(self.health_config)
+        self._fetcher = DeadlineFetcher(self.health_config.step_timeout_s)
         self._next_id = 0
         self._decode_fn = jax.jit(
             functools.partial(self._decode_step_impl),
@@ -119,12 +129,13 @@ class InferenceEngine:
     def step(self) -> None:
         plan = self.scheduler.step()
         t0 = time.perf_counter()
-        for chunk in plan.prefill:
-            req = self.scheduler.active[chunk.req_id]
-            self._run_prefill(req, chunk)
-        n_decoded = 0
-        if plan.decode_slots:
-            n_decoded = self._run_decode(plan.decode_slots)
+        with StepTimer(self.health):
+            for chunk in plan.prefill:
+                req = self.scheduler.active[chunk.req_id]
+                self._run_prefill(req, chunk)
+            n_decoded = 0
+            if plan.decode_slots:
+                n_decoded = self._run_decode(plan.decode_slots)
         self.metrics.record_step(
             prefill_tokens=sum(c.length for c in plan.prefill),
             decode_tokens=n_decoded,
@@ -161,7 +172,11 @@ class InferenceEngine:
                 page_ids, offsets,
             )
         last = logits[0, n_valid - 1]
-        return cache, last
+        # NaN-watchdog flag: fused into the step, fetched with its results
+        # (engine/health.py). Pad positions are real computations on pad
+        # tokens, so the whole chunk is checked.
+        finite = jnp.all(jnp.isfinite(logits))
+        return cache, last, finite
 
     def _run_prefill(self, req: Request, chunk) -> None:
         prompt = req._prompt
@@ -179,10 +194,15 @@ class InferenceEngine:
         table_row = jnp.asarray(
             table + [self.trash_page] * (pps - len(table)), jnp.int32
         )
-        self.cache, last_logits = self._prefill_fns[bucket](
+        self.cache, last_logits, finite = self._prefill_fns[bucket](
             self.params, self.cache, tokens, table_row, n, None
         )
-        next_token = int(jnp.argmax(last_logits))
+        if self.health_config.check_numerics:
+            watchdog_check(
+                self.health, self._fetcher.fetch(finite),
+                phase="prefill", request_ids=[req.req_id],
+            )
+        next_token = int(self._fetcher.fetch(jnp.argmax(last_logits)))
         slot = req.batch_slot
         self.page_tables = self.page_tables.at[slot].set(table_row)
         self.lengths = self.lengths.at[slot].set(n)
@@ -232,7 +252,14 @@ class InferenceEngine:
         logits = (x @ params["lm_head"]).astype(jnp.float32)
         next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         new_lengths = jnp.where(active_mask, lengths + 1, lengths)
-        return cache, next_tokens, new_lengths
+        # NaN watchdog over ACTIVE slots only (inactive slots attend to the
+        # trash page and may legitimately produce garbage).
+        finite = jnp.all(
+            jnp.where(
+                active_mask[:, None], jnp.isfinite(logits), True
+            )
+        )
+        return cache, next_tokens, new_lengths, finite
 
     def _run_decode(self, decode_slots: List[int]) -> int:
         mask = np.zeros((self.config.max_batch_size,), bool)
@@ -240,11 +267,21 @@ class InferenceEngine:
             mask[s] = True
         mask &= self.active
         active_mask = jnp.asarray(mask)
-        self.cache, next_tokens, self.lengths = self._decode_fn(
+        self.cache, next_tokens, self.lengths, finite = self._decode_fn(
             self.params, self.cache, self.last_tokens, self.lengths,
             self.page_tables, active_mask,
         )
-        next_host = np.asarray(next_tokens)
+        next_host = self._fetcher.fetch(next_tokens)
+        if self.health_config.check_numerics:
+            rids = [
+                self.scheduler.slots[s]
+                for s in decode_slots
+                if mask[s] and self.scheduler.slots[s] is not None
+            ]
+            watchdog_check(
+                self.health, self._fetcher.fetch(finite),
+                phase="decode", request_ids=rids,
+            )
         n = 0
         for s in decode_slots:
             if not mask[s]:
