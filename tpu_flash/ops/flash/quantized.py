@@ -19,6 +19,9 @@ does not show up and the scale multiplies add VPU passes. The win is
 *memory*, not compute: half the HBM traffic and activation footprint,
 which is what matters when attention inputs come from a quantized serving
 stack (and is the enabler for 8K+ contexts per BASELINE config 4).
+FP8 (e4m3) on v5e additionally pays a *software* fp8→bf16 cast per tile
+(no native fp8 MXU until v6e) and measures ~2.4x slower than INT8 at the
+same shapes — prefer INT8 on v5-generation chips.
 
 Scale layouts (chosen so every tile the kernel touches is lane-aligned):
   * Q scales: lane-replicated  [b, hq, q_len, 128] f32 — a [block_q, 128]
