@@ -127,3 +127,52 @@ class TestRingAttention:
         out = ring_attention(q, k, v, mesh, causal=True, interpret=True)
         ref = reference_attention(q, k, v, causal=True)
         np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-5)
+
+
+class TestUlyssesAttention:
+    """All-to-all SP (parallel/ulysses.py): same contract as ring, exact
+    single-chip causal semantics after the head-scatter/seq-gather."""
+
+    @requires_8
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_ulysses_parity_4way(self, causal):
+        from tpu_flash.parallel import ulysses_attention
+
+        mesh = build_mesh(MeshConfig(data=1, model=1, seq=4))
+        q, k, v = _qkv(jax.random.PRNGKey(6), 1, 4, 4, 256, 256, 64)
+        fn = ulysses_attention(mesh, causal=causal, interpret=True)
+        out = fn(q, k, v)
+        ref = reference_attention(q, k, v, causal=causal)
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-5)
+
+    @requires_8
+    def test_ulysses_gqa(self):
+        from tpu_flash.parallel import ulysses_attention
+
+        mesh = build_mesh(MeshConfig(data=1, model=1, seq=2))
+        q, k, v = _qkv(jax.random.PRNGKey(7), 2, 8, 2, 256, 256, 64)
+        fn = ulysses_attention(mesh, causal=True, interpret=True)
+        out = fn(q, k, v)
+        ref = reference_gqa_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-5)
+
+    @requires_8
+    def test_ulysses_head_divisibility_error(self):
+        from tpu_flash.parallel import ulysses_attention
+
+        mesh = build_mesh(MeshConfig(data=1, model=1, seq=4))
+        # 2 kv heads over a 4-way seq axis: must refuse with guidance.
+        q, k, v = _qkv(jax.random.PRNGKey(8), 1, 4, 2, 256, 256, 64)
+        fn = ulysses_attention(mesh, causal=False, interpret=True)
+        with pytest.raises(ValueError, match="ring attention"):
+            fn(q, k, v)
+
+    @requires_8
+    def test_ulysses_matches_ring(self):
+        from tpu_flash.parallel import ulysses_attention
+
+        mesh = build_mesh(MeshConfig(data=1, model=1, seq=4))
+        q, k, v = _qkv(jax.random.PRNGKey(9), 1, 4, 4, 512, 512, 64)
+        out_u = ulysses_attention(mesh, causal=True, interpret=True)(q, k, v)
+        out_r = ring_attention(q, k, v, mesh, causal=True, interpret=True)
+        np.testing.assert_allclose(out_u, out_r, atol=3e-5, rtol=3e-5)
