@@ -284,7 +284,7 @@ def paged_attention(
     page_indices: jax.Array,  # [batch, pages_per_seq] int32
     *,
     sm_scale: Optional[float] = None,
-    pages_per_compute_block: int = 4,
+    pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Single-token GQA decode attention over a paged (optionally quantized)
@@ -299,7 +299,13 @@ def paged_attention(
       page_indices: page table; entry [b, j] is the physical page holding
         tokens [j*page_size, (j+1)*page_size) of sequence b.
       pages_per_compute_block: pages per kernel block (block kv size =
-        pages_per_compute_block * page_size).
+        pages_per_compute_block * page_size). Default (None) adapts to the
+        cache: ~4096 tokens per block for quantized pages / ~2048 for fp —
+        measured optima on v5e, where the per-grid-cell fixed cost dominates
+        small blocks (BENCHLOG.md). Every page id in a block must be a valid
+        page (pad short sequences' tables with a trash page, as the engine
+        does); sequences much shorter than the block waste page reads —
+        pass a smaller explicit value if your workload is short-context.
 
     Returns:
       [batch, num_q_heads, head_dim] attention output in q.dtype.
@@ -339,7 +345,15 @@ def paged_attention(
     # Pad the per-group query rows to the f32 sublane minimum (8) so the
     # VMEM state tiles are hardware-shaped; pad rows are sliced off after.
     q_per_kv_p = (q_per_kv + 7) // 8 * 8
-    ppb = min(pages_per_compute_block, pages_per_seq)
+    if pages_per_compute_block is None:
+        # Measured v5e optima: larger blocks amortize the per-cell fixed
+        # cost; quantized payloads (4x smaller DMAs) want 2x the tokens.
+        target_tokens = 4096 if kv_quant else 2048
+        ppb = max(1, min(target_tokens // page_size, pages_per_seq))
+        while pages_per_seq % ppb:
+            ppb -= 1
+    else:
+        ppb = min(pages_per_compute_block, pages_per_seq)
     if pages_per_seq % ppb:
         raise ValueError(
             f"pages_per_seq ({pages_per_seq}) must be a multiple of "
