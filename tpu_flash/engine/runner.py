@@ -4,11 +4,14 @@ Ties together the flagship model (models/transformer.py), the paged cache
 (engine/cache.py), the native page allocator, and the scheduler
 (engine/scheduler.py):
 
-  * prefill: whole-prompt causal forward through the flash kernel; K/V of
-    every prompt token appended (quantizing on the fly) into the sequence's
-    pages; the last-position logits emit the first generated token.
-    (Chunked prefill against paged history needs a ragged prefill kernel —
-    roadmapped in ROADMAP.md.)
+  * prefill: chunked causal forward through the flash kernel. Each chunk
+    attends to the sequence's paged history (gathered dense + dequantized
+    per layer, exactly what decode reads) plus itself with a static
+    ``q_offset``; its K/V append (quantizing on the fly) into the
+    sequence's pages. The final chunk's last-position logits emit the
+    first generated token. Prompts of any length up to the cache's
+    max_context stream through ``prefill_chunk``-sized steps, interleaving
+    with decode of running sequences (continuous batching).
   * decode: one fused step for the whole batch — per layer: project Q/K/V
     for the current token, append K/V to pages, run the paged GQA decode
     kernel. Inactive batch slots write to a reserved trash page so the
@@ -41,6 +44,7 @@ from tpu_flash.engine.health import (
 from tpu_flash.engine.metrics import EngineMetrics
 from tpu_flash.engine.scheduler import Request, RequestState, Scheduler
 from tpu_flash.models.transformer import FlashTransformer, _rms_norm
+from tpu_flash.ops.flash import flash_attention
 
 
 def _pow2_bucket(n: int, lo: int = 8) -> int:
@@ -107,12 +111,6 @@ class InferenceEngine:
             prompt_len=len(prompt),
             max_new_tokens=max_new_tokens,
         )
-        if len(prompt) > self.config.prefill_chunk:
-            raise ValueError(
-                f"prompt ({len(prompt)}) exceeds prefill_chunk "
-                f"({self.config.prefill_chunk}); chunked prefill over paged "
-                f"history is not yet supported"
-            )
         req._prompt = list(prompt)  # host-side stash
         self.scheduler.add_request(req)
         self.outputs[req_id] = []
@@ -146,31 +144,85 @@ class InferenceEngine:
 
     # -- prefill ---------------------------------------------------------------
 
-    def _prefill_impl(self, params, cache, tokens, table_row, n_valid,
-                      slot_pages_padded):
-        """tokens: [1, bucket]; appends K/V for the first n_valid tokens
-        (pad tokens go to the trash page) and returns (cache, logits of the
-        last valid position)."""
+    def _gather_history(self, cache, layer: int, table_row, hist_len: int):
+        """Dense (dequantized) K/V of the first ``hist_len`` cached tokens
+        of one sequence — exactly the bytes the decode kernel would read,
+        materialized for the chunk's flash-attention call. ``hist_len`` is
+        static (chunk starts are multiples of prefill_chunk), so shapes and
+        the q_offset of the attention call compile once per chunk index."""
+        from tpu_flash.ops.quant import QuantizedTensor, dequantize
+
+        ps = self.config.cache.page_size
+        n_pages = -(-hist_len // ps)
+        pages = table_row[:n_pages]
+        dtype = self.model.dtype
+
+        def gather(pages_arr, scales_arr):
+            vals = pages_arr[layer][:, pages]  # [hkv, np, page_rows, d]
+            if cache.quantized:
+                packing = "tokens" if cache.kv_dtype == "int4" else "lanes"
+                scales = scales_arr[layer][:, pages]  # [hkv, np, ps]
+                dense = dequantize(
+                    QuantizedTensor(
+                        vals, scales[..., None], cache.kv_dtype, packing
+                    ),
+                    dtype,
+                )
+            else:
+                dense = vals.astype(dtype)
+            hkv, np_, ps_, d = dense.shape
+            return dense.reshape(hkv, np_ * ps_, d)[None, :, :hist_len]
+
+        return (
+            gather(cache.k_pages, cache.k_scales),
+            gather(cache.v_pages, cache.v_scales),
+        )
+
+    def _chunked_prefill_impl(self, hist_len, params, cache, tokens,
+                              table_row, n_valid):
+        """One prefill chunk: tokens [1, bucket] at absolute positions
+        [hist_len, hist_len + bucket). Attends to the paged history plus
+        itself (causal, static q_offset = hist_len); appends the first
+        n_valid tokens' K/V into the sequence's pages (pads go to the trash
+        page). Returns (cache, last-valid-position logits, finite flag)."""
         model = self.model
         cfg = model.config
         ps = self.config.cache.page_size
         bucket = tokens.shape[1]
-        logits, kvs = model.forward(
-            params, tokens, q_offset=0, interpret=self.interpret,
-            return_kv=True,
-        )
-        positions = jnp.arange(bucket)
-        valid = positions < n_valid
+        x = params["embed"][tokens].astype(model.dtype)
+        rel = jnp.arange(bucket)
+        positions = hist_len + rel
+        valid = rel < n_valid
         page_ids = jnp.where(
             valid, table_row[positions // ps], self.trash_page
         )
         offsets = positions % ps
-        for li, (k, v) in enumerate(kvs):
-            # [1, hkv, s, d] -> [s, hkv, d]
+        for li, layer in enumerate(params["layers"]):
+            xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+            q, k, v = model._qkv(layer, xn, positions)
+            if hist_len:
+                hk, hv = self._gather_history(
+                    cache, li, table_row, hist_len
+                )
+                k_all = jnp.concatenate([hk, k.astype(hk.dtype)], axis=2)
+                v_all = jnp.concatenate([hv, v.astype(hv.dtype)], axis=2)
+            else:
+                k_all, v_all = k, v
             cache = cache.append(
                 li, k[0].transpose(1, 0, 2), v[0].transpose(1, 0, 2),
                 page_ids, offsets,
             )
+            attn = flash_attention(
+                q, k_all, v_all, causal=True, q_offset=hist_len,
+                interpret=self.interpret,
+            )
+            b_, h_, s_, d_ = attn.shape
+            attn = attn.transpose(0, 2, 1, 3).reshape(b_, s_, h_ * d_)
+            x = x + attn @ layer["wo"]
+            xn = _rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+            x = x + model._mlp(layer, xn)
+        x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+        logits = (x @ params["lm_head"]).astype(jnp.float32)
         last = logits[0, n_valid - 1]
         # NaN-watchdog flag: fused into the step, fetched with its results
         # (engine/health.py). Pad positions are real computations on pad
@@ -180,36 +232,41 @@ class InferenceEngine:
 
     def _run_prefill(self, req: Request, chunk) -> None:
         prompt = req._prompt
-        n = len(prompt)
-        bucket = _pow2_bucket(max(n, 8))
-        if bucket not in self._prefill_fns:
-            self._prefill_fns[bucket] = jax.jit(
-                self._prefill_impl, donate_argnums=(1,)
+        chunk_tokens = prompt[chunk.start : chunk.start + chunk.length]
+        bucket = _pow2_bucket(max(chunk.length, 8))
+        key = (chunk.start, bucket)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = jax.jit(
+                functools.partial(self._chunked_prefill_impl, chunk.start),
+                donate_argnums=(1,),
             )
         tokens = jnp.asarray(
-            prompt + [0] * (bucket - n), jnp.int32
+            chunk_tokens + [0] * (bucket - chunk.length), jnp.int32
         )[None]
         table = self.scheduler.page_table(req.req_id)
         pps = self.config.cache.max_pages_per_seq
         table_row = jnp.asarray(
             table + [self.trash_page] * (pps - len(table)), jnp.int32
         )
-        self.cache, last_logits, finite = self._prefill_fns[bucket](
-            self.params, self.cache, tokens, table_row, n, None
+        self.cache, last_logits, finite = self._prefill_fns[key](
+            self.params, self.cache, tokens, table_row, chunk.length
         )
         if self.health_config.check_numerics:
             watchdog_check(
                 self.health, self._fetcher.fetch(finite),
                 phase="prefill", request_ids=[req.req_id],
             )
-        next_token = int(self._fetcher.fetch(jnp.argmax(last_logits)))
         slot = req.batch_slot
+        new_len = chunk.start + chunk.length
         self.page_tables = self.page_tables.at[slot].set(table_row)
-        self.lengths = self.lengths.at[slot].set(n)
-        self.last_tokens = self.last_tokens.at[slot].set(next_token)
-        self.active[slot] = True
-        self.outputs[req.req_id].append(next_token)
-        self.scheduler.report_decoded(req.req_id)
+        self.lengths = self.lengths.at[slot].set(new_len)
+        if new_len >= req.prompt_len:
+            # Final chunk: its last-position logits emit the first token.
+            next_token = int(self._fetcher.fetch(jnp.argmax(last_logits)))
+            self.last_tokens = self.last_tokens.at[slot].set(next_token)
+            self.active[slot] = True
+            self.outputs[req.req_id].append(next_token)
+            self.scheduler.report_decoded(req.req_id)
 
     # -- decode ------------------------------------------------------------------
 
