@@ -1,0 +1,146 @@
+"""Sampling tests: greedy/temperature/top-k/top-p semantics, per-slot mixes
+in one fused step, engine integration, and determinism under a fixed seed."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.core.config import CacheConfig, EngineConfig
+from tpu_flash.engine.runner import InferenceEngine
+from tpu_flash.engine.sampling import GREEDY, SamplingParams, sample_tokens
+from tpu_flash.models import TINY_TEST, FlashTransformer
+
+
+def _params(batch, temperature=1.0, top_k=0, top_p=1.0):
+    return (
+        jnp.full((batch,), temperature, jnp.float32),
+        jnp.full((batch,), top_k, jnp.int32),
+        jnp.full((batch,), top_p, jnp.float32),
+    )
+
+
+class TestSampleTokens:
+    def test_greedy_at_zero_temperature(self):
+        logits = jnp.asarray([[0.1, 2.0, -1.0], [3.0, 0.0, 0.5]])
+        t, k, p = _params(2, temperature=0.0)
+        out = sample_tokens(logits, jax.random.PRNGKey(0), t, k, p)
+        np.testing.assert_array_equal(np.asarray(out), [1, 0])
+
+    def test_top_k_1_equals_greedy_at_any_temperature(self):
+        logits = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+        t, k, p = _params(4, temperature=5.0, top_k=1)
+        out = sample_tokens(logits, jax.random.PRNGKey(2), t, k, p)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(jnp.argmax(logits, -1))
+        )
+
+    def test_top_k_restricts_support(self):
+        logits = jax.random.normal(jax.random.PRNGKey(3), (2, 128))
+        t, k, p = _params(2, temperature=2.0, top_k=5)
+        top5 = jnp.argsort(-logits, axis=-1)[:, :5]
+        for i in range(50):
+            out = sample_tokens(logits, jax.random.PRNGKey(i), t, k, p)
+            for b in range(2):
+                assert int(out[b]) in np.asarray(top5[b])
+
+    def test_top_p_keeps_nucleus_only(self):
+        # One dominant token (p ~ 0.97): top_p=0.9 must always pick it.
+        logits = jnp.asarray([[10.0] + [0.0] * 63])
+        t, k, p = _params(1, temperature=1.0, top_p=0.9)
+        for i in range(20):
+            out = sample_tokens(logits, jax.random.PRNGKey(i), t, k, p)
+            assert int(out[0]) == 0
+
+    def test_top_p_1_allows_tail(self):
+        logits = jnp.zeros((1, 8))  # uniform
+        t, k, p = _params(1, temperature=1.0, top_p=1.0)
+        seen = {
+            int(sample_tokens(logits, jax.random.PRNGKey(i), t, k, p)[0])
+            for i in range(64)
+        }
+        assert len(seen) > 4  # samples spread over the uniform support
+
+    def test_per_row_mixed_params(self):
+        logits = jnp.asarray([[0.0, 5.0, 0.0, 0.0]] * 2)
+        t = jnp.asarray([0.0, 10.0], jnp.float32)  # row0 greedy, row1 hot
+        k = jnp.asarray([0, 0], jnp.int32)
+        p = jnp.asarray([1.0, 1.0], jnp.float32)
+        hits = set()
+        for i in range(40):
+            out = sample_tokens(logits, jax.random.PRNGKey(i), t, k, p)
+            assert int(out[0]) == 1  # greedy row always argmax
+            hits.add(int(out[1]))
+        assert len(hits) > 1  # hot row actually samples
+
+    def test_param_validation(self):
+        with pytest.raises(ValueError):
+            SamplingParams(temperature=-1)
+        with pytest.raises(ValueError):
+            SamplingParams(top_k=-1)
+        with pytest.raises(ValueError):
+            SamplingParams(top_p=0.0)
+
+
+class TestEngineSampling:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = FlashTransformer(TINY_TEST)
+        return model, model.init(jax.random.PRNGKey(0))
+
+    def _engine(self, model, params, seed=0):
+        cfg = EngineConfig(
+            max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+            cache=CacheConfig(
+                page_size=8, num_pages=64, max_pages_per_seq=8,
+                kv_dtype="float32",
+            ),
+        )
+        return InferenceEngine(model, params, cfg, interpret=True, seed=seed)
+
+    def test_greedy_default_unchanged(self, model_and_params):
+        model, params = model_and_params
+        e1 = self._engine(model, params, seed=1)
+        e2 = self._engine(model, params, seed=2)
+        prompt = [3, 14, 15]
+        r1 = e1.submit(prompt, 4)
+        r2 = e2.submit(prompt, 4)
+        # Greedy is seed-independent.
+        assert e1.run()[r1] == e2.run()[r2]
+
+    def test_sampled_run_is_seed_deterministic(self, model_and_params):
+        model, params = model_and_params
+        sp = SamplingParams(temperature=1.0, top_k=20)
+        outs = []
+        for _ in range(2):
+            eng = self._engine(model, params, seed=7)
+            rid = eng.submit([3, 14, 15], 6, sampling=sp)
+            outs.append(eng.run()[rid])
+        assert outs[0] == outs[1]  # same seed → same stream
+
+    def test_hot_sampling_differs_from_greedy(self, model_and_params):
+        model, params = model_and_params
+        eng_g = self._engine(model, params)
+        rid_g = eng_g.submit([3, 14, 15], 8)
+        greedy_out = eng_g.run()[rid_g]
+        # Very hot temperature: overwhelmingly unlikely to match greedy.
+        eng_s = self._engine(model, params, seed=11)
+        rid_s = eng_s.submit(
+            [3, 14, 15], 8, sampling=SamplingParams(temperature=8.0)
+        )
+        assert eng_s.run()[rid_s] != greedy_out
+
+    def test_mixed_batch_greedy_and_sampled(self, model_and_params):
+        model, params = model_and_params
+        eng = self._engine(model, params, seed=3)
+        rid_g = eng.submit([3, 14, 15], 5)  # greedy
+        rid_s = eng.submit(
+            [9, 9, 9], 5, sampling=SamplingParams(temperature=2.0, top_p=0.9)
+        )
+        out = eng.run()
+        # Greedy stream matches a greedy-only engine (sampling of the other
+        # slot must not perturb it).
+        ref = self._engine(model, params, seed=99)
+        rid_ref = ref.submit([3, 14, 15], 5)
+        assert out[rid_g] == ref.run()[rid_ref]
+        assert len(out[rid_s]) == 5

@@ -135,6 +135,10 @@ def snapshot_engine(path, engine) -> None:
         "lengths": np.asarray(engine.lengths),
         "last_tokens": np.asarray(engine.last_tokens),
         "active": np.asarray(engine.active),
+        "temps": np.asarray(engine.temps),
+        "top_ks": np.asarray(engine.top_ks),
+        "top_ps": np.asarray(engine.top_ps),
+        "rng": np.asarray(engine._rng),
     }
     if cache.quantized:
         arrays["k_scales"] = np.asarray(cache.k_scales)
@@ -153,6 +157,10 @@ def snapshot_engine(path, engine) -> None:
             "prefilled": req.prefilled,
             "generated": req.generated,
             "prompt": list(getattr(req, "_prompt", [])),
+            "sampling": [
+                req.sampling.temperature, req.sampling.top_k,
+                req.sampling.top_p,
+            ],
         }
     # Pages are allocated per req_id at admission and released at retirement,
     # so scheduler.active is exactly the set of sequences that own pages.
@@ -206,6 +214,11 @@ def restore_engine(path, engine) -> None:
     engine.lengths = jnp.asarray(data["lengths"])
     engine.last_tokens = jnp.asarray(data["last_tokens"])
     engine.active = np.asarray(data["active"])
+    if "temps" in data:  # snapshots from before sampling support lack these
+        engine.temps = np.asarray(data["temps"])
+        engine.top_ks = np.asarray(data["top_ks"])
+        engine.top_ps = np.asarray(data["top_ps"])
+        engine._rng = jnp.asarray(data["rng"])
     engine.outputs = {int(k): list(v) for k, v in meta["outputs"].items()}
     engine._next_id = meta["next_id"]
 
@@ -224,6 +237,13 @@ def restore_engine(path, engine) -> None:
             prompt_len=rd["prompt_len"],
             max_new_tokens=rd["max_new_tokens"],
         )
+        if "sampling" in rd:
+            from tpu_flash.engine.sampling import SamplingParams
+
+            t, k, p = rd["sampling"]
+            req.sampling = SamplingParams(
+                temperature=t, top_k=int(k), top_p=p
+            )
         req.state = RequestState[rd["state"]]
         req.batch_slot = rd["batch_slot"]
         req.prefilled = rd["prefilled"]

@@ -42,6 +42,7 @@ from tpu_flash.engine.health import (
     watchdog_check,
 )
 from tpu_flash.engine.metrics import EngineMetrics
+from tpu_flash.engine.sampling import GREEDY, SamplingParams, sample_tokens
 from tpu_flash.engine.scheduler import Request, RequestState, Scheduler
 from tpu_flash.models.transformer import FlashTransformer, _rms_norm
 from tpu_flash.ops.flash import flash_attention
@@ -61,6 +62,7 @@ class InferenceEngine:
         params,
         config: EngineConfig,
         interpret: Optional[bool] = None,
+        seed: int = 0,
     ):
         cfg = model.config
         self.model = model
@@ -89,6 +91,12 @@ class InferenceEngine:
         self.lengths = jnp.zeros((mb,), jnp.int32)
         self.last_tokens = jnp.zeros((mb,), jnp.int32)
         self.active = np.zeros((mb,), bool)
+        # Per-slot sampling parameters (engine/sampling.py); greedy default.
+        self.temps = np.zeros((mb,), np.float32)
+        self.top_ks = np.zeros((mb,), np.int32)
+        self.top_ps = np.ones((mb,), np.float32)
+        self._rng = jax.random.PRNGKey(seed)
+        self._sample_fn = jax.jit(sample_tokens)
         self.outputs: Dict[int, List[int]] = {}
         self.metrics = EngineMetrics()
         self.health_config = config.health or HealthConfig()
@@ -103,13 +111,19 @@ class InferenceEngine:
 
     # -- client API ----------------------------------------------------------
 
-    def submit(self, prompt: List[int], max_new_tokens: int) -> int:
+    def submit(
+        self,
+        prompt: List[int],
+        max_new_tokens: int,
+        sampling: SamplingParams = GREEDY,
+    ) -> int:
         req_id = self._next_id
         self._next_id += 1
         req = Request(
             req_id=req_id,
             prompt_len=len(prompt),
             max_new_tokens=max_new_tokens,
+            sampling=sampling,
         )
         req._prompt = list(prompt)  # host-side stash
         self.scheduler.add_request(req)
@@ -260,9 +274,24 @@ class InferenceEngine:
         new_len = chunk.start + chunk.length
         self.page_tables = self.page_tables.at[slot].set(table_row)
         self.lengths = self.lengths.at[slot].set(new_len)
+        sp = req.sampling
+        self.temps[slot] = sp.temperature
+        self.top_ks[slot] = sp.top_k
+        self.top_ps[slot] = sp.top_p
         if new_len >= req.prompt_len:
-            # Final chunk: its last-position logits emit the first token.
-            next_token = int(self._fetcher.fetch(jnp.argmax(last_logits)))
+            # Final chunk: its last-position logits emit the first token,
+            # sampled with the request's parameters.
+            self._rng, sk = jax.random.split(self._rng)
+            next_token = int(
+                self._fetcher.fetch(
+                    self._sample_fn(
+                        last_logits[None], sk,
+                        jnp.asarray([sp.temperature], jnp.float32),
+                        jnp.asarray([sp.top_k], jnp.int32),
+                        jnp.asarray([sp.top_p], jnp.float32),
+                    )[0]
+                )
+            )
             self.last_tokens = self.last_tokens.at[slot].set(next_token)
             self.active[slot] = True
             self.outputs[req.req_id].append(next_token)
@@ -271,7 +300,7 @@ class InferenceEngine:
     # -- decode ------------------------------------------------------------------
 
     def _decode_step_impl(self, params, cache, tokens, lengths, page_tables,
-                          active_mask):
+                          active_mask, key, temps, top_ks, top_ps):
         """One decode token for every batch slot (inactive slots write to
         the trash page and their outputs are ignored)."""
         model = self.model
@@ -307,7 +336,7 @@ class InferenceEngine:
             x = x + model._mlp(layer, xn)
         x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
         logits = (x @ params["lm_head"]).astype(jnp.float32)
-        next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tokens = sample_tokens(logits, key, temps, top_ks, top_ps)
         new_lengths = jnp.where(active_mask, lengths + 1, lengths)
         # NaN watchdog over ACTIVE slots only (inactive slots attend to the
         # trash page and may legitimately produce garbage).
@@ -324,9 +353,12 @@ class InferenceEngine:
             mask[s] = True
         mask &= self.active
         active_mask = jnp.asarray(mask)
+        self._rng, step_key = jax.random.split(self._rng)
         self.cache, next_tokens, self.lengths, finite = self._decode_fn(
             self.params, self.cache, self.last_tokens, self.lengths,
-            self.page_tables, active_mask,
+            self.page_tables, active_mask, step_key,
+            jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+            jnp.asarray(self.top_ps),
         )
         next_host = self._fetcher.fetch(next_tokens)
         if self.health_config.check_numerics:

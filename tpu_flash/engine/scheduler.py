@@ -18,6 +18,7 @@ from typing import Deque, Dict, List, Optional
 
 from tpu_flash.core.config import EngineConfig
 from tpu_flash.engine.allocator import PageAllocator
+from tpu_flash.engine.sampling import GREEDY, SamplingParams
 
 
 class RequestState(enum.Enum):
@@ -32,6 +33,7 @@ class Request:
     req_id: int
     prompt_len: int
     max_new_tokens: int
+    sampling: SamplingParams = GREEDY
     state: RequestState = RequestState.WAITING
     # progress
     prefilled: int = 0  # prompt tokens already prefetched into the cache
