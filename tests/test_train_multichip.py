@@ -91,3 +91,82 @@ def test_two_steps_loss_decreases():
     p, l1 = step(p, tokens)
     p, l2 = step(p, tokens)
     assert float(l2) < float(l1)
+
+
+def _setup():
+    model = FlashTransformer(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(3), (8, 32), 0, CFG.vocab_size, jnp.int32
+    )
+    mesh = build_mesh(MeshConfig(data=2, model=2, seq=2))
+    return model, params, mesh, tokens
+
+
+class TestOptaxTraining:
+    """Optax optimizer above the shard_map: sharded grads feed adamw whose
+    state rides the param shardings; training resumes exactly from a
+    TrainCheckpointManager checkpoint."""
+
+    @requires_8
+    def test_adamw_loss_decreases(self):
+        import optax
+
+        model, params, mesh, tokens = _setup()
+        shard_params, build = make_train_step(
+            model, mesh, optimizer=optax.adamw(3e-3), interpret=True
+        )
+        p = shard_params(params)
+        opt = optax.adamw(3e-3)
+        opt_state = jax.jit(opt.init)(p)
+        step = build(p)
+        losses = []
+        for _ in range(5):
+            p, opt_state, loss = step(p, opt_state, tokens)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+    @requires_8
+    def test_checkpoint_resume_bitexact(self, tmp_path):
+        import optax
+
+        from tpu_flash.checkpoint import TrainCheckpointManager
+
+        model, params, mesh, tokens = _setup()
+        opt = optax.sgd(1e-2, momentum=0.9)
+        shard_params, build = make_train_step(
+            model, mesh, optimizer=opt, interpret=True
+        )
+        p = shard_params(params)
+        opt_state = jax.jit(opt.init)(p)
+        step = build(p)
+
+        # 2 steps, checkpoint, 2 more → golden.
+        for _ in range(2):
+            p, opt_state, _ = step(p, opt_state, tokens)
+        with TrainCheckpointManager(tmp_path / "t") as mgr:
+            mgr.save(2, p, opt_state)
+        golden = p
+        for _ in range(2):
+            golden, opt_state, _ = step(golden, opt_state, tokens)
+
+        # Restore in "new process" (fresh trees) and continue 2 steps.
+        # (On CPU, device_put aliases + the step donates — the original
+        # `params` buffers are gone, so rebuild from the seed.)
+        params2 = model.init(jax.random.PRNGKey(0))
+        p2 = shard_params(params2)
+        os2 = jax.jit(opt.init)(p2)
+        with TrainCheckpointManager(tmp_path / "t") as mgr:
+            step_idx, rp, ros = mgr.restore_latest(
+                like_params=p2, like_opt_state=os2
+            )
+        assert step_idx == 2
+        rp = shard_params(rp)
+        ros = jax.tree.map(jnp.asarray, ros)
+        for _ in range(2):
+            rp, ros, _ = step(rp, ros, tokens)
+        for a, b in zip(jax.tree.leaves(golden), jax.tree.leaves(rp)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-6,
+            )

@@ -106,12 +106,21 @@ def make_train_step(
     mesh: Mesh,
     *,
     learning_rate: float = 1e-3,
+    optimizer=None,  # optax.GradientTransformation; None → plain SGD
     interpret: bool = True,
 ):
     """Build (shard_params, train_step) for the mesh.
 
-    train_step(params, tokens) -> (params, loss); params sharded per
-    param_specs, tokens [batch, seq] sharded P("data", "seq").
+    Without ``optimizer``: train_step(params, tokens) -> (params, loss)
+    using plain SGD at ``learning_rate``. With an optax ``optimizer``:
+    train_step(params, opt_state, tokens) -> (params, opt_state, loss);
+    gradients come out of the shard_map sharded exactly like the params,
+    and the optax update runs under the same jit — elementwise, so XLA
+    keeps every state leaf on its param's sharding with zero extra
+    collectives. Initialize state with ``optimizer.init(shard_params(p))``.
+
+    Params sharded per param_specs; tokens [batch, seq] sharded
+    P("data", "seq").
     """
     cfg = model.config
     n_model = mesh.shape["model"]
@@ -194,6 +203,10 @@ def make_train_step(
         grads = jax.tree.map(
             lambda g: jax.lax.psum(g, ("data", "seq")) / count, grads
         )
+        if optimizer is not None:
+            # Hand the (param-sharded) grads out; optax runs above the
+            # shard_map where its state pytree rides the same shardings.
+            return grads, loss
         new_p = jax.tree.map(
             lambda w, g: (w - learning_rate * g.astype(jnp.float32)).astype(
                 w.dtype
@@ -213,7 +226,20 @@ def make_train_step(
             out_specs=(specs, P()),
             check_vma=False,
         )
-        return jax.jit(step, donate_argnums=(0,))
+        if optimizer is None:
+            return jax.jit(step, donate_argnums=(0,))
+
+        def opt_step(p, opt_state, tokens):
+            grads, loss = step(p, tokens)
+            updates, opt_state = optimizer.update(grads, opt_state, p)
+            new_p = jax.tree.map(
+                lambda w, u: (w.astype(jnp.float32) + u).astype(w.dtype),
+                p,
+                updates,
+            )
+            return new_p, opt_state, loss
+
+        return jax.jit(opt_step, donate_argnums=(0, 1))
 
     def shard_params(params):
         specs = _specs_for(params)
