@@ -79,9 +79,13 @@ class _MultiPageCopy:
                 )
             )
             if scales_hbm is not None:
+                # Scales are [hkv, np, 1, ps]: the page dim is an untiled
+                # batch dim, so single-page slices stay sublane-aligned at
+                # any page_size (a flat [hkv, np, ps] layout trips Mosaic's
+                # (8,128)-tiling alignment for ps > 128).
                 self._scale_copies.append(
                     pltpu.make_async_copy(
-                        scales_hbm.at[h, pidx],
+                        scales_hbm.at[h, pidx, 0],
                         scale_buf.at[
                             slot, 0, pl.ds(j * page_size, page_size)
                         ],
@@ -326,8 +330,10 @@ def paged_attention(
             )
         k_vals, k_scales = k_pages.values, k_pages.scales
         v_vals, v_scales = v_pages.values, v_pages.scales
-        k_scales = k_scales.squeeze(-1)  # [hkv, pages, page_size]
-        v_scales = v_scales.squeeze(-1)
+        # [hkv, np, ps, 1] -> [hkv, np, 1, ps]: page dim becomes an untiled
+        # batch dim so per-page DMA slices are alignment-free at any ps.
+        k_scales = k_scales.squeeze(-1)[:, :, None, :]
+        v_scales = v_scales.squeeze(-1)[:, :, None, :]
     else:
         k_vals, v_vals = k_pages, v_pages
 
