@@ -18,10 +18,11 @@ namespace {
 
 struct PageAllocator {
   std::vector<int32_t> free_stack;          // LIFO free list
+  std::vector<int32_t> refcount;            // per-page reference count
   std::unordered_map<int64_t, std::vector<int32_t>> seq_pages;
   int32_t num_pages;
 
-  explicit PageAllocator(int32_t n) : num_pages(n) {
+  explicit PageAllocator(int32_t n) : refcount(n, 0), num_pages(n) {
     free_stack.reserve(n);
     // Push in reverse so pages are handed out in ascending order initially
     // (keeps early DMA patterns contiguous-ish).
@@ -38,18 +39,63 @@ struct PageAllocator {
     for (int32_t i = 0; i < n; ++i) {
       int32_t p = free_stack.back();
       free_stack.pop_back();
+      refcount[p] = 1;
       pages.push_back(p);
       out[i] = p;
     }
     return 0;
   }
 
-  // Release every page owned by `seq`. Returns the number released.
+  // Bind `seq` to already-live pages (prefix sharing): refcount++ each.
+  // All-or-nothing; every page must be in range with refcount >= 1.
+  int share(int64_t seq, const int32_t* pages, int32_t n) {
+    if (n < 0) return -1;
+    for (int32_t i = 0; i < n; ++i) {
+      if (pages[i] < 0 || pages[i] >= num_pages || refcount[pages[i]] < 1)
+        return -1;
+    }
+    auto& owned = seq_pages[seq];
+    for (int32_t i = 0; i < n; ++i) {
+      ++refcount[pages[i]];
+      owned.push_back(pages[i]);
+    }
+    return 0;
+  }
+
+  // Refcount++ on live pages with no sequence binding (a prefix index
+  // retaining them past their sequences' lifetimes).
+  int retain(const int32_t* pages, int32_t n) {
+    if (n < 0) return -1;
+    for (int32_t i = 0; i < n; ++i) {
+      if (pages[i] < 0 || pages[i] >= num_pages || refcount[pages[i]] < 1)
+        return -1;
+    }
+    for (int32_t i = 0; i < n; ++i) ++refcount[pages[i]];
+    return 0;
+  }
+
+  // Drop one reference from each page; pages reaching 0 return to the
+  // free list. Returns how many pages were actually freed.
+  int32_t release_pages(const int32_t* pages, int32_t n) {
+    int32_t freed = 0;
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t p = pages[i];
+      if (p < 0 || p >= num_pages || refcount[p] < 1) continue;
+      if (--refcount[p] == 0) {
+        free_stack.push_back(p);
+        ++freed;
+      }
+    }
+    return freed;
+  }
+
+  // Release every page referenced by `seq` (refcount--; freed at 0).
+  // Returns the number of pages the sequence referenced.
   int32_t release(int64_t seq) {
     auto it = seq_pages.find(seq);
     if (it == seq_pages.end()) return 0;
     int32_t n = static_cast<int32_t>(it->second.size());
-    for (int32_t p : it->second) free_stack.push_back(p);
+    release_pages(it->second.data(), n);
     seq_pages.erase(it);
     return n;
   }
@@ -77,8 +123,14 @@ struct PageAllocator {
                        [&](int32_t p) { return wanted[p] != 0; }),
         free_stack.end());
     auto& owned = seq_pages[seq];
+    for (int32_t i = 0; i < n; ++i) refcount[pages[i]] = 1;
     owned.insert(owned.end(), pages, pages + n);
     return 0;
+  }
+
+  int32_t page_refcount(int32_t page) const {
+    if (page < 0 || page >= num_pages) return -1;
+    return refcount[page];
   }
 
   // Copy the page table of `seq` into out (up to cap); returns count.
@@ -116,6 +168,22 @@ int pa_alloc(void* h, int64_t seq, int32_t n, int32_t* out) {
 
 int pa_alloc_exact(void* h, int64_t seq, const int32_t* pages, int32_t n) {
   return static_cast<PageAllocator*>(h)->alloc_exact(seq, pages, n);
+}
+
+int pa_share(void* h, int64_t seq, const int32_t* pages, int32_t n) {
+  return static_cast<PageAllocator*>(h)->share(seq, pages, n);
+}
+
+int pa_retain(void* h, const int32_t* pages, int32_t n) {
+  return static_cast<PageAllocator*>(h)->retain(pages, n);
+}
+
+int32_t pa_release_pages(void* h, const int32_t* pages, int32_t n) {
+  return static_cast<PageAllocator*>(h)->release_pages(pages, n);
+}
+
+int32_t pa_page_refcount(void* h, int32_t page) {
+  return static_cast<PageAllocator*>(h)->page_refcount(page);
 }
 
 int32_t pa_release(void* h, int64_t seq) {

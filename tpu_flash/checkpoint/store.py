@@ -226,11 +226,20 @@ def restore_engine(path, engine) -> None:
     for sid, pages in meta["alloc"].items():
         # Rebind each sequence to its original *physical* pages — page ids
         # are baked into the snapshotted page tables, so a fresh alloc of
-        # arbitrary free pages would not do.
-        if not sched.allocator.alloc_exact(int(sid), pages):
-            raise ValueError(
-                f"snapshot pages for seq {sid} unavailable in this allocator"
-            )
+        # arbitrary free pages would not do. A page already rebound by an
+        # earlier sequence was prefix-SHARED at snapshot time: share again.
+        # (The prefix index itself restores cold — retention refs are
+        # rebuilt as new prompts register.)
+        for page in pages:
+            if sched.allocator.refcount(page) > 0:
+                ok = sched.allocator.share(int(sid), [page])
+            else:
+                ok = sched.allocator.alloc_exact(int(sid), [page])
+            if not ok:
+                raise ValueError(
+                    f"snapshot page {page} for seq {sid} unavailable in "
+                    f"this allocator"
+                )
     for rid, rd in meta["requests"].items():
         req = Request(
             req_id=rd["req_id"],

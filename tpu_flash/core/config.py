@@ -131,6 +131,7 @@ class EngineConfig:
     prefill_chunk: int = 512
     cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
     health: Optional[object] = None  # engine.health.HealthConfig
+    prefix_cache: bool = True  # reuse full prompt-prefix pages (engine/prefix.py)
 
     def __post_init__(self):
         _check_pos("max_batch_size", self.max_batch_size)

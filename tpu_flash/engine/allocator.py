@@ -69,6 +69,23 @@ def _load_native():
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ]
+            lib.pa_share.restype = ctypes.c_int
+            lib.pa_share.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
+            lib.pa_retain.restype = ctypes.c_int
+            lib.pa_retain.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
+            lib.pa_release_pages.restype = ctypes.c_int32
+            lib.pa_release_pages.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
+            lib.pa_page_refcount.restype = ctypes.c_int32
+            lib.pa_page_refcount.argtypes = [ctypes.c_void_p, ctypes.c_int32]
             lib.pa_release.restype = ctypes.c_int32
             lib.pa_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
             lib.pa_get_pages.restype = ctypes.c_int32
@@ -118,6 +135,24 @@ class _NativeAllocator:
             self._lib.pa_alloc_exact(self._h, seq_id, arr, len(pages)) == 0
         )
 
+    def share(self, seq_id: int, pages: List[int]) -> bool:
+        """Bind seq_id to live pages owned elsewhere (prefix sharing)."""
+        arr = (ctypes.c_int32 * max(len(pages), 1))(*pages)
+        return self._lib.pa_share(self._h, seq_id, arr, len(pages)) == 0
+
+    def retain(self, pages: List[int]) -> bool:
+        """Refcount++ with no sequence binding (prefix-index retention)."""
+        arr = (ctypes.c_int32 * max(len(pages), 1))(*pages)
+        return self._lib.pa_retain(self._h, arr, len(pages)) == 0
+
+    def release_pages(self, pages: List[int]) -> int:
+        """Drop one reference per page; returns pages actually freed."""
+        arr = (ctypes.c_int32 * max(len(pages), 1))(*pages)
+        return self._lib.pa_release_pages(self._h, arr, len(pages))
+
+    def refcount(self, page: int) -> int:
+        return self._lib.pa_page_refcount(self._h, page)
+
     def release(self, seq_id: int) -> int:
         return self._lib.pa_release(self._h, seq_id)
 
@@ -133,6 +168,7 @@ class _PythonAllocator:
 
     def __init__(self, num_pages: int):
         self._free = list(range(num_pages - 1, -1, -1))
+        self._refs = [0] * num_pages
         self._seq_pages: dict[int, List[int]] = {}
 
     @property
@@ -147,6 +183,8 @@ class _PythonAllocator:
         if n < 0 or n > len(self._free):
             return None
         got = [self._free.pop() for _ in range(n)]
+        for p in got:
+            self._refs[p] = 1
         self._seq_pages.setdefault(seq_id, []).extend(got)
         return got
 
@@ -158,12 +196,46 @@ class _PythonAllocator:
             return False
         wanted = set(pages)
         self._free = [p for p in self._free if p not in wanted]
+        for p in pages:
+            self._refs[p] = 1
         self._seq_pages.setdefault(seq_id, []).extend(pages)
         return True
 
+    def share(self, seq_id: int, pages: List[int]) -> bool:
+        if not all(0 <= p < len(self._refs) and self._refs[p] >= 1
+                   for p in pages):
+            return False
+        for p in pages:
+            self._refs[p] += 1
+        self._seq_pages.setdefault(seq_id, []).extend(pages)
+        return True
+
+    def retain(self, pages: List[int]) -> bool:
+        if not all(0 <= p < len(self._refs) and self._refs[p] >= 1
+                   for p in pages):
+            return False
+        for p in pages:
+            self._refs[p] += 1
+        return True
+
+    def release_pages(self, pages: List[int]) -> int:
+        freed = 0
+        for p in pages:
+            if 0 <= p < len(self._refs) and self._refs[p] >= 1:
+                self._refs[p] -= 1
+                if self._refs[p] == 0:
+                    self._free.append(p)
+                    freed += 1
+        return freed
+
+    def refcount(self, page: int) -> int:
+        if not 0 <= page < len(self._refs):
+            return -1
+        return self._refs[page]
+
     def release(self, seq_id: int) -> int:
         pages = self._seq_pages.pop(seq_id, [])
-        self._free.extend(pages)
+        self.release_pages(pages)
         return len(pages)
 
     def pages_of(self, seq_id: int) -> List[int]:

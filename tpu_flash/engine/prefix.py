@@ -1,0 +1,123 @@
+"""Prefix caching: shared-prompt KV pages reused across requests.
+
+Completes the engine's cache-hit story (SURVEY.md §5 metrics: "tokens/s,
+batch occupancy, cache hit"). Full pages of a finished prefill are indexed
+by a *chain hash* — the key of page i commits to every token in pages
+0..i — so a lookup walks the new prompt page-by-page and reuses the longest
+indexed prefix. Pages are immutable once fully written (appends only ever
+target positions past a sequence's current length), which is what makes
+read-sharing safe, including for quantized caches (payload + scale pages
+travel together under one page id).
+
+Lifetime: the index holds one retention reference on every indexed page
+(allocator refcounts), so cached prefixes survive their originating
+request. Under allocation pressure the engine evicts least-recently-used
+chains until the pending request fits.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+def _chain_key(prev_key: int, page_tokens: Tuple[int, ...]) -> int:
+    return hash((prev_key, page_tokens))
+
+
+@dataclasses.dataclass
+class _Entry:
+    page: int
+    prev_key: int  # parent chain key (-1 for the first page)
+
+
+class PrefixIndex:
+    """Chain-hash index of immutable full prompt pages.
+
+    Not thread-safe (the engine's control loop is single-threaded).
+    """
+
+    def __init__(self, allocator, page_size: int):
+        self._alloc = allocator
+        self._ps = page_size
+        self._entries: Dict[int, _Entry] = {}
+        # LRU over chain keys: most-recently-used at the right end.
+        self._lru: "collections.OrderedDict[int, None]" = (
+            collections.OrderedDict()
+        )
+        self.hits_tokens = 0
+        self.misses_tokens = 0
+
+    # -- lookup ---------------------------------------------------------------
+
+    def match(self, prompt: Sequence[int]) -> Tuple[List[int], int]:
+        """Longest indexed prefix of ``prompt`` in full pages.
+
+        Returns (pages, matched_tokens). Never matches the *entire* prompt:
+        at least one token is left for prefill so the request produces
+        first-token logits.
+        """
+        ps = self._ps
+        usable = len(prompt) - 1  # always leave >= 1 token to prefill
+        pages: List[int] = []
+        key = -1
+        for i in range(usable // ps):
+            key = _chain_key(key, tuple(prompt[i * ps : (i + 1) * ps]))
+            entry = self._entries.get(key)
+            if entry is None:
+                break
+            pages.append(entry.page)
+            self._lru.move_to_end(key)
+        matched = len(pages) * ps
+        self.hits_tokens += matched
+        self.misses_tokens += len(prompt) - matched
+        return pages, matched
+
+    # -- registration ---------------------------------------------------------
+
+    def register(self, prompt: Sequence[int], pages: Sequence[int]) -> int:
+        """Index every full page of a completed prefill; retains pages not
+        already indexed. Returns how many new pages were indexed."""
+        ps = self._ps
+        n_full = min(len(prompt) // ps, len(pages))
+        key = -1
+        added = 0
+        for i in range(n_full):
+            parent = key
+            key = _chain_key(parent, tuple(prompt[i * ps : (i + 1) * ps]))
+            if key in self._entries:
+                self._lru.move_to_end(key)
+                continue
+            if not self._alloc.retain([pages[i]]):
+                break  # page not live (shouldn't happen mid-prefill)
+            self._entries[key] = _Entry(page=pages[i], prev_key=parent)
+            self._lru[key] = None
+            added += 1
+        return added
+
+    # -- eviction ---------------------------------------------------------------
+
+    def evict(self, n_pages: int) -> int:
+        """Release at least ``n_pages`` retained pages, LRU-first (whole
+        pages; a chain's older pages may outlive its newer ones only until
+        their own LRU turn — matching is per-page so partial chains still
+        hit). Returns pages actually freed back to the allocator."""
+        freed = 0
+        while freed < n_pages and self._lru:
+            key, _ = self._lru.popitem(last=False)
+            entry = self._entries.pop(key)
+            freed += self._alloc.release_pages([entry.page])
+        return freed
+
+    def drop_all(self) -> int:
+        return self.evict(len(self._entries))
+
+    @property
+    def num_indexed_pages(self) -> int:
+        return len(self._entries)
+
+    @property
+    def hit_rate(self) -> float:
+        total = self.hits_tokens + self.misses_tokens
+        return self.hits_tokens / total if total else 0.0

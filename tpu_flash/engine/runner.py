@@ -82,6 +82,14 @@ class InferenceEngine:
         self.scheduler.allocator = __import__(
             "tpu_flash.engine.allocator", fromlist=["PageAllocator"]
         ).PageAllocator(config.cache.num_pages - 1)
+        self.prefix_index = None
+        if config.prefix_cache:
+            from tpu_flash.engine.prefix import PrefixIndex
+
+            self.prefix_index = PrefixIndex(
+                self.scheduler.allocator, config.cache.page_size
+            )
+            self.scheduler.prefix_index = self.prefix_index
         self.cache = PagedKVCache.create(
             cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, config.cache
         )
@@ -135,6 +143,18 @@ class InferenceEngine:
         while self.scheduler.has_work():
             self.step()
         return self.outputs
+
+    def prefix_stats(self) -> Dict[str, float]:
+        """Prefix-cache observability: hit rate + retained pages."""
+        if self.prefix_index is None:
+            return {"enabled": 0.0}
+        return {
+            "enabled": 1.0,
+            "hit_rate": self.prefix_index.hit_rate,
+            "hits_tokens": float(self.prefix_index.hits_tokens),
+            "misses_tokens": float(self.prefix_index.misses_tokens),
+            "indexed_pages": float(self.prefix_index.num_indexed_pages),
+        }
 
     # -- engine step ----------------------------------------------------------
 
@@ -279,6 +299,10 @@ class InferenceEngine:
         self.top_ks[slot] = sp.top_k
         self.top_ps[slot] = sp.top_p
         if new_len >= req.prompt_len:
+            # Index this prompt's full pages for prefix reuse (pages are
+            # immutable once fully written; decode appends go past them).
+            if self.prefix_index is not None:
+                self.prefix_index.register(prompt, table)
             # Final chunk: its last-position logits emit the first token,
             # sampled with the request's parameters.
             self._rng, sk = jax.random.split(self._rng)

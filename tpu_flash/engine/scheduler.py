@@ -70,6 +70,10 @@ class Scheduler:
     def __init__(self, config: EngineConfig):
         self.config = config
         self.allocator = PageAllocator(config.cache.num_pages)
+        # Optional prefix index (engine/prefix.py); the runner installs it
+        # when config.prefix_cache is on. Matching happens at ADMISSION so
+        # retained pages can't be evicted between lookup and binding.
+        self.prefix_index = None
         self.waiting: Deque[Request] = deque()
         self.active: Dict[int, Request] = {}  # req_id -> Request
         self.slots: List[Optional[int]] = [None] * config.max_batch_size
@@ -120,18 +124,38 @@ class Scheduler:
 
         # 2. admit waiting requests: need a batch slot + all pages for the
         #    full context (prompt + generation budget) up front, so decode
-        #    can never fail mid-flight.
+        #    can never fail mid-flight. With a prefix index, the prompt's
+        #    longest cached prefix binds as shared pages (refcount++) and
+        #    prefill starts past it.
         while self.waiting:
             req = self.waiting[0]
             slot = self._free_slot()
             if slot < 0:
                 break
+            shared_pages: List[int] = []
+            matched = 0
+            prompt = getattr(req, "_prompt", None)
+            if self.prefix_index is not None and prompt:
+                shared_pages, matched = self.prefix_index.match(prompt)
             pages = self._pages_needed(req.prompt_len + req.max_new_tokens)
-            got = self.allocator.alloc(req.req_id, pages)
+            n_new = pages - len(shared_pages)
+            if shared_pages and not self.allocator.share(
+                req.req_id, shared_pages
+            ):
+                shared_pages, matched = [], 0  # index raced a free; rebind
+                n_new = pages
+            got = self.allocator.alloc(req.req_id, n_new)
+            if got is None and self.prefix_index is not None:
+                # Evict cold cached prefixes and retry once.
+                self.prefix_index.evict(n_new - self.allocator.num_free)
+                got = self.allocator.alloc(req.req_id, n_new)
             if got is None:
+                if shared_pages:
+                    self.allocator.release(req.req_id)  # unwind the share
                 break  # head-of-line blocking keeps admission fair
             self.waiting.popleft()
             req.state = RequestState.PREFILL
+            req.prefilled = matched  # cached tokens skip prefill entirely
             req.batch_slot = slot
             self.slots[slot] = req.req_id
             self.active[req.req_id] = req
