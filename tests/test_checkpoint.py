@@ -100,10 +100,13 @@ class TestEngineSnapshot:
         expected = golden.run()
 
         # Interrupted run: a few steps, snapshot, resume in a NEW engine.
+        # Burst decoding would finish 6 tokens in one fused call; keep the
+        # burst small so the snapshot lands genuinely mid-decode.
         first = _engine(model, params, kv_dtype)
+        first.max_decode_burst = 2
         for p in prompts.values():
             first.submit(p, max_new_tokens=6)
-        for _ in range(3):  # prefill + a couple of decode steps
+        for _ in range(3):  # prefill + a couple of decode bursts
             first.step()
         snapshot_engine(tmp_path / "snap", first)
         partial = {k: list(v) for k, v in first.outputs.items()}

@@ -139,7 +139,7 @@ class TestEnginePrefixCache:
         r2 = eng.submit(common + [9, 9], max_new_tokens=2)
         out = eng.run()
         assert out[r2] == _oracle(model, params, common + [9, 9], 2)
-        assert eng.prefix_stats()["hits_tokens"] >= 24
+        assert eng.prefix_stats()["hits_tokens"] >= 16  # 24 rounded to prefill_chunk grid
 
     def test_results_match_disabled_cache(self, model_and_params):
         model, params = model_and_params

@@ -219,3 +219,83 @@ def bench_decode_tokens_per_s(
     if kv_quant:
         kv_bytes += 2 * batch * num_kv_heads * context * 4  # scales
     return batch / secs, secs, kv_bytes / secs / 1e9
+
+
+def bench_engine_tokens_per_s(
+    num_layers: int = 4,
+    hidden: int = 1024,
+    num_q_heads: int = 8,
+    num_kv_heads: int = 8,
+    head_dim: int = 128,
+    batch: int = 8,
+    prompt_len: int = 512,
+    new_tokens: int = 64,
+    kv_dtype: str = "int8",
+    page_size: int = 128,
+    shared_prefix: int = 0,
+):
+    """End-to-end continuous-batching engine throughput (full serving stack:
+    scheduler, chunked prefill, paged decode, sampling, watchdogs). Returns
+    (decode_tokens_per_s, total_wall_s, metrics_summary, prefix_stats).
+    Layer count is reduced — scale judgments should use per-layer rates."""
+    import time
+
+    from tpu_flash.core.config import CacheConfig, EngineConfig
+    from tpu_flash.engine.runner import InferenceEngine
+    from tpu_flash.models import FlashTransformer, ModelConfig
+
+    cfg = ModelConfig(
+        name="bench-engine",
+        vocab_size=8192,
+        hidden_size=hidden,
+        num_layers=num_layers,
+        num_q_heads=num_q_heads,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        intermediate_size=2 * hidden,
+        dtype="bfloat16",
+    )
+    model = FlashTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ctx = prompt_len + new_tokens
+    pages_per_seq = -(-ctx // page_size)
+    ecfg = EngineConfig(
+        max_batch_size=batch,
+        max_seq_len=ctx,
+        prefill_chunk=512,
+        cache=CacheConfig(
+            page_size=page_size,
+            num_pages=batch * pages_per_seq + 8,
+            max_pages_per_seq=pages_per_seq,
+            kv_dtype=kv_dtype,
+        ),
+    )
+    engine = InferenceEngine(model, params, ecfg)
+    rng = jax.random.PRNGKey(1)
+    prefix = list(
+        jax.random.randint(rng, (shared_prefix,), 0, 8192)
+    ) if shared_prefix else []
+
+    def submit_round(salt):
+        for i in range(batch):
+            tail = jax.random.randint(
+                jax.random.fold_in(rng, salt * 1000 + i),
+                (prompt_len - shared_prefix,), 0, 8192,
+            )
+            engine.submit(
+                [int(x) for x in prefix] + [int(x) for x in tail],
+                max_new_tokens=new_tokens,
+            )
+
+    # Round 1 compiles every program (prefill buckets, decode burst sizes);
+    # round 2 is the steady-state measurement.
+    submit_round(0)
+    engine.run()
+    engine.metrics = type(engine.metrics)()
+    submit_round(1)
+    t0 = time.perf_counter()
+    engine.run()
+    wall = time.perf_counter() - t0
+    m = engine.metrics.summary()
+    total_tokens = batch * new_tokens
+    return total_tokens / wall, wall, m, engine.prefix_stats()

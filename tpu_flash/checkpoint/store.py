@@ -146,9 +146,9 @@ def snapshot_engine(path, engine) -> None:
     np.savez_compressed(path / _ENGINE_ARRAYS, **arrays)
 
     sched = engine.scheduler
-    requests = {}
-    for req_id, req in sched.active.items():
-        requests[str(req_id)] = {
+
+    def req_dict(req):
+        return {
             "req_id": req.req_id,
             "prompt_len": req.prompt_len,
             "max_new_tokens": req.max_new_tokens,
@@ -162,12 +162,18 @@ def snapshot_engine(path, engine) -> None:
                 req.sampling.top_p,
             ],
         }
+
+    requests = {str(rid): req_dict(r) for rid, r in sched.active.items()}
+    # Requests still queued (not yet admitted) must survive the snapshot
+    # too — dropping them would silently lose accepted work.
+    waiting = [req_dict(r) for r in sched.waiting]
     # Pages are allocated per req_id at admission and released at retirement,
     # so scheduler.active is exactly the set of sequences that own pages.
     meta = {
         "page_size": cache.page_size,
         "kv_dtype": cache.kv_dtype,
         "requests": requests,
+        "waiting": waiting,
         "alloc": {
             str(rid): sched.allocator.pages_of(rid) for rid in sched.active
         },
@@ -240,7 +246,7 @@ def restore_engine(path, engine) -> None:
                     f"snapshot page {page} for seq {sid} unavailable in "
                     f"this allocator"
                 )
-    for rid, rd in meta["requests"].items():
+    def build_req(rd):
         req = Request(
             req_id=rd["req_id"],
             prompt_len=rd["prompt_len"],
@@ -258,6 +264,12 @@ def restore_engine(path, engine) -> None:
         req.prefilled = rd["prefilled"]
         req.generated = rd["generated"]
         req._prompt = list(rd["prompt"])
+        return req
+
+    for rid, rd in meta["requests"].items():
+        req = build_req(rd)
         sched.active[int(rid)] = req
         if req.batch_slot is not None and req.batch_slot >= 0:
             sched.slots[req.batch_slot] = req.req_id
+    for rd in meta.get("waiting", []):
+        sched.waiting.append(build_req(rd))

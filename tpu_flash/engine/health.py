@@ -118,17 +118,24 @@ class DeadlineFetcher:
             else None
         )
 
-    def fetch(self, x):
+    def fetch(self, x, *, scale: float = 1.0):
+        """Fetch with the configured deadline x ``scale`` (burst decode
+        passes its step count so the per-step contract holds)."""
         import numpy as np
 
         if self._pool is None:
             return np.asarray(x)
         fut = self._pool.submit(np.asarray, x)
         try:
-            return fut.result(timeout=self._timeout)
+            return fut.result(timeout=self._timeout * scale)
         except concurrent.futures.TimeoutError:
+            # The worker thread is wedged inside the transfer; abandon the
+            # pool (daemon threads) and start fresh so a transient stall
+            # doesn't poison every later fetch.
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
             raise StepTimeoutError(
-                f"device step exceeded {self._timeout:g}s deadline"
+                f"device step exceeded {self._timeout * scale:g}s deadline"
             ) from None
 
     def close(self) -> None:

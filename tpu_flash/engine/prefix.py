@@ -30,6 +30,8 @@ def _chain_key(prev_key: int, page_tokens: Tuple[int, ...]) -> int:
 class _Entry:
     page: int
     prev_key: int  # parent chain key (-1 for the first page)
+    tokens: Tuple[int, ...]  # the page's tokens — verified on match so a
+    # hash collision can never serve another prompt's KV pages
 
 
 class PrefixIndex:
@@ -51,28 +53,46 @@ class PrefixIndex:
 
     # -- lookup ---------------------------------------------------------------
 
-    def match(self, prompt: Sequence[int]) -> Tuple[List[int], int]:
+    def match(
+        self, prompt: Sequence[int], granularity: int = 1
+    ) -> Tuple[List[int], int]:
         """Longest indexed prefix of ``prompt`` in full pages.
 
-        Returns (pages, matched_tokens). Never matches the *entire* prompt:
-        at least one token is left for prefill so the request produces
-        first-token logits.
+        Returns (pages, matched_tokens), with matched_tokens rounded DOWN
+        to a multiple of ``granularity`` (the engine passes prefill_chunk
+        so chunk starts stay on the pre-existing compile grid — otherwise
+        every distinct cached-prefix length would jit a new prefill
+        program). Never matches the *entire* prompt: at least one token is
+        left for prefill so the request produces first-token logits.
+
+        Pure lookup: call :meth:`record_lookup` after a successful
+        admission so blocked retries don't inflate the hit statistics.
         """
         ps = self._ps
         usable = len(prompt) - 1  # always leave >= 1 token to prefill
         pages: List[int] = []
         key = -1
         for i in range(usable // ps):
-            key = _chain_key(key, tuple(prompt[i * ps : (i + 1) * ps]))
+            chunk = tuple(prompt[i * ps : (i + 1) * ps])
+            key = _chain_key(key, chunk)
             entry = self._entries.get(key)
-            if entry is None:
+            if entry is None or entry.tokens != chunk:
                 break
             pages.append(entry.page)
             self._lru.move_to_end(key)
         matched = len(pages) * ps
-        self.hits_tokens += matched
-        self.misses_tokens += len(prompt) - matched
+        if granularity > 1:
+            matched = matched - matched % granularity
+            if matched % ps:
+                # Keep page-aligned: shared pages must be whole.
+                matched = matched - matched % ps
+            pages = pages[: matched // ps]
         return pages, matched
+
+    def record_lookup(self, matched: int, prompt_len: int) -> None:
+        """Account one admitted request's hit/miss tokens."""
+        self.hits_tokens += matched
+        self.misses_tokens += prompt_len - matched
 
     # -- registration ---------------------------------------------------------
 
@@ -91,7 +111,10 @@ class PrefixIndex:
                 continue
             if not self._alloc.retain([pages[i]]):
                 break  # page not live (shouldn't happen mid-prefill)
-            self._entries[key] = _Entry(page=pages[i], prev_key=parent)
+            self._entries[key] = _Entry(
+                page=pages[i], prev_key=parent,
+                tokens=tuple(prompt[i * ps : (i + 1) * ps]),
+            )
             self._lru[key] = None
             added += 1
         return added

@@ -111,11 +111,11 @@ class InferenceEngine:
         self.health = HealthMonitor(self.health_config)
         self._fetcher = DeadlineFetcher(self.health_config.step_timeout_s)
         self._next_id = 0
-        self._decode_fn = jax.jit(
-            functools.partial(self._decode_step_impl),
-            donate_argnums=(1,),
-        )
-        self._prefill_fns: Dict[int, object] = {}
+        # Decode runs in fused bursts (lax.scan over single steps): one
+        # dispatch + one fetch per burst. Cap keeps admission latency low.
+        self.max_decode_burst = 8
+        self._decode_multi_fns: Dict[int, object] = {}
+        self._prefill_fns: Dict[tuple, object] = {}
 
     # -- client API ----------------------------------------------------------
 
@@ -143,6 +143,16 @@ class InferenceEngine:
         while self.scheduler.has_work():
             self.step()
         return self.outputs
+
+    def close(self) -> None:
+        """Shut down host-side resources (the deadline fetcher's worker)."""
+        self._fetcher.close()
+
+    def __del__(self):  # pragma: no cover - GC timing dependent
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def prefix_stats(self) -> Dict[str, float]:
         """Prefix-cache observability: hit rate + retained pages."""
@@ -218,12 +228,14 @@ class InferenceEngine:
         [hist_len, hist_len + bucket). Attends to the paged history plus
         itself (causal, static q_offset = hist_len); appends the first
         n_valid tokens' K/V into the sequence's pages (pads go to the trash
-        page). Returns (cache, last-valid-position logits, finite flag)."""
-        model = self.model
-        cfg = model.config
+        page). Returns (cache, last-valid-position logits, finite flag).
+
+        The layer math is the model's own ``forward`` — this path only
+        supplies a kv_hook that splices history in and captures the new
+        K/V for the cache append, so chunked and whole-prompt prefill can
+        never diverge."""
         ps = self.config.cache.page_size
         bucket = tokens.shape[1]
-        x = params["embed"][tokens].astype(model.dtype)
         rel = jnp.arange(bucket)
         positions = hist_len + rel
         valid = rel < n_valid
@@ -231,38 +243,33 @@ class InferenceEngine:
             valid, table_row[positions // ps], self.trash_page
         )
         offsets = positions % ps
-        for li, layer in enumerate(params["layers"]):
-            xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            q, k, v = model._qkv(layer, xn, positions)
+        cache_cell = [cache]
+
+        def kv_hook(li, k, v):
             if hist_len:
                 hk, hv = self._gather_history(
-                    cache, li, table_row, hist_len
+                    cache_cell[0], li, table_row, hist_len
                 )
                 k_all = jnp.concatenate([hk, k.astype(hk.dtype)], axis=2)
                 v_all = jnp.concatenate([hv, v.astype(hv.dtype)], axis=2)
             else:
                 k_all, v_all = k, v
-            cache = cache.append(
+            cache_cell[0] = cache_cell[0].append(
                 li, k[0].transpose(1, 0, 2), v[0].transpose(1, 0, 2),
                 page_ids, offsets,
             )
-            attn = flash_attention(
-                q, k_all, v_all, causal=True, q_offset=hist_len,
-                interpret=self.interpret,
-            )
-            b_, h_, s_, d_ = attn.shape
-            attn = attn.transpose(0, 2, 1, 3).reshape(b_, s_, h_ * d_)
-            x = x + attn @ layer["wo"]
-            xn = _rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            x = x + model._mlp(layer, xn)
-        x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
-        logits = (x @ params["lm_head"]).astype(jnp.float32)
+            return k_all, v_all
+
+        logits = self.model.forward(
+            params, tokens, q_offset=hist_len, interpret=self.interpret,
+            kv_hook=kv_hook,
+        )
         last = logits[0, n_valid - 1]
         # NaN-watchdog flag: fused into the step, fetched with its results
         # (engine/health.py). Pad positions are real computations on pad
         # tokens, so the whole chunk is checked.
         finite = jnp.all(jnp.isfinite(logits))
-        return cache, last, finite
+        return cache_cell[0], last, finite
 
     def _run_prefill(self, req: Request, chunk) -> None:
         prompt = req._prompt
@@ -360,7 +367,12 @@ class InferenceEngine:
             x = x + model._mlp(layer, xn)
         x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
         logits = (x @ params["lm_head"]).astype(jnp.float32)
-        next_tokens = sample_tokens(logits, key, temps, top_ks, top_ps)
+        sampled = sample_tokens(logits, key, temps, top_ks, top_ps)
+        # Inactive slots keep their current token: the returned array is the
+        # next step's feedback AND the engine's last_tokens state, so writing
+        # an inactive slot's (trash-page) sample would corrupt a sequence
+        # that resumes decoding later.
+        next_tokens = jnp.where(active_mask, sampled, tokens)
         new_lengths = jnp.where(active_mask, lengths + 1, lengths)
         # NaN watchdog over ACTIVE slots only (inactive slots attend to the
         # trash page and may legitimately produce garbage).
@@ -371,28 +383,74 @@ class InferenceEngine:
         )
         return cache, next_tokens, new_lengths, finite
 
+    def _decode_multi_impl(self, n_steps, params, cache, tokens, lengths,
+                           page_tables, active_mask, keys, temps, top_ks,
+                           top_ps):
+        """``n_steps`` fused decode steps via lax.scan — ONE dispatch and
+        ONE host fetch for the whole burst. Amortizes per-call dispatch
+        latency (dominant on remote/relay execution paths); safe because
+        the burst size is capped at the minimum remaining budget of the
+        active requests, so no request can overshoot mid-burst."""
+
+        def body(carry, key):
+            cache, tokens, lengths = carry
+            cache, next_tokens, lengths, finite = self._decode_step_impl(
+                params, cache, tokens, lengths, page_tables, active_mask,
+                key, temps, top_ks, top_ps,
+            )
+            return (cache, next_tokens, lengths), (next_tokens, finite)
+
+        (cache, tokens, lengths), (all_tokens, all_finite) = jax.lax.scan(
+            body, (cache, tokens, lengths), keys, length=n_steps
+        )
+        return cache, tokens, lengths, all_tokens, jnp.all(all_finite)
+
     def _run_decode(self, decode_slots: List[int]) -> int:
         mask = np.zeros((self.config.max_batch_size,), bool)
         for s in decode_slots:
             mask[s] = True
         mask &= self.active
         active_mask = jnp.asarray(mask)
-        self._rng, step_key = jax.random.split(self._rng)
-        self.cache, next_tokens, self.lengths, finite = self._decode_fn(
+
+        # Burst size: as many steps as every active request can still take,
+        # capped so prefill admission latency stays bounded.
+        rids = [
+            self.scheduler.slots[s]
+            for s in decode_slots
+            if mask[s] and self.scheduler.slots[s] is not None
+        ]
+        remaining = [
+            self.scheduler.active[r].max_new_tokens
+            - self.scheduler.active[r].generated
+            for r in rids
+            if r in self.scheduler.active
+        ]
+        n_steps = max(1, min(remaining + [self.max_decode_burst]))
+        # Admission fairness: single-step while work is waiting.
+        if self.scheduler.waiting:
+            n_steps = 1
+
+        self._rng, sub = jax.random.split(self._rng)
+        keys = jax.random.split(sub, n_steps)
+        if n_steps not in self._decode_multi_fns:
+            self._decode_multi_fns[n_steps] = jax.jit(
+                functools.partial(self._decode_multi_impl, n_steps),
+                donate_argnums=(1,),
+            )
+        (
+            self.cache, self.last_tokens, self.lengths, all_tokens, finite
+        ) = self._decode_multi_fns[n_steps](
             self.params, self.cache, self.last_tokens, self.lengths,
-            self.page_tables, active_mask, step_key,
+            self.page_tables, active_mask, keys,
             jnp.asarray(self.temps), jnp.asarray(self.top_ks),
             jnp.asarray(self.top_ps),
         )
-        next_host = self._fetcher.fetch(next_tokens)
+        # Deadline scales with the burst: the per-STEP timeout contract
+        # holds whether the engine runs 1 or max_decode_burst fused steps.
+        tokens_host = self._fetcher.fetch(all_tokens, scale=n_steps)
         if self.health_config.check_numerics:
-            rids = [
-                self.scheduler.slots[s]
-                for s in decode_slots
-                if mask[s] and self.scheduler.slots[s] is not None
-            ]
             watchdog_check(
-                self.health, self._fetcher.fetch(finite),
+                self.health, self._fetcher.fetch(finite, scale=n_steps),
                 phase="decode", request_ids=rids,
             )
         n = 0
@@ -402,12 +460,11 @@ class InferenceEngine:
             rid = self.scheduler.slots[s]
             if rid is None:
                 continue
-            tok = int(next_host[s])
-            self.outputs[rid].append(tok)
-            self.scheduler.report_decoded(rid)
-            self.last_tokens = self.last_tokens.at[s].set(tok)
+            toks = [int(tokens_host[i, s]) for i in range(n_steps)]
+            self.outputs[rid].extend(toks)
+            self.scheduler.report_decoded(rid, n_steps)
             req = self.scheduler.active.get(rid)
             if req is not None and req.done:
                 self.active[s] = False
-            n += 1
+            n += n_steps
         return n

@@ -136,7 +136,13 @@ class Scheduler:
             matched = 0
             prompt = getattr(req, "_prompt", None)
             if self.prefix_index is not None and prompt:
-                shared_pages, matched = self.prefix_index.match(prompt)
+                # Granularity = prefill_chunk keeps chunk starts on the
+                # compile grid the runner already jits for (one prefill
+                # program per (start, bucket) — unbounded starts would leak
+                # compiled executables).
+                shared_pages, matched = self.prefix_index.match(
+                    prompt, granularity=self.config.prefill_chunk
+                )
             pages = self._pages_needed(req.prompt_len + req.max_new_tokens)
             n_new = pages - len(shared_pages)
             if shared_pages and not self.allocator.share(
@@ -159,6 +165,10 @@ class Scheduler:
             req.batch_slot = slot
             self.slots[slot] = req.req_id
             self.active[req.req_id] = req
+            if self.prefix_index is not None and prompt:
+                # Stats only for admitted work — a head-of-line-blocked
+                # request re-matching every step must not inflate hit rate.
+                self.prefix_index.record_lookup(matched, len(prompt))
 
         # 3. plan prefill chunks for sequences still prefilling.
         prefill: List[PrefillChunk] = []

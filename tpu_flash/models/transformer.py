@@ -130,21 +130,31 @@ class FlashTransformer:
         q_offset: int = 0,
         interpret: Optional[bool] = None,
         return_kv: bool = False,
+        kv_hook=None,
     ):
         """Causal forward over a token block using the flash prefill kernel.
 
         Returns logits [batch, seq, vocab]; with return_kv=True also a list
         of per-layer (k, v) [b, hkv, s, d] for cache appends.
+
+        ``kv_hook(layer_idx, k, v) -> (k_all, v_all)`` lets a caller splice
+        per-layer KV history in front of this block's K/V (and capture the
+        new K/V for cache appends) — the engine's chunked-prefill path.
+        Keeping the layer body HERE, with the hook as the only seam, means
+        model changes can never silently diverge between whole-prompt and
+        chunked forward.
         """
         cfg = self.config
         x = params["embed"][tokens].astype(self.dtype)
         positions = q_offset + jnp.arange(tokens.shape[1])
         kvs = []
-        for layer in params["layers"]:
+        for li, layer in enumerate(params["layers"]):
             xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
             q, k, v = self._qkv(layer, xn, positions)
             if return_kv:
                 kvs.append((k, v))
+            if kv_hook is not None:
+                k, v = kv_hook(li, k, v)
             attn = flash_attention(
                 q, k, v, causal=True, q_offset=q_offset, interpret=interpret
             )

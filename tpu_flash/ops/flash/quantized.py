@@ -214,46 +214,56 @@ def flash_attention_quantized(
     sm_scale: Optional[float] = None,
     block_sizes: Optional[BlockSizes] = None,
     out_dtype=jnp.bfloat16,
+    kv_len: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fused attention over quantized Q/K/V (INT8 or FP8-e4m3 payloads).
 
     ``inputs`` comes from :func:`quantize_attention_inputs` (or an
     equivalent pipeline that already holds quantized activations). GQA is
-    supported: hkv must divide hq. Sequence lengths must be multiples of the
-    block sizes after the standard padding the caller applies; for
-    simplicity this inference path requires q_len % block_q == 0 and
-    kv_len % block_kv_major == 0 (pad with zeros + mask_kv_tail handles
-    ragged kv).
+    supported: hkv must divide hq. This inference path requires the
+    *stored* lengths to be block-aligned (q_len % block_q == 0 and stored
+    kv % block_kv_major == 0); for a ragged true KV length, zero-pad K/V
+    to alignment and pass the true length as ``kv_len`` — the kernel masks
+    the padded tail so it contributes no probability mass.
     """
     qv, qs, kv_, ks, vv, vs, dtype_name = inputs
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch, num_q_heads, q_len, head_dim = qv.shape
-    _, num_kv_heads, kv_len, _ = kv_.shape
+    _, num_kv_heads, kv_len_stored, _ = kv_.shape
+    if kv_len is None:
+        kv_len = kv_len_stored
+    if not 0 < kv_len <= kv_len_stored:
+        raise ValueError(
+            f"kv_len ({kv_len}) must be in (0, stored kv length "
+            f"{kv_len_stored}]"
+        )
     q_per_kv = num_q_heads // num_kv_heads
     if sm_scale is None:
         sm_scale = head_dim**-0.5
     if block_sizes is None:
-        block_sizes = default_block_sizes(q_len, kv_len, head_dim, "int8")
+        block_sizes = default_block_sizes(
+            q_len, kv_len_stored, head_dim, "int8"
+        )
 
     block_q = min(block_sizes.block_q, q_len)
-    block_kv_major = min(block_sizes.block_kv_major, kv_len)
+    block_kv_major = min(block_sizes.block_kv_major, kv_len_stored)
     block_kv = min(block_sizes.block_kv, block_kv_major)
     if (
         q_len % block_q
-        or kv_len % block_kv_major
+        or kv_len_stored % block_kv_major
         or block_q % 8
         or block_kv_major % NUM_LANES
     ):
         raise ValueError(
             "quantized path needs q_len divisible by a sublane-aligned "
-            f"block_q and kv_len by a lane-aligned block_kv_major; got "
-            f"q_len={q_len}, kv_len={kv_len}, blocks=({block_q}, "
-            f"{block_kv_major})"
+            f"block_q and the stored kv length by a lane-aligned "
+            f"block_kv_major; got q_len={q_len}, stored kv="
+            f"{kv_len_stored}, blocks=({block_q}, {block_kv_major})"
         )
     num_q_blocks = q_len // block_q
-    num_kv_blocks = kv_len // block_kv_major
+    num_kv_blocks = kv_len_stored // block_kv_major
 
     if causal:
 
@@ -300,7 +310,7 @@ def flash_attention_quantized(
         block_kv=block_kv,
         kv_len=kv_len,
         num_kv_blocks=num_kv_blocks,
-        mask_kv_tail=False,
+        mask_kv_tail=kv_len < kv_len_stored,
         is_int8=dtype_name == "int8",
     )
 

@@ -40,10 +40,18 @@ def initialize_multihost(
     global _initialized
     if _initialized:
         return True
-    if jax.process_count() > 1:
-        # Another component already initialized the runtime.
-        _initialized = True
-        return True
+    # Detect prior jax.distributed init WITHOUT touching backend-querying
+    # APIs: jax.process_count() would itself initialize the XLA backend
+    # with a single-process view and poison the subsequent
+    # jax.distributed.initialize() on a real pod.
+    try:
+        from jax._src import distributed as _jd
+
+        if getattr(_jd.global_state, "client", None) is not None:
+            _initialized = True
+            return True
+    except ImportError:  # pragma: no cover - private-API drift
+        pass
     if coordinator_address is None and num_processes is None:
         import os
 
