@@ -144,3 +144,68 @@ class TestEngineSampling:
         rid_ref = ref.submit([3, 14, 15], 5)
         assert out[rid_g] == ref.run()[rid_ref]
         assert len(out[rid_s]) == 5
+
+
+class TestStopTokens:
+    @pytest.fixture(scope="class")
+    def mp(self):
+        model = FlashTransformer(TINY_TEST)
+        return model, model.init(jax.random.PRNGKey(0))
+
+    def _engine(self, model, params):
+        cfg = EngineConfig(
+            max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+            cache=CacheConfig(
+                page_size=8, num_pages=64, max_pages_per_seq=8,
+                kv_dtype="float32",
+            ),
+        )
+        return InferenceEngine(model, params, cfg, interpret=True)
+
+    def _greedy_stream(self, model, params, prompt, n):
+        eng = self._engine(model, params)
+        rid = eng.submit(prompt, n)
+        return eng.run()[rid]
+
+    def test_stop_token_truncates_stream(self, mp):
+        model, params = mp
+        prompt = [3, 14, 15]
+        full = self._greedy_stream(model, params, prompt, 10)
+        stop = full[4]  # stop at the 5th generated token
+        eng = self._engine(model, params)
+        rid = eng.submit(prompt, 10, stop_tokens=[stop])
+        out = eng.run()[rid]
+        # Stream ends at the FIRST occurrence of the stop token (inclusive).
+        first = full.index(stop)
+        assert out == full[: first + 1]
+
+    def test_stop_in_prefill_first_token(self, mp):
+        model, params = mp
+        prompt = [3, 14, 15]
+        full = self._greedy_stream(model, params, prompt, 3)
+        eng = self._engine(model, params)
+        rid = eng.submit(prompt, 5, stop_tokens=[full[0]])
+        out = eng.run()[rid]
+        assert out == [full[0]]  # stopped immediately after prefill
+
+    def test_stop_does_not_affect_other_slot(self, mp):
+        model, params = mp
+        pa, pb = [3, 14, 15], [9, 9, 9]
+        full_a = self._greedy_stream(model, params, pa, 6)
+        full_b = self._greedy_stream(model, params, pb, 6)
+        stop = full_a[1]
+        eng = self._engine(model, params)
+        ra = eng.submit(pa, 6, stop_tokens=[stop])
+        rb = eng.submit(pb, 6)
+        out = eng.run()
+        # ra truncated at the FIRST occurrence of the stop token...
+        first = full_a.index(stop)
+        assert out[ra] == full_a[: first + 1]
+        assert len(out[ra]) < 6
+        assert out[rb] == full_b  # ...neighbor unaffected
+
+    def test_no_stop_tokens_runs_to_budget(self, mp):
+        model, params = mp
+        eng = self._engine(model, params)
+        rid = eng.submit([1, 2, 3], 4)
+        assert len(eng.run()[rid]) == 4

@@ -222,6 +222,28 @@ def config4_fp8_paged(iters: int):
     return rows
 
 
+def config4_engine(iters: int):
+    """Full serving stack (scheduler + chunked prefill + burst decode +
+    sampling + watchdogs), steady-state after a compile warmup round.
+    Run explicitly via --configs e (several minutes: two full serving
+    rounds)."""
+    from tpu_flash.bench.suite import bench_engine_tokens_per_s
+
+    tps, wall, m, pstats = bench_engine_tokens_per_s()
+    _log(f"  engine steady-state: {tps:.0f} tok/s "
+         f"(p50 step {m.get('p50_step_ms', 0):.1f} ms)")
+    return [
+        {
+            "config": 4,
+            "name": "engine continuous-batching b8 int8-kv (4-layer model)",
+            "metric": "decode_tokens_per_s",
+            "value": tps,
+            "p50_step_ms": m.get("p50_step_ms", 0.0),
+            "mean_occupancy": m.get("mean_batch_occupancy", 0.0),
+        }
+    ]
+
+
 def config5_longcontext(iters: int):
     """32K-context per-chip numbers: the single-chip compute of the ring
     schedule (ring attention multiplies this by the seq-axis size; ICI
@@ -270,6 +292,8 @@ CONFIGS = {
     3: config3_decode,
     4: config4_fp8_paged,
     5: config5_longcontext,
+    # "e": engine-level serving throughput (slow; opt-in)
+    6: config4_engine,
 }
 
 

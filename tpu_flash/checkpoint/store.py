@@ -161,6 +161,8 @@ def snapshot_engine(path, engine) -> None:
                 req.sampling.temperature, req.sampling.top_k,
                 req.sampling.top_p,
             ],
+            "stop_tokens": list(req.stop_tokens),
+            "stopped": req.stopped,
         }
 
     requests = {str(rid): req_dict(r) for rid, r in sched.active.items()}
@@ -263,6 +265,8 @@ def restore_engine(path, engine) -> None:
         req.batch_slot = rd["batch_slot"]
         req.prefilled = rd["prefilled"]
         req.generated = rd["generated"]
+        req.stop_tokens = tuple(rd.get("stop_tokens", ()))
+        req.stopped = rd.get("stopped", False)
         req._prompt = list(rd["prompt"])
         return req
 

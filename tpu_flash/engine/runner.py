@@ -124,6 +124,7 @@ class InferenceEngine:
         prompt: List[int],
         max_new_tokens: int,
         sampling: SamplingParams = GREEDY,
+        stop_tokens: Optional[List[int]] = None,
     ) -> int:
         req_id = self._next_id
         self._next_id += 1
@@ -132,6 +133,7 @@ class InferenceEngine:
             prompt_len=len(prompt),
             max_new_tokens=max_new_tokens,
             sampling=sampling,
+            stop_tokens=tuple(stop_tokens or ()),
         )
         req._prompt = list(prompt)  # host-side stash
         self.scheduler.add_request(req)
@@ -327,6 +329,9 @@ class InferenceEngine:
             self.active[slot] = True
             self.outputs[req.req_id].append(next_token)
             self.scheduler.report_decoded(req.req_id)
+            if next_token in req.stop_tokens:
+                req.stopped = True  # stop token included, then end
+                self.active[slot] = False
 
     # -- decode ------------------------------------------------------------------
 
@@ -460,11 +465,23 @@ class InferenceEngine:
             rid = self.scheduler.slots[s]
             if rid is None:
                 continue
-            toks = [int(tokens_host[i, s]) for i in range(n_steps)]
-            self.outputs[rid].extend(toks)
-            self.scheduler.report_decoded(rid, n_steps)
             req = self.scheduler.active.get(rid)
+            stops = req.stop_tokens if req is not None else ()
+            taken = 0
+            for i in range(n_steps):
+                tok = int(tokens_host[i, s])
+                self.outputs[rid].append(tok)
+                taken += 1
+                if tok in stops:
+                    # Stop token included, then generation ends; the
+                    # burst's remaining tokens for this slot (and their
+                    # speculatively-appended KV) are discarded with the
+                    # sequence's pages at retirement.
+                    if req is not None:
+                        req.stopped = True
+                    break
+            self.scheduler.report_decoded(rid, taken)
             if req is not None and req.done:
                 self.active[s] = False
-            n += n_steps
+            n += taken
         return n

@@ -34,10 +34,12 @@ class Request:
     prompt_len: int
     max_new_tokens: int
     sampling: SamplingParams = GREEDY
+    stop_tokens: tuple = ()  # generation ends early on any of these
     state: RequestState = RequestState.WAITING
     # progress
     prefilled: int = 0  # prompt tokens already prefetched into the cache
     generated: int = 0
+    stopped: bool = False  # hit a stop token before max_new_tokens
     batch_slot: int = -1
 
     @property
@@ -46,7 +48,7 @@ class Request:
 
     @property
     def done(self) -> bool:
-        return self.generated >= self.max_new_tokens
+        return self.stopped or self.generated >= self.max_new_tokens
 
 
 @dataclasses.dataclass
