@@ -1,0 +1,107 @@
+"""Tensor-parallel serving: the mesh-sharded InferenceEngine must emit
+exactly the single-chip engine's tokens (TP is a pure layout change)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from tpu_flash.core.config import CacheConfig, EngineConfig, MeshConfig
+from tpu_flash.engine.runner import InferenceEngine
+from tpu_flash.engine.sampling import SamplingParams
+from tpu_flash.models import TINY_TEST, FlashTransformer
+from tpu_flash.parallel.mesh import build_mesh
+
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = FlashTransformer(TINY_TEST)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def _config(kv_dtype="float32"):
+    return EngineConfig(
+        max_batch_size=2,
+        max_seq_len=256,
+        prefill_chunk=16,
+        cache=CacheConfig(
+            page_size=8, num_pages=64, max_pages_per_seq=8,
+            kv_dtype=kv_dtype,
+        ),
+    )
+
+
+def _tp_mesh(n):
+    return build_mesh(MeshConfig(data=1, seq=1, model=n))
+
+
+class TestShardedEngine:
+    @requires_8
+    @pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+    def test_tp_matches_single_chip(self, model_and_params, kv_dtype):
+        model, params = model_and_params
+        prompts = {0: [3, 14, 15, 9, 2, 6], 1: [27, 1, 8]}
+
+        ref = InferenceEngine(model, params, _config(kv_dtype),
+                              interpret=True)
+        for p in prompts.values():
+            ref.submit(p, max_new_tokens=5)
+        expected = ref.run()
+
+        mesh = _tp_mesh(2)  # TINY_TEST: 4 q heads, 2 kv heads -> TP=2
+        eng = InferenceEngine(model, params, _config(kv_dtype),
+                              interpret=True, mesh=mesh)
+        for p in prompts.values():
+            eng.submit(p, max_new_tokens=5)
+        assert eng.run() == expected
+
+    @requires_8
+    def test_tp_long_prompt_chunked_prefill(self, model_and_params):
+        model, params = model_and_params
+        prompt = [int(x) for x in
+                  jax.random.randint(jax.random.PRNGKey(5), (40,), 0, 200)]
+        ref = InferenceEngine(model, params, _config(), interpret=True)
+        r = ref.submit(prompt, max_new_tokens=4)
+        expected = ref.run()[r]
+
+        eng = InferenceEngine(model, params, _config(), interpret=True,
+                              mesh=_tp_mesh(2))
+        r2 = eng.submit(prompt, max_new_tokens=4)
+        assert eng.run()[r2] == expected
+
+    @requires_8
+    def test_tp_cache_actually_sharded(self, model_and_params):
+        model, params = model_and_params
+        mesh = _tp_mesh(2)
+        eng = InferenceEngine(model, params, _config(), interpret=True,
+                              mesh=mesh)
+        spec = eng.cache.k_pages.sharding.spec
+        assert spec[1] == "model"  # KV heads sharded, not replicated
+        wq_spec = eng.params["layers"][0]["wq"].sharding.spec
+        assert wq_spec == (None, "model")
+
+    @requires_8
+    def test_tp_sampling_consistent(self, model_and_params):
+        """Sampled streams must agree with the single-chip engine under the
+        same seed (replicated logits + replicated keys)."""
+        model, params = model_and_params
+        sp = SamplingParams(temperature=1.0, top_k=20)
+        ref = InferenceEngine(model, params, _config(), interpret=True,
+                              seed=7)
+        r1 = ref.submit([3, 14, 15], 6, sampling=sp)
+        expected = ref.run()[r1]
+        eng = InferenceEngine(model, params, _config(), interpret=True,
+                              seed=7, mesh=_tp_mesh(2))
+        r2 = eng.submit([3, 14, 15], 6, sampling=sp)
+        assert eng.run()[r2] == expected
+
+    @requires_8
+    def test_indivisible_heads_rejected(self, model_and_params):
+        model, params = model_and_params
+        with pytest.raises(ValueError, match="divide"):
+            InferenceEngine(model, params, _config(), interpret=True,
+                            mesh=_tp_mesh(8))  # 2 kv heads % 8 != 0

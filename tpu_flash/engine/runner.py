@@ -63,11 +63,30 @@ class InferenceEngine:
         config: EngineConfig,
         interpret: Optional[bool] = None,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: a jax.sharding.Mesh with a "model" axis turns on
+        tensor-parallel serving — params shard per parallel/train.py
+        param_specs (attention heads + MLP hidden columns local, output
+        projections row-sharded + psum), the KV cache shards over KV heads,
+        and every prefill/decode program runs under shard_map across the
+        axis. num_{q,kv}_heads must divide the axis size."""
         cfg = model.config
         self.model = model
         self.params = params
         self.config = config
+        self.mesh = mesh
+        self._tp_axis = None
+        if mesh is not None:
+            if "model" not in mesh.axis_names:
+                raise ValueError('engine mesh needs a "model" axis')
+            n_tp = mesh.shape["model"]
+            if cfg.num_q_heads % n_tp or cfg.num_kv_heads % n_tp:
+                raise ValueError(
+                    f"model axis ({n_tp}) must divide q heads "
+                    f"({cfg.num_q_heads}) and kv heads ({cfg.num_kv_heads})"
+                )
+            self._tp_axis = "model"
         self.interpret = (
             interpret
             if interpret is not None
@@ -93,6 +112,29 @@ class InferenceEngine:
         self.cache = PagedKVCache.create(
             cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, config.cache
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from tpu_flash.parallel.train import param_specs
+
+            self._pspecs = param_specs(params)
+            to_sharding = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+            self.params = jax.device_put(
+                params,
+                jax.tree.map(
+                    to_sharding, self._pspecs,
+                    is_leaf=lambda x: isinstance(x, P),
+                ),
+            )
+            self._cspecs = self._cache_spec_tree()
+            self.cache = jax.device_put(
+                self.cache,
+                jax.tree.map(
+                    to_sharding, self._cspecs,
+                    is_leaf=lambda x: isinstance(x, P),
+                ),
+            )
         mb = config.max_batch_size
         pps = config.cache.max_pages_per_seq
         self.page_tables = jnp.zeros((mb, pps), jnp.int32)
@@ -116,6 +158,44 @@ class InferenceEngine:
         self.max_decode_burst = 8
         self._decode_multi_fns: Dict[int, object] = {}
         self._prefill_fns: Dict[tuple, object] = {}
+
+    # -- sharding plumbing -----------------------------------------------------
+
+    def _cache_spec_tree(self):
+        """PartitionSpec pytree matching PagedKVCache: pages and scales
+        shard over KV heads on the "model" axis."""
+        from jax.sharding import PartitionSpec as P
+
+        quant = self.cache.quantized
+        kv_spec = P(None, "model")
+        return PagedKVCache(
+            k_pages=kv_spec,
+            v_pages=kv_spec,
+            k_scales=kv_spec if quant else None,
+            v_scales=kv_spec if quant else None,
+            page_size=self.cache.page_size,
+            kv_dtype=self.cache.kv_dtype,
+        )
+
+    def _jit_impl(self, impl, in_kinds: str, out_kinds: str, donate):
+        """jit an engine program; with a mesh, wrap it in shard_map first.
+        Kind letters: p=params, c=cache, r=replicated."""
+        if self.mesh is None:
+            return jax.jit(impl, donate_argnums=donate)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        kind = {"p": self._pspecs, "c": self._cspecs, "r": P()}
+        return jax.jit(
+            shard_map(
+                impl,
+                mesh=self.mesh,
+                in_specs=tuple(kind[k] for k in in_kinds),
+                out_specs=tuple(kind[k] for k in out_kinds),
+                check_vma=False,
+            ),
+            donate_argnums=donate,
+        )
 
     # -- client API ----------------------------------------------------------
 
@@ -264,7 +344,7 @@ class InferenceEngine:
 
         logits = self.model.forward(
             params, tokens, q_offset=hist_len, interpret=self.interpret,
-            kv_hook=kv_hook,
+            kv_hook=kv_hook, tp_axis=self._tp_axis,
         )
         last = logits[0, n_valid - 1]
         # NaN-watchdog flag: fused into the step, fetched with its results
@@ -279,9 +359,9 @@ class InferenceEngine:
         bucket = _pow2_bucket(max(chunk.length, 8))
         key = (chunk.start, bucket)
         if key not in self._prefill_fns:
-            self._prefill_fns[key] = jax.jit(
+            self._prefill_fns[key] = self._jit_impl(
                 functools.partial(self._chunked_prefill_impl, chunk.start),
-                donate_argnums=(1,),
+                "pcrrr", "crr", donate=(1,),
             )
         tokens = jnp.asarray(
             chunk_tokens + [0] * (bucket - chunk.length), jnp.int32
@@ -367,9 +447,12 @@ class InferenceEngine:
                 interpret=self.interpret,
             )  # [mb, hq, d]
             attn = attn.reshape(x.shape[0], -1)
-            x = x + attn @ layer["wo"]
+            proj = attn @ layer["wo"]
+            if self._tp_axis is not None:
+                proj = jax.lax.psum(proj, self._tp_axis)
+            x = x + proj
             xn = _rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            x = x + model._mlp(layer, xn)
+            x = x + model._mlp(layer, xn, self._tp_axis)
         x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
         logits = (x @ params["lm_head"]).astype(jnp.float32)
         sampled = sample_tokens(logits, key, temps, top_ks, top_ps)
@@ -438,9 +521,9 @@ class InferenceEngine:
         self._rng, sub = jax.random.split(self._rng)
         keys = jax.random.split(sub, n_steps)
         if n_steps not in self._decode_multi_fns:
-            self._decode_multi_fns[n_steps] = jax.jit(
+            self._decode_multi_fns[n_steps] = self._jit_impl(
                 functools.partial(self._decode_multi_impl, n_steps),
-                donate_argnums=(1,),
+                "pcrrrrrrrr", "crrrr", donate=(1,),
             )
         (
             self.cache, self.last_tokens, self.lengths, all_tokens, finite

@@ -105,20 +105,31 @@ class FlashTransformer:
 
     def _qkv(self, layer: Params, x: jax.Array, positions: jax.Array):
         """x: [batch, seq, hidden] -> q [b,hq,s,d], k/v [b,hkv,s,d] (roped
-        q/k)."""
+        q/k). Head counts derive from the WEIGHT shapes, not the config, so
+        the same code serves full params and per-shard TP params (whose
+        projections hold heads/n columns)."""
         cfg = self.config
         b, s, _ = x.shape
-        q = (x @ layer["wq"]).reshape(b, s, cfg.num_q_heads, cfg.head_dim)
-        k = (x @ layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = (x @ layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        d = cfg.head_dim
+        hq = layer["wq"].shape[1] // d
+        hkv = layer["wk"].shape[1] // d
+        q = (x @ layer["wq"]).reshape(b, s, hq, d)
+        k = (x @ layer["wk"]).reshape(b, s, hkv, d)
+        v = (x @ layer["wv"]).reshape(b, s, hkv, d)
         q = apply_rope(q.transpose(0, 2, 1, 3), positions, self.freqs)
         k = apply_rope(k.transpose(0, 2, 1, 3), positions, self.freqs)
         return q, k, v.transpose(0, 2, 1, 3)
 
-    def _mlp(self, layer: Params, x: jax.Array) -> jax.Array:
+    def _mlp(
+        self, layer: Params, x: jax.Array, tp_axis: Optional[str] = None
+    ) -> jax.Array:
         gate = jax.nn.silu((x @ layer["w_gate"]).astype(jnp.float32))
         up = (x @ layer["w_up"]).astype(jnp.float32)
-        return ((gate * up).astype(x.dtype)) @ layer["w_down"]
+        out = ((gate * up).astype(x.dtype)) @ layer["w_down"]
+        if tp_axis is not None:
+            # Row-sharded w_down: partial products sum over the TP axis.
+            out = jax.lax.psum(out, tp_axis)
+        return out
 
     # -- full forward (training / whole-prompt prefill) ----------------------
 
@@ -131,6 +142,7 @@ class FlashTransformer:
         interpret: Optional[bool] = None,
         return_kv: bool = False,
         kv_hook=None,
+        tp_axis: Optional[str] = None,
     ):
         """Causal forward over a token block using the flash prefill kernel.
 
@@ -143,6 +155,12 @@ class FlashTransformer:
         Keeping the layer body HERE, with the hook as the only seam, means
         model changes can never silently diverge between whole-prompt and
         chunked forward.
+
+        ``tp_axis``: run tensor-parallel inside a shard_map over that mesh
+        axis — params arrive as per-shard slices (attention heads and MLP
+        hidden columns local; wo/w_down rows local), activations stay
+        replicated, and the two row-sharded projections psum their partial
+        products. Requires num_{q,kv}_heads divisible by the axis size.
         """
         cfg = self.config
         x = params["embed"][tokens].astype(self.dtype)
@@ -160,9 +178,12 @@ class FlashTransformer:
             )
             b, h, s, d = attn.shape
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-            x = x + attn @ layer["wo"]
+            proj = attn @ layer["wo"]
+            if tp_axis is not None:
+                proj = jax.lax.psum(proj, tp_axis)  # row-sharded wo
+            x = x + proj
             xn = _rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            x = x + self._mlp(layer, xn)
+            x = x + self._mlp(layer, xn, tp_axis)
         x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
         logits = (x @ params["lm_head"]).astype(jnp.float32)
         if return_kv:
@@ -192,9 +213,12 @@ class FlashTransformer:
         layer = params["layers"][layer_idx]
         cfg = self.config
         b = x.shape[0]
-        q = (x @ layer["wq"]).reshape(b, cfg.num_q_heads, 1, cfg.head_dim)
-        k = (x @ layer["wk"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
-        v = (x @ layer["wv"]).reshape(b, cfg.num_kv_heads, cfg.head_dim)
+        d = cfg.head_dim
+        hq = layer["wq"].shape[1] // d  # shape-driven: supports TP shards
+        hkv = layer["wk"].shape[1] // d
+        q = (x @ layer["wq"]).reshape(b, hq, 1, d)
+        k = (x @ layer["wk"]).reshape(b, hkv, 1, d)
+        v = (x @ layer["wv"]).reshape(b, hkv, d)
         q = apply_rope(q, positions[:, None], self.freqs)[:, :, 0]
         k = apply_rope(k, positions[:, None], self.freqs)[:, :, 0]
         return q, k, v
