@@ -158,6 +158,13 @@ class InferenceEngine:
         self.max_decode_burst = 8
         self._decode_multi_fns: Dict[int, object] = {}
         self._prefill_fns: Dict[tuple, object] = {}
+        # Speculative decoding (prompt-lookup drafts, greedy single-stream):
+        # 0 disables. Draft tokens verify in ONE forward over the paged
+        # cache; accepted prefix + one correction commit per step.
+        self.speculation_k = 8
+        self._verify_fns: Dict[int, object] = {}
+        self._spec_proposed = 0
+        self._spec_accepted = 0
 
     # -- sharding plumbing -----------------------------------------------------
 
@@ -493,6 +500,128 @@ class InferenceEngine:
         )
         return cache, tokens, lengths, all_tokens, jnp.all(all_finite)
 
+    # -- speculative decoding ----------------------------------------------------
+
+    @staticmethod
+    def _find_draft(context: List[int], k: int, ngram: int = 2) -> List[int]:
+        """Prompt-lookup drafting: find the latest earlier occurrence of the
+        context's final n-gram and propose the tokens that followed it."""
+        if len(context) < ngram + 1 or k < 1:
+            return []
+        key = tuple(context[-ngram:])
+        for i in range(len(context) - ngram - 1, -1, -1):
+            if tuple(context[i : i + ngram]) == key:
+                return list(context[i + ngram : i + ngram + k])
+        return []
+
+    def _verify_impl(self, n_tok, params, cache, tokens, length, table_row):
+        """Verify [last_token, draft...] (n_tok tokens) in one forward over
+        the paged cache at dynamic offset ``length``. Appends all n_tok
+        tokens' KV (rejected drafts' entries are masked by lengths and
+        overwritten when their positions are legitimately reached). Returns
+        (cache, greedy preds [n_tok], finite)."""
+        ps = self.config.cache.page_size
+        pps = self.config.cache.max_pages_per_seq
+        hist_full = pps * ps
+        positions = length + jnp.arange(n_tok)
+        # Positions past the reserved pages land on trash (table padding).
+        page_ids = table_row[positions // ps]
+        offsets = positions % ps
+        cache_cell = [cache]
+
+        def kv_hook(li, k, v):
+            cache_cell[0] = cache_cell[0].append(
+                li, k[0].transpose(1, 0, 2), v[0].transpose(1, 0, 2),
+                page_ids, offsets,
+            )
+            # Whole-table dense gather (static shape); the dynamic-length
+            # mask lives in attention_fn.
+            return self._gather_history(
+                cache_cell[0], li, table_row, hist_full
+            )
+
+        def attention_fn(q, k, v):
+            # Exact attention with the dynamic-offset causal mask the
+            # static-q_offset flash kernel can't express. q [1,hq,n_tok,d];
+            # k/v [1,hkv,hist_full,d]. Compute is O(n_tok * ctx) — decode-
+            # class, negligible; the HBM sweep is the point (n_tok tokens
+            # verified for one pass over the KV).
+            rep = q.shape[1] // k.shape[1]
+            kf = jnp.repeat(k.astype(jnp.float32), rep, axis=1)
+            vf = jnp.repeat(v.astype(jnp.float32), rep, axis=1)
+            scale = self.model.config.head_dim**-0.5
+            s_ = (
+                jnp.einsum(
+                    "bhqd,bhkd->bhqk", q.astype(jnp.float32), kf
+                )
+                * scale
+            )
+            key_pos = jnp.arange(hist_full)[None, None, None, :]
+            allow = key_pos <= positions[None, None, :, None]
+            s_ = jnp.where(allow, s_, -1e30)
+            w = jax.nn.softmax(s_, axis=-1)
+            return jnp.einsum("bhqk,bhkd->bhqd", w, vf).astype(q.dtype)
+
+        logits = self.model.forward(
+            params, tokens, interpret=self.interpret, kv_hook=kv_hook,
+            tp_axis=self._tp_axis, positions=positions,
+            attention_fn=attention_fn,
+        )
+        preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        finite = jnp.all(jnp.isfinite(logits))
+        return cache_cell[0], preds, finite
+
+    def _run_speculative(self, req, slot: int, draft: List[int]) -> int:
+        n_tok = 1 + len(draft)
+        if n_tok not in self._verify_fns:
+            self._verify_fns[n_tok] = self._jit_impl(
+                functools.partial(self._verify_impl, n_tok),
+                "pcrrr", "crr", donate=(1,),
+            )
+        last = (self.outputs[req.req_id] or req._prompt)[-1]
+        tokens = jnp.asarray([[last] + draft], jnp.int32)
+        self.cache, preds_dev, finite = self._verify_fns[n_tok](
+            self.params, self.cache, tokens, self.lengths[slot],
+            self.page_tables[slot],
+        )
+        preds = self._fetcher.fetch(preds_dev)
+        if self.health_config.check_numerics:
+            watchdog_check(
+                self.health, self._fetcher.fetch(finite),
+                phase="decode", request_ids=[req.req_id],
+            )
+        accepted = 0
+        while accepted < len(draft) and int(preds[accepted]) == draft[accepted]:
+            accepted += 1
+        emit = [int(preds[i]) for i in range(accepted + 1)]
+        emit = emit[: req.max_new_tokens - req.generated]
+        final: List[int] = []
+        for t in emit:
+            final.append(t)
+            if t in req.stop_tokens:
+                req.stopped = True
+                break
+        self._spec_proposed += len(draft)
+        self._spec_accepted += accepted
+        self.outputs[req.req_id].extend(final)
+        self.scheduler.report_decoded(req.req_id, len(final))
+        self.lengths = self.lengths.at[slot].add(len(final))
+        self.last_tokens = self.last_tokens.at[slot].set(final[-1])
+        if req.done:
+            self.active[slot] = False
+        return len(final)
+
+    def speculation_stats(self) -> Dict[str, float]:
+        return {
+            "proposed": float(self._spec_proposed),
+            "accepted": float(self._spec_accepted),
+            "acceptance_rate": (
+                self._spec_accepted / self._spec_proposed
+                if self._spec_proposed
+                else 0.0
+            ),
+        }
+
     def _run_decode(self, decode_slots: List[int]) -> int:
         mask = np.zeros((self.config.max_batch_size,), bool)
         for s in decode_slots:
@@ -507,6 +636,30 @@ class InferenceEngine:
             for s in decode_slots
             if mask[s] and self.scheduler.slots[s] is not None
         ]
+
+        # Speculative path: single greedy stream with a usable prompt-lookup
+        # draft — verify k drafts in one KV sweep instead of k sweeps.
+        if (
+            self.speculation_k > 0
+            and len(rids) == 1
+            and not self.scheduler.waiting
+        ):
+            req = self.scheduler.active.get(rids[0])
+            if (
+                req is not None
+                and req.sampling.temperature <= 0
+                and req.max_new_tokens - req.generated > 1
+            ):
+                context = req._prompt + self.outputs[req.req_id]
+                k = min(
+                    self.speculation_k,
+                    req.max_new_tokens - req.generated - 1,
+                )
+                draft = self._find_draft(context, k)
+                if draft:
+                    return self._run_speculative(
+                        req, req.batch_slot, draft
+                    )
         remaining = [
             self.scheduler.active[r].max_new_tokens
             - self.scheduler.active[r].generated

@@ -143,6 +143,8 @@ class FlashTransformer:
         return_kv: bool = False,
         kv_hook=None,
         tp_axis: Optional[str] = None,
+        positions: Optional[jax.Array] = None,
+        attention_fn=None,
     ):
         """Causal forward over a token block using the flash prefill kernel.
 
@@ -161,10 +163,18 @@ class FlashTransformer:
         hidden columns local; wo/w_down rows local), activations stay
         replicated, and the two row-sharded projections psum their partial
         products. Requires num_{q,kv}_heads divisible by the axis size.
+
+        ``positions``: dynamic absolute positions [seq] overriding the
+        static ``q_offset + arange`` (speculative verification, where the
+        block's offset is a traced value). ``attention_fn(q, k, v) ->
+        attn`` replaces the causal flash call for paths whose masking the
+        static-offset kernel can't express (again: dynamic-offset
+        verification) — the rest of the layer body stays single-sourced.
         """
         cfg = self.config
         x = params["embed"][tokens].astype(self.dtype)
-        positions = q_offset + jnp.arange(tokens.shape[1])
+        if positions is None:
+            positions = q_offset + jnp.arange(tokens.shape[1])
         kvs = []
         for li, layer in enumerate(params["layers"]):
             xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
@@ -173,9 +183,13 @@ class FlashTransformer:
                 kvs.append((k, v))
             if kv_hook is not None:
                 k, v = kv_hook(li, k, v)
-            attn = flash_attention(
-                q, k, v, causal=True, q_offset=q_offset, interpret=interpret
-            )
+            if attention_fn is not None:
+                attn = attention_fn(q, k, v)
+            else:
+                attn = flash_attention(
+                    q, k, v, causal=True, q_offset=q_offset,
+                    interpret=interpret,
+                )
             b, h, s, d = attn.shape
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
             proj = attn @ layer["wo"]
