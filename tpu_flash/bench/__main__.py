@@ -205,13 +205,15 @@ def config4_fp8_paged(iters: int):
         _log(f"  {dtype_name} prefill 8K: {tflops:.1f} TFLOP/s")
 
     # Paged INT8 decode at 8K context (the continuous-batching hot step).
+    # 512-token pages: the measured optimum for quantized caches (BENCHLOG
+    # "large quantized pages"), 64KB page DMAs instead of 16KB.
     tps, secs, gbps = bench_decode_tokens_per_s(
-        context=8192, kv_quant="int8", iters=iters
+        context=8192, kv_quant="int8", page_size=512, iters=iters
     )
     rows.append(
         {
             "config": 4,
-            "name": "paged-int8 decode b8 gqa4 8K",
+            "name": "paged-int8 decode b8 gqa4 8K ps512",
             "metric": "tokens_per_s",
             "value": tps,
             "step_ms": secs * 1e3,
@@ -269,13 +271,13 @@ def config5_longcontext(iters: int):
          f"({100 * res.roofline_frac:.1f}% roofline)")
 
     tps, secs, gbps = bench_decode_tokens_per_s(
-        batch=4, context=32768, kv_quant="int4", page_size=128,
+        batch=4, context=32768, kv_quant="int4", page_size=512,
         iters=max(4, iters // 4),
     )
     rows.append(
         {
             "config": 5,
-            "name": "int4-kv decode b4 gqa4 32K",
+            "name": "int4-kv decode b4 gqa4 32K ps512",
             "metric": "tokens_per_s",
             "value": tps,
             "step_ms": secs * 1e3,

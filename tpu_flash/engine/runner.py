@@ -162,6 +162,10 @@ class InferenceEngine:
         # 0 disables. Draft tokens verify in ONE forward over the paged
         # cache; accepted prefix + one correction commit per step.
         self.speculation_k = 8
+        # Verification gathers the sequence's whole page table densely
+        # (static shape); cap the table size it's worth that for — very
+        # long-context configs fall back to burst decode.
+        self.speculation_max_table_tokens = 16384
         self._verify_fns: Dict[int, object] = {}
         self._spec_proposed = 0
         self._spec_accepted = 0
@@ -639,8 +643,13 @@ class InferenceEngine:
 
         # Speculative path: single greedy stream with a usable prompt-lookup
         # draft — verify k drafts in one KV sweep instead of k sweeps.
+        table_tokens = (
+            self.config.cache.max_pages_per_seq
+            * self.config.cache.page_size
+        )
         if (
             self.speculation_k > 0
+            and table_tokens <= self.speculation_max_table_tokens
             and len(rids) == 1
             and not self.scheduler.waiting
         ):
