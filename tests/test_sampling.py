@@ -209,3 +209,60 @@ class TestStopTokens:
         eng = self._engine(model, params)
         rid = eng.submit([1, 2, 3], 4)
         assert len(eng.run()[rid]) == 4
+
+
+class TestLogprobs:
+    @pytest.fixture(scope="class")
+    def mp(self):
+        model = FlashTransformer(TINY_TEST)
+        return model, model.init(jax.random.PRNGKey(0))
+
+    def _engine(self, model, params, spec_k=0):
+        cfg = EngineConfig(
+            max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+            cache=CacheConfig(
+                page_size=8, num_pages=64, max_pages_per_seq=8,
+                kv_dtype="float32",
+            ),
+        )
+        eng = InferenceEngine(model, params, cfg, interpret=True)
+        eng.speculation_k = spec_k
+        return eng
+
+    def test_one_logprob_per_token_finite_nonpositive(self, mp):
+        import math
+
+        model, params = mp
+        eng = self._engine(model, params)
+        rid = eng.submit([3, 14, 15], 5)
+        out = eng.run()[rid]
+        lp = eng.logprobs[rid]
+        assert len(lp) == len(out)
+        assert all(x <= 0 and math.isfinite(x) for x in lp)
+
+    def test_first_token_logprob_matches_oracle(self, mp):
+        model, params = mp
+        eng = self._engine(model, params)
+        prompt = [3, 14, 15]
+        rid = eng.submit(prompt, 1)
+        tok = eng.run()[rid][0]
+        lg = model.forward(
+            params, jnp.asarray(prompt, jnp.int32)[None], interpret=True
+        )[0, -1]
+        expect = float(jax.nn.log_softmax(lg)[tok])
+        assert abs(eng.logprobs[rid][0] - expect) < 2e-4
+
+    def test_speculative_logprobs_match_baseline(self, mp):
+        model, params = mp
+        prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+        spec = self._engine(model, params, spec_k=8)
+        rs = spec.submit(prompt, 20)
+        out_s = spec.run()[rs]
+        base = self._engine(model, params, spec_k=0)
+        rb = base.submit(prompt, 20)
+        out_b = base.run()[rb]
+        assert out_s == out_b
+        assert all(
+            abs(a - b) < 2e-3
+            for a, b in zip(spec.logprobs[rs], base.logprobs[rb])
+        )

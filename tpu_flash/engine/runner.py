@@ -148,6 +148,7 @@ class InferenceEngine:
         self._rng = jax.random.PRNGKey(seed)
         self._sample_fn = jax.jit(sample_tokens)
         self.outputs: Dict[int, List[int]] = {}
+        self.logprobs: Dict[int, List[float]] = {}  # per emitted token
         self.metrics = EngineMetrics()
         self.health_config = config.health or HealthConfig()
         self.health = HealthMonitor(self.health_config)
@@ -229,6 +230,7 @@ class InferenceEngine:
         req._prompt = list(prompt)  # host-side stash
         self.scheduler.add_request(req)
         self.outputs[req_id] = []
+        self.logprobs[req_id] = []
         return req_id
 
     def run(self) -> Dict[int, List[int]]:
@@ -419,6 +421,13 @@ class InferenceEngine:
             self.last_tokens = self.last_tokens.at[slot].set(next_token)
             self.active[slot] = True
             self.outputs[req.req_id].append(next_token)
+            self.logprobs[req.req_id].append(
+                float(
+                    self._fetcher.fetch(
+                        jax.nn.log_softmax(last_logits)[next_token]
+                    )
+                )
+            )
             self.scheduler.report_decoded(req.req_id)
             if next_token in req.stop_tokens:
                 req.stopped = True  # stop token included, then end
@@ -472,6 +481,10 @@ class InferenceEngine:
         # an inactive slot's (trash-page) sample would corrupt a sequence
         # that resumes decoding later.
         next_tokens = jnp.where(active_mask, sampled, tokens)
+        logps = jnp.take_along_axis(
+            jax.nn.log_softmax(logits, axis=-1),
+            next_tokens[:, None], axis=-1,
+        )[:, 0]
         new_lengths = jnp.where(active_mask, lengths + 1, lengths)
         # NaN watchdog over ACTIVE slots only (inactive slots attend to the
         # trash page and may legitimately produce garbage).
@@ -480,7 +493,7 @@ class InferenceEngine:
                 active_mask[:, None], jnp.isfinite(logits), True
             )
         )
-        return cache, next_tokens, new_lengths, finite
+        return cache, next_tokens, new_lengths, finite, logps
 
     def _decode_multi_impl(self, n_steps, params, cache, tokens, lengths,
                            page_tables, active_mask, keys, temps, top_ks,
@@ -493,16 +506,25 @@ class InferenceEngine:
 
         def body(carry, key):
             cache, tokens, lengths = carry
-            cache, next_tokens, lengths, finite = self._decode_step_impl(
-                params, cache, tokens, lengths, page_tables, active_mask,
-                key, temps, top_ks, top_ps,
+            cache, next_tokens, lengths, finite, logps = (
+                self._decode_step_impl(
+                    params, cache, tokens, lengths, page_tables,
+                    active_mask, key, temps, top_ks, top_ps,
+                )
             )
-            return (cache, next_tokens, lengths), (next_tokens, finite)
+            return (cache, next_tokens, lengths), (
+                next_tokens, finite, logps,
+            )
 
-        (cache, tokens, lengths), (all_tokens, all_finite) = jax.lax.scan(
-            body, (cache, tokens, lengths), keys, length=n_steps
+        (cache, tokens, lengths), (all_tokens, all_finite, all_logps) = (
+            jax.lax.scan(
+                body, (cache, tokens, lengths), keys, length=n_steps
+            )
         )
-        return cache, tokens, lengths, all_tokens, jnp.all(all_finite)
+        return (
+            cache, tokens, lengths, all_tokens, jnp.all(all_finite),
+            all_logps,
+        )
 
     # -- speculative decoding ----------------------------------------------------
 
@@ -572,23 +594,27 @@ class InferenceEngine:
             attention_fn=attention_fn,
         )
         preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        logps = jnp.take_along_axis(
+            jax.nn.log_softmax(logits[0], axis=-1), preds[:, None], axis=-1
+        )[:, 0]
         finite = jnp.all(jnp.isfinite(logits))
-        return cache_cell[0], preds, finite
+        return cache_cell[0], preds, finite, logps
 
     def _run_speculative(self, req, slot: int, draft: List[int]) -> int:
         n_tok = 1 + len(draft)
         if n_tok not in self._verify_fns:
             self._verify_fns[n_tok] = self._jit_impl(
                 functools.partial(self._verify_impl, n_tok),
-                "pcrrr", "crr", donate=(1,),
+                "pcrrr", "crrr", donate=(1,),
             )
         last = (self.outputs[req.req_id] or req._prompt)[-1]
         tokens = jnp.asarray([[last] + draft], jnp.int32)
-        self.cache, preds_dev, finite = self._verify_fns[n_tok](
+        self.cache, preds_dev, finite, logps_dev = self._verify_fns[n_tok](
             self.params, self.cache, tokens, self.lengths[slot],
             self.page_tables[slot],
         )
         preds = self._fetcher.fetch(preds_dev)
+        logps = self._fetcher.fetch(logps_dev)
         if self.health_config.check_numerics:
             watchdog_check(
                 self.health, self._fetcher.fetch(finite),
@@ -608,6 +634,9 @@ class InferenceEngine:
         self._spec_proposed += len(draft)
         self._spec_accepted += accepted
         self.outputs[req.req_id].extend(final)
+        self.logprobs[req.req_id].extend(
+            float(logps[i]) for i in range(len(final))
+        )
         self.scheduler.report_decoded(req.req_id, len(final))
         self.lengths = self.lengths.at[slot].add(len(final))
         self.last_tokens = self.last_tokens.at[slot].set(final[-1])
@@ -685,10 +714,11 @@ class InferenceEngine:
         if n_steps not in self._decode_multi_fns:
             self._decode_multi_fns[n_steps] = self._jit_impl(
                 functools.partial(self._decode_multi_impl, n_steps),
-                "pcrrrrrrrr", "crrrr", donate=(1,),
+                "pcrrrrrrrr", "crrrrr", donate=(1,),
             )
         (
-            self.cache, self.last_tokens, self.lengths, all_tokens, finite
+            self.cache, self.last_tokens, self.lengths, all_tokens, finite,
+            all_logps,
         ) = self._decode_multi_fns[n_steps](
             self.params, self.cache, self.last_tokens, self.lengths,
             self.page_tables, active_mask, keys,
@@ -698,6 +728,7 @@ class InferenceEngine:
         # Deadline scales with the burst: the per-STEP timeout contract
         # holds whether the engine runs 1 or max_decode_burst fused steps.
         tokens_host = self._fetcher.fetch(all_tokens, scale=n_steps)
+        logps_host = self._fetcher.fetch(all_logps, scale=n_steps)
         if self.health_config.check_numerics:
             watchdog_check(
                 self.health, self._fetcher.fetch(finite, scale=n_steps),
@@ -716,6 +747,7 @@ class InferenceEngine:
             for i in range(n_steps):
                 tok = int(tokens_host[i, s])
                 self.outputs[rid].append(tok)
+                self.logprobs[rid].append(float(logps_host[i, s]))
                 taken += 1
                 if tok in stops:
                     # Stop token included, then generation ends; the
