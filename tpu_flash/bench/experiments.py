@@ -161,8 +161,6 @@ def variant_attention(
 
 
 def main():
-    import sys
-
     from tpu_flash.bench.suite import _time_chained, attention_flops
 
     b, h, s, d = 1, 32, 2048, 128

@@ -8,7 +8,6 @@ compile, then N timed iterations bracketed by ``jax.block_until_ready``.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Callable, Optional
 

@@ -14,7 +14,6 @@ INT4, ops/quant/quantize.py), so the cache never holds fp K/V.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax

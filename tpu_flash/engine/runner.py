@@ -43,9 +43,8 @@ from tpu_flash.engine.health import (
 )
 from tpu_flash.engine.metrics import EngineMetrics
 from tpu_flash.engine.sampling import GREEDY, SamplingParams, sample_tokens
-from tpu_flash.engine.scheduler import Request, RequestState, Scheduler
+from tpu_flash.engine.scheduler import Request, Scheduler
 from tpu_flash.models.transformer import FlashTransformer, _rms_norm
-from tpu_flash.ops.flash import flash_attention
 
 
 def _pow2_bucket(n: int, lo: int = 8) -> int:

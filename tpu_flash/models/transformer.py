@@ -11,7 +11,6 @@ surface (SURVEY.md §7 layer 4) that the engine drives.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_flash.core.config import BlockSizes
 from tpu_flash.core.reference import DEFAULT_MASK_VALUE
 from tpu_flash.ops.flash.forward import NUM_LANES
-from tpu_flash.ops.quant.quantize import FP8_MAX, INT8_MAX, QuantizedTensor
+from tpu_flash.ops.quant.quantize import FP8_MAX, INT8_MAX
 from tpu_flash.utils.tuning import default_block_sizes
 
 

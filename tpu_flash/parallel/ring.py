@@ -21,7 +21,6 @@ predication.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

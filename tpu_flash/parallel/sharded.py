@@ -9,7 +9,6 @@ heads on ``model`` — each chip owns the pages of its heads.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

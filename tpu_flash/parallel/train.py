@@ -16,8 +16,7 @@ on local blocks — the supported way to compose custom kernels with SPMD.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
