@@ -180,6 +180,7 @@ def snapshot_engine(path, engine) -> None:
             str(rid): sched.allocator.pages_of(rid) for rid in sched.active
         },
         "outputs": {str(k): v for k, v in engine.outputs.items()},
+        "logprobs": {str(k): v for k, v in engine.logprobs.items()},
         "next_id": engine._next_id,
     }
     (path / _ENGINE_META).write_text(json.dumps(meta))
@@ -228,6 +229,12 @@ def restore_engine(path, engine) -> None:
         engine.top_ps = np.asarray(data["top_ps"])
         engine._rng = jnp.asarray(data["rng"])
     engine.outputs = {int(k): list(v) for k, v in meta["outputs"].items()}
+    engine.logprobs = {
+        int(k): list(v) for k, v in meta.get("logprobs", {}).items()
+    }
+    # Pre-logprobs snapshots: seed empty lists so resume can append.
+    for rid in engine.outputs:
+        engine.logprobs.setdefault(rid, [])
     engine._next_id = meta["next_id"]
 
     sched = engine.scheduler
