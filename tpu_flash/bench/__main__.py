@@ -95,8 +95,10 @@ def config3_decode(iters: int):
 
     rows = []
     for kv_quant in ("int8", None):
+        # Sub-ms steps need long differential windows (BENCHLOG: short
+        # windows mis-time on the relay).
         tps, secs, gbps = bench_decode_tokens_per_s(
-            kv_quant=kv_quant, iters=iters
+            kv_quant=kv_quant, iters=max(64, iters)
         )
         name = f"decode b8 gqa4 4K {kv_quant or 'fp32'}-kv"
         rows.append(
@@ -208,7 +210,7 @@ def config4_fp8_paged(iters: int):
     # 512-token pages: the measured optimum for quantized caches (BENCHLOG
     # "large quantized pages"), 64KB page DMAs instead of 16KB.
     tps, secs, gbps = bench_decode_tokens_per_s(
-        context=8192, kv_quant="int8", page_size=512, iters=iters
+        context=8192, kv_quant="int8", page_size=512, iters=max(64, iters)
     )
     rows.append(
         {
@@ -272,7 +274,7 @@ def config5_longcontext(iters: int):
 
     tps, secs, gbps = bench_decode_tokens_per_s(
         batch=4, context=32768, kv_quant="int4", page_size=512,
-        iters=max(4, iters // 4),
+        iters=max(64, iters),
     )
     rows.append(
         {
