@@ -186,3 +186,19 @@ class TestEnginePrefixCache:
         # greedy can diverge on near-ties, so check hit accounting + shape.
         assert eng.prefix_stats()["hits_tokens"] >= 16
         assert len(out[r2]) == 2
+
+    def test_midprefill_registration_shares_early(self, model_and_params):
+        """A request arriving while a long prompt is STILL PREFILLING
+        shares the chunks already written (incremental registration)."""
+        model, params = model_and_params
+        eng = _engine(model, params)  # prefill_chunk=16, page_size=8
+        common = [4] * 32
+        r1 = eng.submit(common + [1] * 16, max_new_tokens=2)
+        eng.step()  # chunk 1 of 3 written (16 tokens = 2 pages indexed)
+        assert eng.prefix_index.num_indexed_pages == 2
+        req1 = eng.scheduler.active[r1]
+        assert req1.prefilled < req1.prompt_len  # r1 genuinely mid-prefill
+        r2 = eng.submit(common + [9], max_new_tokens=2)
+        out = eng.run()
+        assert out[r2] == _oracle(model, params, common + [9], 2)
+        assert eng.prefix_stats()["hits_tokens"] >= 16

@@ -399,11 +399,14 @@ class InferenceEngine:
         self.temps[slot] = sp.temperature
         self.top_ks[slot] = sp.top_k
         self.top_ps[slot] = sp.top_p
+        # Index the prompt's full pages written SO FAR for prefix reuse —
+        # incremental (per chunk, not just at completion), so a request
+        # arriving while a long same-prefix prompt is mid-prefill already
+        # shares its finished pages. Pages are immutable once fully
+        # written; decode appends go past them.
+        if self.prefix_index is not None:
+            self.prefix_index.register(prompt[:new_len], table)
         if new_len >= req.prompt_len:
-            # Index this prompt's full pages for prefix reuse (pages are
-            # immutable once fully written; decode appends go past them).
-            if self.prefix_index is not None:
-                self.prefix_index.register(prompt, table)
             # Final chunk: its last-position logits emit the first token,
             # sampled with the request's parameters.
             self._rng, sk = jax.random.split(self._rng)
