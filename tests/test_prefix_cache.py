@@ -103,6 +103,67 @@ class TestPrefixIndex:
         assert idx.evict(2) == 2
         assert a.num_free == 16
 
+    def test_eviction_takes_whole_chain(self):
+        """Evicting page i must also drop pages i+1.. of the same chain:
+        they can never match once an ancestor is gone, so keeping them
+        would leak retained pages until their own LRU turn."""
+        a = PageAllocator(16, prefer_native=False)
+        idx = PrefixIndex(a, page_size=4)
+        pages = a.alloc(0, 3)
+        idx.register(list(range(12)), pages)
+        a.release(0)
+        assert a.num_free == 13
+        # Ask for ONE page; the LRU root is page 0, so the whole chain goes.
+        assert idx.evict(1) == 3
+        assert a.num_free == 16
+        assert idx.num_indexed_pages == 0
+
+    def test_eviction_branching_chains(self):
+        """Two prompts share page 0 then diverge; evicting the shared root
+        drops both branches. Re-registering afterwards works cleanly."""
+        a = PageAllocator(16, prefer_native=False)
+        idx = PrefixIndex(a, page_size=4)
+        p1 = list(range(8))
+        p2 = list(range(4)) + [90, 91, 92, 93]
+        pg1 = a.alloc(0, 2)
+        pg2 = [pg1[0]] + a.alloc(1, 1)
+        idx.register(p1, pg1)
+        idx.register(p2, pg2)
+        assert idx.num_indexed_pages == 3
+        a.release(0)
+        a.release(1)
+        # LRU order is [p1-page1, shared-page0, p2-page1]: the first
+        # eviction takes the mid-chain leaf alone; the second takes the
+        # shared root plus its surviving branch (and must tolerate the
+        # already-evicted child reference).
+        assert idx.evict(2) == 3
+        assert a.num_free == 16
+        # Clean re-registration after eviction (no stale topology).
+        pg3 = a.alloc(2, 2)
+        idx.register(p1, pg3)
+        hit, matched = idx.match(p1 + [5])
+        assert matched == 8 and hit == pg3
+        a.release(2)
+        assert idx.evict(2) == 2
+        assert a.num_free == 16
+
+    def test_eviction_mid_chain_keeps_prefix(self):
+        """If the LRU victim is a mid-chain page, the chain's untouched
+        prefix (more recently used) survives and still matches."""
+        a = PageAllocator(16, prefer_native=False)
+        idx = PrefixIndex(a, page_size=4)
+        pages = a.alloc(0, 3)
+        prompt = list(range(12))
+        idx.register(prompt, pages)
+        # Touch page 0 (match a 1-page-prefix prompt) so page 1 becomes LRU.
+        idx.match(prompt[:4] + [77, 78])
+        a.release(0)
+        assert idx.evict(1) == 2  # pages 1 and 2 go together
+        hit, matched = idx.match(prompt)
+        assert matched == 4 and hit == pages[:1]
+        assert idx.evict(1) == 1
+        assert a.num_free == 16
+
 
 class TestEnginePrefixCache:
     def test_shared_prefix_overlapping_lifetimes(self, model_and_params):

@@ -44,6 +44,10 @@ class PrefixIndex:
         self._alloc = allocator
         self._ps = page_size
         self._entries: Dict[int, _Entry] = {}
+        # Chain topology: parent key -> child keys, so eviction can drop a
+        # page together with every descendant (a descendant whose ancestor
+        # is gone can never match — match() walks from the chain root).
+        self._children: Dict[int, List[int]] = {}
         # LRU over chain keys: most-recently-used at the right end.
         self._lru: "collections.OrderedDict[int, None]" = (
             collections.OrderedDict()
@@ -115,6 +119,7 @@ class PrefixIndex:
                 page=pages[i], prev_key=parent,
                 tokens=tuple(prompt[i * ps : (i + 1) * ps]),
             )
+            self._children.setdefault(parent, []).append(key)
             self._lru[key] = None
             added += 1
         return added
@@ -122,15 +127,30 @@ class PrefixIndex:
     # -- eviction ---------------------------------------------------------------
 
     def evict(self, n_pages: int) -> int:
-        """Release at least ``n_pages`` retained pages, LRU-first (whole
-        pages; a chain's older pages may outlive its newer ones only until
-        their own LRU turn — matching is per-page so partial chains still
-        hit). Returns pages actually freed back to the allocator."""
+        """Release at least ``n_pages`` retained pages, LRU-first, evicting
+        each victim together with its whole descendant subtree: once page i
+        of a chain is gone, pages i+1.. can never match again (match walks
+        from the root), so keeping them would only leak retention until
+        their own LRU turn. Returns pages actually freed back to the
+        allocator."""
         freed = 0
         while freed < n_pages and self._lru:
-            key, _ = self._lru.popitem(last=False)
-            entry = self._entries.pop(key)
-            freed += self._alloc.release_pages([entry.page])
+            root = next(iter(self._lru))
+            root_parent = self._entries[root].prev_key
+            siblings = self._children.get(root_parent)
+            if siblings is not None and root in siblings:
+                siblings.remove(root)
+            stack = [root]
+            victims: List[int] = []
+            while stack:
+                key = stack.pop()
+                entry = self._entries.pop(key, None)
+                if entry is None:
+                    continue
+                victims.append(entry.page)
+                self._lru.pop(key, None)
+                stack.extend(self._children.pop(key, ()))
+            freed += self._alloc.release_pages(victims)
         return freed
 
     def drop_all(self) -> int:
