@@ -100,6 +100,42 @@ class TestShardedEngine:
         assert eng.run()[r2] == expected
 
     @requires_8
+    def test_snapshot_restore_reapplies_shardings(
+        self, model_and_params, tmp_path
+    ):
+        """A snapshot taken mid-decode restores into a mesh engine with the
+        KV cache re-sharded over the model axis, and resumes to the exact
+        uninterrupted token streams."""
+        from tpu_flash.checkpoint import restore_engine, snapshot_engine
+
+        model, params = model_and_params
+        prompts = {0: [3, 14, 15, 9, 2, 6], 1: [27, 1, 8]}
+        mesh = _tp_mesh(2)
+
+        golden = InferenceEngine(model, params, _config(), interpret=True,
+                                 mesh=mesh)
+        for p in prompts.values():
+            golden.submit(p, max_new_tokens=6)
+        expected = golden.run()
+
+        first = InferenceEngine(model, params, _config(), interpret=True,
+                                mesh=mesh)
+        first.max_decode_burst = 2
+        for p in prompts.values():
+            first.submit(p, max_new_tokens=6)
+        for _ in range(3):
+            first.step()
+        snapshot_engine(tmp_path / "snap", first)
+        assert first.scheduler.has_work()  # genuinely mid-decode
+
+        second = InferenceEngine(model, params, _config(), interpret=True,
+                                 mesh=_tp_mesh(2))
+        restore_engine(tmp_path / "snap", second)
+        spec = second.cache.k_pages.sharding.spec
+        assert spec[1] == "model"  # restored pages are sharded again
+        assert second.run() == expected
+
+    @requires_8
     def test_indivisible_heads_rejected(self, model_and_params):
         model, params = model_and_params
         with pytest.raises(ValueError, match="divide"):

@@ -10,17 +10,21 @@ snapshot/restore for the decode engine, and an HF-Llama weight importer.
 from tpu_flash.checkpoint.convert import params_from_hf_llama
 from tpu_flash.checkpoint.store import (
     TrainCheckpointManager,
+    restore_dp_engine,
     restore_engine,
     restore_params,
     save_params,
+    snapshot_dp_engine,
     snapshot_engine,
 )
 
 __all__ = [
     "TrainCheckpointManager",
     "params_from_hf_llama",
+    "restore_dp_engine",
     "restore_engine",
     "restore_params",
     "save_params",
+    "snapshot_dp_engine",
     "snapshot_engine",
 ]

@@ -219,6 +219,22 @@ def restore_engine(path, engine) -> None:
             jnp.asarray(data["v_scales"]) if engine.cache.quantized else None
         ),
     )
+    if engine.mesh is not None:
+        # Re-apply the TP shardings a live engine's cache carries (KV heads
+        # over the "model" axis) — otherwise restored pages land replicated
+        # on one device and the first donated shard_map step either copies
+        # or OOMs at real scale.
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        engine.cache = jax.device_put(
+            engine.cache,
+            jax.tree.map(
+                lambda spec: NamedSharding(engine.mesh, spec),
+                engine._cspecs,
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+        )
     engine.page_tables = jnp.asarray(data["page_tables"])
     engine.lengths = jnp.asarray(data["lengths"])
     engine.last_tokens = jnp.asarray(data["last_tokens"])
@@ -284,3 +300,47 @@ def restore_engine(path, engine) -> None:
             sched.slots[req.batch_slot] = req.req_id
     for rd in meta.get("waiting", []):
         sched.waiting.append(build_req(rd))
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel engine snapshots
+# ---------------------------------------------------------------------------
+
+_DP_META = "dp_meta.json"
+
+
+def snapshot_dp_engine(path, dp_engine) -> None:
+    """Snapshot a ``DataParallelEngine``: one per-replica engine snapshot
+    plus the request routing table. Replicas are independent, so the
+    per-replica format is exactly ``snapshot_engine``'s."""
+    path = _abs(path)
+    path.mkdir(parents=True, exist_ok=True)
+    for i, eng in enumerate(dp_engine.engines):
+        snapshot_engine(path / f"replica_{i}", eng)
+    meta = {
+        "replicas": dp_engine.replicas,
+        "tp": dp_engine.tp,
+        "route": {str(k): list(v) for k, v in dp_engine._route.items()},
+        "next_id": dp_engine._next_id,
+        "rr": dp_engine._rr,
+    }
+    (path / _DP_META).write_text(json.dumps(meta))
+
+
+def restore_dp_engine(path, dp_engine) -> None:
+    """Restore into a freshly-constructed ``DataParallelEngine`` of the same
+    config and replica count."""
+    path = _abs(path)
+    meta = json.loads((path / _DP_META).read_text())
+    if meta["replicas"] != dp_engine.replicas:
+        raise ValueError(
+            f"snapshot has {meta['replicas']} replicas; engine has "
+            f"{dp_engine.replicas}"
+        )
+    for i, eng in enumerate(dp_engine.engines):
+        restore_engine(path / f"replica_{i}", eng)
+    dp_engine._route = {
+        int(k): tuple(v) for k, v in meta["route"].items()
+    }
+    dp_engine._next_id = meta["next_id"]
+    dp_engine._rr = meta.get("rr", 0)

@@ -1,5 +1,6 @@
 from tpu_flash.engine.allocator import PageAllocator
 from tpu_flash.engine.cache import PagedKVCache
+from tpu_flash.engine.dp import DataParallelEngine
 from tpu_flash.engine.health import (
     EngineFailure,
     HealthConfig,
@@ -10,6 +11,7 @@ from tpu_flash.engine.health import (
 from tpu_flash.engine.scheduler import Request, Scheduler
 
 __all__ = [
+    "DataParallelEngine",
     "EngineFailure",
     "HealthConfig",
     "HealthMonitor",
