@@ -82,6 +82,90 @@ class TestSampleTokens:
             SamplingParams(top_p=0.0)
 
 
+class TestSpeculativeSample:
+    """Exactness of speculative rejection sampling (sampling.py
+    speculative_sample): the emitted-token process must be distributionally
+    IDENTICAL to sampling from the target, whatever the draft proposes."""
+
+    def _mc(self, logits, draft, temperature=1.0, top_k=0, top_p=1.0,
+            n=40_000):
+        from tpu_flash.engine.sampling import speculative_sample
+
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        fn = jax.vmap(
+            lambda k: speculative_sample(
+                logits, draft, k, jnp.float32(temperature),
+                jnp.int32(top_k), jnp.float32(top_p),
+            )
+        )
+        return jax.jit(fn)(keys)  # (tokens [n, k+1], n_emit [n])
+
+    def test_first_token_marginal_matches_target(self):
+        # Row 0's target distribution; the draft proposes a LOW-probability
+        # token, so rejection + residual correction carry most of the mass.
+        logits = jnp.asarray(
+            [[2.0, 1.0, 0.0, -1.0], [0.0, 0.0, 0.0, 0.0]], jnp.float32
+        )
+        draft = jnp.asarray([3], jnp.int32)
+        tokens, _ = self._mc(logits, draft)
+        first = np.asarray(tokens[:, 0])
+        target = np.asarray(jax.nn.softmax(logits[0]))
+        emp = np.bincount(first, minlength=4) / len(first)
+        np.testing.assert_allclose(emp, target, atol=0.01)
+
+    def test_second_token_conditional_matches_target(self):
+        # When draft[0] is accepted, token 1 must be an exact sample from
+        # row 1's target (either accepted draft[1] or its residual).
+        logits = jnp.asarray(
+            [[3.0, 0.0, 0.0, 0.0], [0.5, 1.5, -0.5, 0.0], [0.0] * 4],
+            jnp.float32,
+        )
+        draft = jnp.asarray([0, 2], jnp.int32)  # draft0 likely accepted
+        tokens, n_emit = self._mc(logits, draft)
+        tokens, n_emit = np.asarray(tokens), np.asarray(n_emit)
+        sel = (tokens[:, 0] == 0) & (n_emit >= 2)
+        second = tokens[sel, 1]
+        target = np.asarray(jax.nn.softmax(logits[1]))
+        emp = np.bincount(second, minlength=4) / len(second)
+        np.testing.assert_allclose(emp, target, atol=0.015)
+
+    def test_all_accepted_emits_bonus(self):
+        # Draft matches the argmax of near-deterministic rows: everything
+        # accepts and a bonus token from row k is emitted.
+        logits = jnp.asarray(
+            [[50.0, 0, 0, 0], [0, 50.0, 0, 0], [0, 0, 50.0, 0]], jnp.float32
+        )
+        draft = jnp.asarray([0, 1], jnp.int32)
+        tokens, n_emit = self._mc(logits, draft, n=64)
+        assert np.all(np.asarray(n_emit) == 3)
+        np.testing.assert_array_equal(
+            np.asarray(tokens), np.tile([0, 1, 2], (64, 1))
+        )
+
+    def test_greedy_is_deterministic_argmax(self):
+        logits = jnp.asarray(
+            [[1.0, 2.0, 0.5, 0.0], [0.1, 0.0, 3.0, 0.2], [9.0, 0, 0, 0]],
+            jnp.float32,
+        )
+        # Draft agrees at position 0 (argmax=1), disagrees at 1 (argmax=2).
+        draft = jnp.asarray([1, 0], jnp.int32)
+        tokens, n_emit = self._mc(logits, draft, temperature=0.0, n=16)
+        assert np.all(np.asarray(n_emit) == 2)  # 1 accepted + correction
+        np.testing.assert_array_equal(np.asarray(tokens[:, 0]), 1)
+        np.testing.assert_array_equal(np.asarray(tokens[:, 1]), 2)
+
+    def test_filters_respected(self):
+        # top_k=2 restricts support to the two highest logits {0, 1}; the
+        # draft proposes an out-of-support token, which can never emit.
+        logits = jnp.asarray(
+            [[2.0, 1.0, 0.0, -3.0], [0.0, 0.0, 0.0, 0.0]], jnp.float32
+        )
+        draft = jnp.asarray([3], jnp.int32)
+        tokens, n_emit = self._mc(logits, draft, top_k=2, n=4000)
+        assert np.all(np.asarray(n_emit) == 1)  # always rejected
+        assert set(np.asarray(tokens[:, 0]).tolist()) <= {0, 1}
+
+
 class TestEngineSampling:
     @pytest.fixture(scope="class")
     def model_and_params(self):

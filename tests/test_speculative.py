@@ -87,17 +87,35 @@ class TestSpeculativeDecoding:
         spec_steps = _count_steps(spec)
         assert spec_steps < base_steps, (spec_steps, base_steps)
 
-    def test_sampled_requests_bypass_speculation(self, model_and_params):
+    def test_sampled_requests_speculate_exactly(self, model_and_params):
+        """Non-greedy speculation uses rejection sampling. With top_k=1 the
+        sampling distribution is a deterministic point mass, so the
+        speculative stream must EQUAL the non-speculative sampled stream —
+        deterministic parity straight through the stochastic machinery."""
+        model, params = model_and_params
+        prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+        sp = SamplingParams(temperature=1.0, top_k=1)
+        base = _engine(model, params, spec_k=0)
+        rb = base.submit(prompt, max_new_tokens=20, sampling=sp)
+        expected = base.run()[rb]
+
+        spec = _engine(model, params, spec_k=8)
+        rs = spec.submit(prompt, max_new_tokens=20, sampling=sp)
+        assert spec.run()[rs] == expected
+        assert spec.speculation_stats()["proposed"] > 0
+
+    def test_sampled_speculation_seed_deterministic(self, model_and_params):
+        """Hot sampled speculation is reproducible under a fixed seed."""
         model, params = model_and_params
         prompt = [5, 6, 7, 5, 6, 7, 5, 6]
-        eng = _engine(model, params, spec_k=8)
-        rid = eng.submit(
-            prompt, max_new_tokens=8,
-            sampling=SamplingParams(temperature=1.0),
-        )
-        out = eng.run()[rid]
-        assert len(out) == 8
-        assert eng.speculation_stats()["proposed"] == 0
+        sp = SamplingParams(temperature=1.0)
+        outs = []
+        for _ in range(2):
+            eng = _engine(model, params, spec_k=4)
+            rid = eng.submit(prompt, max_new_tokens=10, sampling=sp)
+            outs.append(eng.run()[rid])
+        assert outs[0] == outs[1]
+        assert len(outs[0]) == 10
 
     def test_stop_token_inside_accepted_window(self, model_and_params):
         model, params = model_and_params
@@ -128,6 +146,62 @@ class TestSpeculativeDecoding:
         r2 = eng.submit([9, 9, 9], max_new_tokens=6)
         out = eng.run()
         assert len(out[r1]) == 6 and len(out[r2]) == 6
+
+    def test_draft_model_speculation_exact(self, model_and_params):
+        """Draft-model speculation: a separate small model proposes; the
+        output stream must still be exactly the non-speculative one. With
+        the TARGET ITSELF as draft, every proposal is the argmax, so
+        acceptance is ~100% and steps collapse."""
+        model, params = model_and_params
+        prompt = [3, 14, 15, 9, 2, 6, 11]
+        base = _engine(model, params, spec_k=0)
+        rb = base.submit(prompt, max_new_tokens=16)
+        expected = base.run()[rb]
+
+        spec = InferenceEngine(
+            model, params,
+            EngineConfig(
+                max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+                cache=CacheConfig(
+                    page_size=8, num_pages=64, max_pages_per_seq=16,
+                ),
+            ),
+            interpret=True, draft=(model, params),
+        )
+        spec.speculation_k = 4
+        spec.max_decode_burst = 1
+        rs = spec.submit(prompt, max_new_tokens=16)
+        got = spec.run()[rs]
+        assert got == expected
+        stats = spec.speculation_stats()
+        assert stats["proposed"] > 0
+        # Self-drafting is argmax-consistent: everything accepts.
+        assert stats["acceptance_rate"] == 1.0
+
+    def test_weak_draft_model_still_exact(self, model_and_params):
+        """A differently-initialized draft disagrees often; rejection must
+        keep the stream exact regardless of acceptance rate."""
+        model, params = model_and_params
+        weak = FlashTransformer(TINY_TEST)
+        weak_params = weak.init(jax.random.PRNGKey(99))
+        prompt = [3, 14, 15, 9, 2, 6, 11]
+        base = _engine(model, params, spec_k=0)
+        rb = base.submit(prompt, max_new_tokens=12)
+        expected = base.run()[rb]
+
+        spec = InferenceEngine(
+            model, params,
+            EngineConfig(
+                max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+                cache=CacheConfig(
+                    page_size=8, num_pages=64, max_pages_per_seq=16,
+                ),
+            ),
+            interpret=True, draft=(weak, weak_params),
+        )
+        spec.speculation_k = 4
+        rs = spec.submit(prompt, max_new_tokens=12)
+        assert spec.run()[rs] == expected
 
     def test_decode_continues_correctly_after_speculation(
         self, model_and_params

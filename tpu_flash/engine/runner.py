@@ -63,13 +63,20 @@ class InferenceEngine:
         interpret: Optional[bool] = None,
         seed: int = 0,
         mesh=None,
+        draft=None,
     ):
         """``mesh``: a jax.sharding.Mesh with a "model" axis turns on
         tensor-parallel serving — params shard per parallel/train.py
         param_specs (attention heads + MLP hidden columns local, output
         projections row-sharded + psum), the KV cache shards over KV heads,
         and every prefill/decode program runs under shard_map across the
-        axis. num_{q,kv}_heads must divide the axis size."""
+        axis. num_{q,kv}_heads must divide the axis size.
+
+        ``draft``: an optional ``(FlashTransformer, params)`` pair — a small
+        draft model for speculative decoding. When set, drafts come from
+        the draft model (greedy, over a sliding context window) instead of
+        prompt lookup; verification is identical either way, so outputs
+        stay exact."""
         cfg = model.config
         self.model = model
         self.params = params
@@ -158,9 +165,12 @@ class InferenceEngine:
         self.max_decode_burst = 8
         self._decode_multi_fns: Dict[int, object] = {}
         self._prefill_fns: Dict[tuple, object] = {}
-        # Speculative decoding (prompt-lookup drafts, greedy single-stream):
-        # 0 disables. Draft tokens verify in ONE forward over the paged
-        # cache; accepted prefix + one correction commit per step.
+        # Speculative decoding (prompt-lookup drafts, single-stream): 0
+        # disables. Draft tokens verify in ONE forward over the paged
+        # cache; accepted prefix + one correction/bonus token commit per
+        # step. Greedy verifies by argmax; sampled requests use exact
+        # rejection sampling (sampling.py speculative_sample), so the
+        # output distribution matches non-speculative decoding.
         self.speculation_k = 8
         # Verification gathers the sequence's whole page table densely
         # (static shape); cap the table size it's worth that for — very
@@ -169,6 +179,13 @@ class InferenceEngine:
         self._verify_fns: Dict[int, object] = {}
         self._spec_proposed = 0
         self._spec_accepted = 0
+        # Draft-model speculation: a small model greedy-generates the k
+        # draft tokens in ONE jitted scan (k dense forwards over a sliding
+        # window, one dispatch). Falls back to prompt lookup when unset.
+        self.draft_model = draft[0] if draft is not None else None
+        self.draft_params = draft[1] if draft is not None else None
+        self.draft_window = 64  # context tokens the draft model sees
+        self._draft_fns: Dict[tuple, object] = {}
 
     # -- sharding plumbing -----------------------------------------------------
 
@@ -542,12 +559,68 @@ class InferenceEngine:
                 return list(context[i + ngram : i + ngram + k])
         return []
 
-    def _verify_impl(self, n_tok, params, cache, tokens, length, table_row):
+    def _draft_impl(self, k, params_d, window, length):
+        """Greedy-generate ``k`` draft tokens with the draft model in one
+        jitted scan. ``window`` [1, W] holds the last ``length`` context
+        tokens left-aligned (right-padded); each step runs a dense causal
+        forward over the W+k buffer and appends the argmax at the frontier.
+        Window-relative positions: the draft is a sliding-window policy —
+        only acceptance rate depends on it, never output correctness."""
+        w = window.shape[1]
+        buf0 = jnp.concatenate(
+            [window, jnp.zeros((1, k), jnp.int32)], axis=1
+        )
+
+        def body(carry, _):
+            buf, pos = carry  # pos = index of the next empty slot
+            logits = self.draft_model.forward(
+                params_d, buf, interpret=self.interpret
+            )
+            nxt = jnp.argmax(logits[0, pos - 1]).astype(jnp.int32)
+            buf = jax.lax.dynamic_update_slice(
+                buf, nxt[None, None], (0, pos)
+            )
+            return (buf, pos + 1), nxt
+
+        (_, _), drafts = jax.lax.scan(
+            body, (buf0, length), None, length=k
+        )
+        return drafts
+
+    def _propose_draft(self, context: List[int], k: int) -> List[int]:
+        """Draft k tokens: from the draft model when configured, else
+        prompt lookup. Both are deterministic proposals, verified by the
+        same exact rejection-sampling sweep."""
+        if self.draft_model is None:
+            return self._find_draft(context, k)
+        w = self.draft_window
+        tail = context[-w:]
+        length = len(tail)
+        window = jnp.asarray(
+            [tail + [0] * (w - length)], jnp.int32
+        )
+        key = (k, w)
+        if key not in self._draft_fns:
+            self._draft_fns[key] = jax.jit(
+                functools.partial(self._draft_impl, k)
+            )
+        drafts = self._fetcher.fetch(
+            self._draft_fns[key](
+                self.draft_params, window, jnp.int32(length)
+            )
+        )
+        return [int(t) for t in drafts]
+
+    def _verify_impl(self, n_tok, params, cache, tokens, length, table_row,
+                     key, temp, top_k, top_p):
         """Verify [last_token, draft...] (n_tok tokens) in one forward over
-        the paged cache at dynamic offset ``length``. Appends all n_tok
-        tokens' KV (rejected drafts' entries are masked by lengths and
-        overwritten when their positions are legitimately reached). Returns
-        (cache, greedy preds [n_tok], finite)."""
+        the paged cache at dynamic offset ``length``, then run exact
+        speculative rejection sampling on-device (engine/sampling.py
+        ``speculative_sample`` — greedy requests flow through the same
+        one-hot math deterministically). Appends all n_tok tokens' KV
+        (rejected drafts' entries are masked by lengths and overwritten when
+        their positions are legitimately reached). Returns
+        (cache, emit tokens [n_tok], n_emit, logps [n_tok], finite)."""
         ps = self.config.cache.page_size
         pps = self.config.cache.max_pages_per_seq
         hist_full = pps * ps
@@ -595,37 +668,49 @@ class InferenceEngine:
             tp_axis=self._tp_axis, positions=positions,
             attention_fn=attention_fn,
         )
-        preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        from tpu_flash.engine.sampling import speculative_sample
+
+        emit, n_emit = speculative_sample(
+            logits[0].astype(jnp.float32), tokens[0, 1:], key,
+            temp, top_k, top_p,
+        )
+        # Reported logprobs are the raw model distribution's (pre-filter),
+        # matching the burst-decode path's convention.
         logps = jnp.take_along_axis(
-            jax.nn.log_softmax(logits[0], axis=-1), preds[:, None], axis=-1
+            jax.nn.log_softmax(logits[0], axis=-1), emit[:, None], axis=-1
         )[:, 0]
         finite = jnp.all(jnp.isfinite(logits))
-        return cache_cell[0], preds, finite, logps
+        return cache_cell[0], emit, n_emit, finite, logps
 
     def _run_speculative(self, req, slot: int, draft: List[int]) -> int:
         n_tok = 1 + len(draft)
         if n_tok not in self._verify_fns:
             self._verify_fns[n_tok] = self._jit_impl(
                 functools.partial(self._verify_impl, n_tok),
-                "pcrrr", "crrr", donate=(1,),
+                "pcrrrrrrr", "crrrr", donate=(1,),
             )
         last = (self.outputs[req.req_id] or req._prompt)[-1]
         tokens = jnp.asarray([[last] + draft], jnp.int32)
-        self.cache, preds_dev, finite, logps_dev = self._verify_fns[n_tok](
+        sp = req.sampling
+        self._rng, sk = jax.random.split(self._rng)
+        (
+            self.cache, emit_dev, n_emit_dev, finite, logps_dev,
+        ) = self._verify_fns[n_tok](
             self.params, self.cache, tokens, self.lengths[slot],
-            self.page_tables[slot],
+            self.page_tables[slot], sk,
+            jnp.float32(sp.temperature), jnp.int32(sp.top_k),
+            jnp.float32(sp.top_p),
         )
-        preds = self._fetcher.fetch(preds_dev)
+        emit_host = self._fetcher.fetch(emit_dev)
+        n_emit = int(self._fetcher.fetch(n_emit_dev))
         logps = self._fetcher.fetch(logps_dev)
         if self.health_config.check_numerics:
             watchdog_check(
                 self.health, self._fetcher.fetch(finite),
                 phase="decode", request_ids=[req.req_id],
             )
-        accepted = 0
-        while accepted < len(draft) and int(preds[accepted]) == draft[accepted]:
-            accepted += 1
-        emit = [int(preds[i]) for i in range(accepted + 1)]
+        accepted = n_emit - 1
+        emit = [int(emit_host[i]) for i in range(n_emit)]
         emit = emit[: req.max_new_tokens - req.generated]
         final: List[int] = []
         for t in emit:
@@ -684,10 +769,13 @@ class InferenceEngine:
             and len(rids) == 1
             and not self.scheduler.waiting
         ):
+            # Non-greedy requests speculate too: rejection sampling in the
+            # verify step keeps the output distribution exact (the draft is
+            # deterministic, so accept-prob = p(draft); corrections sample
+            # the residual).
             req = self.scheduler.active.get(rids[0])
             if (
                 req is not None
-                and req.sampling.temperature <= 0
                 and req.max_new_tokens - req.generated > 1
             ):
                 context = req._prompt + self.outputs[req.req_id]
@@ -695,7 +783,7 @@ class InferenceEngine:
                     self.speculation_k,
                     req.max_new_tokens - req.generated - 1,
                 )
-                draft = self._find_draft(context, k)
+                draft = self._propose_draft(context, k)
                 if draft:
                     return self._run_speculative(
                         req, req.batch_slot, draft

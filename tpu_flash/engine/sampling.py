@@ -44,16 +44,18 @@ class SamplingParams:
 GREEDY = SamplingParams()
 
 
-def sample_tokens(
+def filtered_logits(
     logits: jax.Array,  # [batch, vocab] f32
-    key: jax.Array,  # PRNG key
     temperature: jax.Array,  # [batch] f32
     top_k: jax.Array,  # [batch] int32 (0 = off)
     top_p: jax.Array,  # [batch] f32
 ) -> jax.Array:
-    """Vectorized sampling with per-row parameters. Returns [batch] int32."""
+    """The temperature-scaled, top-k/top-p-masked logits each row actually
+    samples from. ``softmax`` of a row is its true sampling distribution;
+    temperature <= 0 rows collapse to an exact one-hot at the argmax, so
+    greedy is the same code path (this exactness is what speculative
+    rejection sampling relies on)."""
     batch, vocab = logits.shape
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
@@ -82,7 +84,89 @@ def sample_tokens(
 
     neg_inf = jnp.finfo(scaled.dtype).min
     filtered = jnp.where(keep_k & keep_p, scaled, neg_inf)
+    # Greedy rows: exact one-hot mask at the argmax.
+    greedy_mask = jnp.arange(vocab)[None] == jnp.argmax(
+        logits, axis=-1, keepdims=True
+    )
+    greedy_filtered = jnp.where(greedy_mask, 0.0, neg_inf)
+    return jnp.where(temperature[:, None] <= 0.0, greedy_filtered, filtered)
+
+
+def sample_tokens(
+    logits: jax.Array,  # [batch, vocab] f32
+    key: jax.Array,  # PRNG key
+    temperature: jax.Array,  # [batch] f32
+    top_k: jax.Array,  # [batch] int32 (0 = off)
+    top_p: jax.Array,  # [batch] f32
+) -> jax.Array:
+    """Vectorized sampling with per-row parameters. Returns [batch] int32."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    filtered = filtered_logits(logits, temperature, top_k, top_p)
     sampled = jax.random.categorical(key, filtered, axis=-1).astype(
         jnp.int32
     )
+    # Greedy rows bypass the categorical draw entirely: argmax is exact and
+    # costs no RNG (the filtered one-hot would sample identically).
     return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+def speculative_sample(
+    logits: jax.Array,  # [k+1, vocab] f32 — verify-pass logits; row i is
+    # the target distribution AFTER consuming draft token i-1 (row 0: after
+    # the last committed token)
+    draft: jax.Array,  # [k] int32 proposed tokens
+    key: jax.Array,  # PRNG key
+    temperature: jax.Array,  # scalar f32 (one request's params)
+    top_k: jax.Array,  # scalar int32
+    top_p: jax.Array,  # scalar f32
+):
+    """Exact speculative rejection sampling for a *deterministic* draft.
+
+    The draft proposal q is a point mass at ``draft[i]``, so the classic
+    accept-with-p/q rule reduces to: accept draft[i] with probability
+    p_i(draft[i]); on the first rejection sample the correction from the
+    residual ``p_i`` with draft[i] zeroed out (= normalize(max(p − q, 0)));
+    if all k accepted, sample one bonus token from row k. Every emitted
+    token is an exact sample from the target (filtered) distribution — the
+    output process is distributionally identical to non-speculative
+    sampling. With temperature <= 0 the filtered rows are one-hot, making
+    acceptance and correction deterministic argmax — greedy speculation is
+    the same code path.
+
+    Returns (tokens [k+1] int32, n_emit scalar int32): the first ``n_emit``
+    entries of ``tokens`` are the accepted prefix plus one correction/bonus
+    token.
+    """
+    n_tok, vocab = logits.shape
+    k = n_tok - 1
+    temp_rows = jnp.full((n_tok,), temperature)
+    probs = jax.nn.softmax(
+        filtered_logits(
+            logits,
+            temp_rows,
+            jnp.full((n_tok,), top_k),
+            jnp.full((n_tok,), top_p),
+        ),
+        axis=-1,
+    )
+    key_u, key_c = jax.random.split(key)
+    p_draft = jnp.take_along_axis(probs[:k], draft[:, None], axis=-1)[:, 0]
+    u = jax.random.uniform(key_u, (k,)) if k else jnp.zeros((0,))
+    accept = u < p_draft
+    # Number of leading accepts: stops at the first rejection.
+    a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32))).astype(jnp.int32)
+
+    # Correction (a < k): residual of row a = p with draft[a] zeroed.
+    # Bonus (a == k): row k unmodified.
+    p_row = probs[a]
+    rejected_tok = jnp.where(a < k, draft[jnp.minimum(a, k - 1)], -1)
+    p_adj = jnp.where(jnp.arange(vocab) == rejected_tok, 0.0, p_row)
+    correction = jax.random.categorical(key_c, jnp.log(p_adj)).astype(
+        jnp.int32
+    )
+
+    draft_padded = jnp.concatenate(
+        [draft.astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
+    )
+    tokens = jnp.where(jnp.arange(n_tok) < a, draft_padded, correction)
+    return tokens, a + 1
