@@ -135,6 +135,8 @@ def _paged_attn_kernel(
     head_dim: int,
     sm_scale: float,
     kv_quant: Optional[str],  # None | "int8" | "int4"
+    skip_scale_dma: bool = False,  # perf diagnostics only (wrong numerics)
+    skip_scale_mul: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -147,10 +149,12 @@ def _paged_attn_kernel(
 
     quantized = kv_quant is not None
 
+    scales_on = quantized and not skip_scale_dma
+
     def make_copy(pages, scales, buf, sbuf, sem, ssem, bb, hh, ii, slot):
         return _MultiPageCopy(
-            pages, scales if quantized else None, buf,
-            sbuf if quantized else None, sem, ssem if quantized else None,
+            pages, scales if scales_on else None, buf,
+            sbuf if scales_on else None, sem, ssem if scales_on else None,
             page_indices_ref, bb, hh, ii, slot,
             pages_per_block=pages_per_block, pages_per_seq=pages_per_seq,
             page_size=page_size,
@@ -239,7 +243,7 @@ def _paged_attn_kernel(
             q, k_f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )  # [q_per_kv, bk]
-        if quantized:
+        if quantized and not skip_scale_mul:
             s = s * k_scale_buf[slot]  # [1, bk] column scales
 
         # Mask positions beyond the sequence length.
@@ -266,7 +270,7 @@ def _paged_attn_kernel(
         if kv_quant == "int4":
             v_raw = _unpack_int4_tokens(v_raw)
         v_f = v_raw.reshape(bk, head_dim).astype(jnp.float32)
-        if quantized:
+        if quantized and not skip_scale_mul:
             p = p * v_scale_buf[slot]  # fold V scales into P columns
 
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
@@ -290,6 +294,8 @@ def paged_attention(
     sm_scale: Optional[float] = None,
     pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    _debug_skip_scale_dma: bool = False,  # perf diagnostics; WRONG numerics
+    _debug_skip_dequant_mul: bool = False,
 ) -> jax.Array:
     """Single-token GQA decode attention over a paged (optionally quantized)
     KV cache.
@@ -417,6 +423,8 @@ def paged_attention(
         head_dim=head_dim,
         sm_scale=float(sm_scale if sm_scale is not None else head_dim**-0.5),
         kv_quant=kv_quant,
+        skip_scale_dma=_debug_skip_scale_dma,
+        skip_scale_mul=_debug_skip_dequant_mul,
     )
 
     if kv_quant is None:
