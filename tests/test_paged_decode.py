@@ -58,6 +58,34 @@ class TestPagedDecode:
         ref = reference_decode_attention(q, k_dense, v_dense, lengths)
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
+    def test_bf16_pages_parity(self):
+        """bf16 KV pages take the MXU-native path (no f32 convert); output
+        must match the oracle computed on the SAME bf16-stored values at
+        bf16-class tolerance (error comes from bf16 q/p rounding only)."""
+        batch, hkv, d, ps, pps = 3, 2, 128, 128, 4
+        key = jax.random.PRNGKey(3)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.array([512, 200, 1], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 64, ps, d, batch, pps, lengths
+        )
+        k_bf = k_pages.astype(jnp.bfloat16)
+        v_bf = v_pages.astype(jnp.bfloat16)
+        q = jax.random.normal(kq, (batch, 2 * hkv, d))
+
+        out = paged_attention(
+            q, k_bf, v_bf, lengths, page_indices,
+            pages_per_compute_block=2,
+        )
+        k_dense = gather_pages_to_dense(
+            k_bf.astype(jnp.float32), page_indices
+        )
+        v_dense = gather_pages_to_dense(
+            v_bf.astype(jnp.float32), page_indices
+        )
+        ref = reference_decode_attention(q, k_dense, v_dense, lengths)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
     def test_partial_last_block_masked(self):
         # length cuts mid-page and mid-block.
         batch, hkv, d, ps, pps = 1, 1, 128, 128, 4

@@ -233,14 +233,25 @@ def _paged_attn_kernel(
         if kv_quant == "int4":
             # Token-packed nibbles: [ppb, ps/2, d] -> [ppb, ps, d].
             k_raw = _unpack_int4_tokens(k_raw)
-        k_f = k_raw.reshape(bk, head_dim).astype(jnp.float32)
 
-        # Decode state is f32 end-to-end; force true-f32 MXU passes so the
-        # kernel meets the exactness contract vs the oracle.
-        precision = jax.lax.Precision.HIGHEST
+        # bf16 payloads feed the MXU natively (bf16xbf16 -> f32 accumulate
+        # is exact for bf16 inputs): skipping the VPU int/float->f32
+        # conversion is the whole point of the bf16 cache mode — decode is
+        # convert-bound, not DMA-bound (BENCHLOG 2026-08-16). Other
+        # payloads keep the f32 path with HIGHEST (true-f32 MXU passes) so
+        # the kernel meets the exactness contract vs the oracle.
+        native_bf16 = kv_quant is None and k_raw.dtype == jnp.bfloat16
+        if native_bf16:
+            k_f = k_raw.reshape(bk, head_dim)
+            q_op = q.astype(jnp.bfloat16)
+            precision = jax.lax.Precision.DEFAULT
+        else:
+            k_f = k_raw.reshape(bk, head_dim).astype(jnp.float32)
+            q_op = q
+            precision = jax.lax.Precision.HIGHEST
 
         s = jax.lax.dot_general(
-            q, k_f, (((1,), (1,)), ((), ())),
+            q_op, k_f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )  # [q_per_kv, bk]
         if quantized and not skip_scale_mul:
@@ -269,12 +280,18 @@ def _paged_attn_kernel(
         v_raw = v_buf[slot]
         if kv_quant == "int4":
             v_raw = _unpack_int4_tokens(v_raw)
-        v_f = v_raw.reshape(bk, head_dim).astype(jnp.float32)
+        if native_bf16:
+            v_f = v_raw.reshape(bk, head_dim)
+            p_op = p.astype(jnp.bfloat16)
+        else:
+            v_f = v_raw.reshape(bk, head_dim).astype(jnp.float32)
+            p_op = p
         if quantized and not skip_scale_mul:
-            p = p * v_scale_buf[slot]  # fold V scales into P columns
+            p_op = p_op * v_scale_buf[slot]  # fold V scales into P columns
 
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
-            p, v_f, preferred_element_type=jnp.float32, precision=precision
+            p_op, v_f, preferred_element_type=jnp.float32,
+            precision=precision,
         )
 
         @pl.when(i == num_active - 1)
@@ -359,8 +376,10 @@ def paged_attention(
     q_per_kv_p = (q_per_kv + 7) // 8 * 8
     if pages_per_compute_block is None:
         # Measured v5e optima: larger blocks amortize the per-cell fixed
-        # cost; quantized payloads (4x smaller DMAs) want 2x the tokens.
-        target_tokens = 4096 if kv_quant else 2048
+        # cost; small payloads (quantized 4x, bf16 2x) want 2x the tokens.
+        # fp32 stays at 2048 — 4096-token f32 double buffers exceed VMEM.
+        small_payload = kv_quant or k_vals.dtype == jnp.bfloat16
+        target_tokens = 4096 if small_payload else 2048
         ppb = max(1, min(target_tokens // page_size, pages_per_seq))
         while pages_per_seq % ppb:
             ppb -= 1
