@@ -71,6 +71,53 @@ class TestEngineEndToEnd:
         assert outputs[r1] == _oracle_generate(model, params, p1, 4)
         assert outputs[r2] == _oracle_generate(model, params, p2, 4)
 
+    def test_batched_prefill_same_step_parity(self, model_and_params):
+        """A burst of same-step arrivals prefills as ONE batched dispatch
+        (rows padded to the group bucket, masked by n_valids) and must
+        decode exactly what each request decodes alone."""
+        model, params = model_and_params
+        prompts = [[3, 14, 15, 9, 2, 6], [27, 1, 8], [5, 5, 5, 5, 5]]
+        expected = [
+            _oracle_generate(model, params, p, 4) for p in prompts
+        ]
+        engine = _engine(model, params, max_batch=4)
+        rids = [engine.submit(p, max_new_tokens=4) for p in prompts]
+        outputs = engine.run()
+        for rid, exp in zip(rids, expected):
+            assert outputs[rid] == exp
+        # The burst really grouped: a prefill program with batch rows > 1.
+        assert any(k[2] > 1 for k in engine._prefill_fns), (
+            engine._prefill_fns.keys()
+        )
+
+    def test_batched_chunked_prefill_long_prompts(self, model_and_params):
+        """Two long prompts arriving together stream through the SAME
+        chunk stages batched (shared static hist_len per stage), attending
+        to their own paged histories."""
+        model, params = model_and_params
+        key = jax.random.PRNGKey(11)
+        p1 = [int(x) for x in
+              jax.random.randint(key, (150,), 0, 200)]
+        p2 = [int(x) for x in
+              jax.random.randint(jax.random.PRNGKey(12), (100,), 0, 200)]
+        expected = [
+            _oracle_generate(model, params, p, 3) for p in (p1, p2)
+        ]
+        cfg = EngineConfig(
+            max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+            cache=CacheConfig(
+                page_size=8, num_pages=64, max_pages_per_seq=32,
+            ),
+        )
+        engine = InferenceEngine(model, params, cfg, interpret=True)
+        rids = [engine.submit(p, max_new_tokens=3) for p in (p1, p2)]
+        outputs = engine.run()
+        for rid, exp in zip(rids, expected):
+            assert outputs[rid] == exp
+        # Stages 0 and 64 grouped both requests (batch dim 2).
+        assert (0, 64, 2) in engine._prefill_fns
+        assert (64, 64, 2) in engine._prefill_fns
+
     def test_more_requests_than_slots(self, model_and_params):
         model, params = model_and_params
         engine = _engine(model, params, max_batch=2)

@@ -94,13 +94,18 @@ def config3_decode(iters: int):
     from tpu_flash.ops.quant import dequantize, quantize_pages
 
     rows = []
-    for kv_quant in ("int8", None):
+    for kv_quant, fp_dtype, label in (
+        ("int8", None, "int8"),
+        (None, jnp.bfloat16, "bf16"),  # MXU-native path: decode champion
+        (None, jnp.float32, "fp32"),
+    ):
         # Sub-ms steps need long differential windows (BENCHLOG: short
         # windows mis-time on the relay).
         tps, secs, gbps = bench_decode_tokens_per_s(
-            kv_quant=kv_quant, iters=max(64, iters)
+            kv_quant=kv_quant, iters=max(64, iters),
+            **({"fp_dtype": fp_dtype} if fp_dtype is not None else {}),
         )
-        name = f"decode b8 gqa4 4K {kv_quant or 'fp32'}-kv"
+        name = f"decode b8 gqa4 4K {label}-kv"
         rows.append(
             {
                 "config": 3,
@@ -223,6 +228,24 @@ def config4_fp8_paged(iters: int):
         }
     )
     _log(f"  paged int8 decode 8K: {tps:.0f} tok/s ({gbps:.0f} GB/s KV)")
+
+    # bf16 pages: the quality-safe serving default — MXU-native decode
+    # (no VPU convert), bandwidth-saturated at 8K (BENCHLOG 2026-08-16).
+    tps, secs, gbps = bench_decode_tokens_per_s(
+        context=8192, kv_quant=None, fp_dtype=jnp.bfloat16, page_size=1024,
+        iters=max(64, iters),
+    )
+    rows.append(
+        {
+            "config": 4,
+            "name": "paged-bf16 decode b8 gqa4 8K ps1024",
+            "metric": "tokens_per_s",
+            "value": tps,
+            "step_ms": secs * 1e3,
+            "kv_hbm_gbps": gbps,
+        }
+    )
+    _log(f"  paged bf16 decode 8K: {tps:.0f} tok/s ({gbps:.0f} GB/s KV)")
     return rows
 
 

@@ -149,9 +149,12 @@ def bench_decode_tokens_per_s(
     kv_quant: Optional[str] = "int8",
     pages_per_compute_block: int = 8,
     iters: int = 20,
+    fp_dtype=jnp.float32,
 ):
     """BASELINE config 3 by default: Llama-3-8B GQA decode, INT8 KV, 4K ctx.
-    Returns (tokens_per_second, seconds_per_step, hbm_gbps)."""
+    ``fp_dtype`` sets the unquantized page payload (bfloat16 takes the
+    MXU-native decode path). Returns (tokens_per_second, seconds_per_step,
+    hbm_gbps)."""
     from tpu_flash.core.reference import gather_pages_to_dense  # noqa: F401
     from tpu_flash.ops.decode import paged_attention
     from tpu_flash.ops.quant import quantize_pages
@@ -169,6 +172,9 @@ def bench_decode_tokens_per_s(
     if kv_quant:
         k_pages = quantize_pages(k_pages, kv_quant)
         v_pages = quantize_pages(v_pages, kv_quant)
+    else:
+        k_pages = k_pages.astype(fp_dtype)
+        v_pages = v_pages.astype(fp_dtype)
     page_indices = (
         jnp.arange(batch * pages_per_seq, dtype=jnp.int32)
         .reshape(batch, pages_per_seq)
@@ -209,7 +215,7 @@ def bench_decode_tokens_per_s(
         step, q, lengths, page_indices, *parts, inner=max(4, iters // 2)
     )
 
-    payload_itemsize = 1 if kv_quant else 4
+    payload_itemsize = 1 if kv_quant else jnp.dtype(fp_dtype).itemsize
     kv_bytes = (
         2 * batch * num_kv_heads * context * head_dim * payload_itemsize
     )

@@ -283,9 +283,11 @@ class InferenceEngine:
         plan = self.scheduler.step()
         t0 = time.perf_counter()
         with StepTimer(self.health):
+            groups: Dict[int, list] = {}
             for chunk in plan.prefill:
-                req = self.scheduler.active[chunk.req_id]
-                self._run_prefill(req, chunk)
+                groups.setdefault(chunk.start, []).append(chunk)
+            for start in sorted(groups):
+                self._run_prefill_group(groups[start])
             n_decoded = 0
             if plan.decode_slots:
                 n_decoded = self._run_decode(plan.decode_slots)
@@ -299,24 +301,27 @@ class InferenceEngine:
 
     # -- prefill ---------------------------------------------------------------
 
-    def _gather_history(self, cache, layer: int, table_row, hist_len: int):
+    def _gather_history(self, cache, layer: int, table_rows, hist_len: int):
         """Dense (dequantized) K/V of the first ``hist_len`` cached tokens
-        of one sequence — exactly the bytes the decode kernel would read,
-        materialized for the chunk's flash-attention call. ``hist_len`` is
-        static (chunk starts are multiples of prefill_chunk), so shapes and
-        the q_offset of the attention call compile once per chunk index."""
+        of a batch of sequences (``table_rows`` [B, pps]) — exactly the
+        bytes the decode kernel would read, materialized for the chunk's
+        flash-attention call. ``hist_len`` is static (chunk starts are
+        multiples of prefill_chunk), so shapes and the q_offset of the
+        attention call compile once per chunk index. Returns k/v
+        [B, hkv, hist_len, d]."""
         from tpu_flash.ops.quant import QuantizedTensor, dequantize
 
         ps = self.config.cache.page_size
         n_pages = -(-hist_len // ps)
-        pages = table_row[:n_pages]
+        pages = table_rows[:, :n_pages]  # [B, np]
         dtype = self.model.dtype
 
         def gather(pages_arr, scales_arr):
-            vals = pages_arr[layer][:, pages]  # [hkv, np, page_rows, d]
+            # [hkv, B, np, page_rows, d] via fancy page indexing.
+            vals = pages_arr[layer][:, pages]
             if cache.quantized:
                 packing = "tokens" if cache.kv_dtype == "int4" else "lanes"
-                scales = scales_arr[layer][:, pages]  # [hkv, np, ps]
+                scales = scales_arr[layer][:, pages]  # [hkv, B, np, ps]
                 dense = dequantize(
                     QuantizedTensor(
                         vals, scales[..., None], cache.kv_dtype, packing
@@ -325,8 +330,9 @@ class InferenceEngine:
                 )
             else:
                 dense = vals.astype(dtype)
-            hkv, np_, ps_, d = dense.shape
-            return dense.reshape(hkv, np_ * ps_, d)[None, :, :hist_len]
+            hkv, b, np_, ps_, d = dense.shape
+            dense = dense.reshape(hkv, b, np_ * ps_, d)[:, :, :hist_len]
+            return dense.transpose(1, 0, 2, 3)
 
         return (
             gather(cache.k_pages, cache.k_scales),
@@ -334,40 +340,47 @@ class InferenceEngine:
         )
 
     def _chunked_prefill_impl(self, hist_len, params, cache, tokens,
-                              table_row, n_valid):
-        """One prefill chunk: tokens [1, bucket] at absolute positions
-        [hist_len, hist_len + bucket). Attends to the paged history plus
-        itself (causal, static q_offset = hist_len); appends the first
-        n_valid tokens' K/V into the sequence's pages (pads go to the trash
-        page). Returns (cache, last-valid-position logits, finite flag).
+                              table_rows, n_valids):
+        """One BATCH of same-stage prefill chunks: tokens [B, bucket], all
+        at absolute positions [hist_len, hist_len + bucket) of their own
+        sequences (same-stage = same static hist_len, so one compiled
+        program serves a burst of simultaneous arrivals in one dispatch
+        instead of B). Each row attends to its own paged history plus
+        itself (causal, static q_offset = hist_len); each row's first
+        n_valids[b] tokens' K/V append into that sequence's pages (pads go
+        to the trash page). Returns (cache, per-row last-valid-position
+        logits [B, vocab], finite flag).
 
         The layer math is the model's own ``forward`` — this path only
         supplies a kv_hook that splices history in and captures the new
         K/V for the cache append, so chunked and whole-prompt prefill can
         never diverge."""
         ps = self.config.cache.page_size
-        bucket = tokens.shape[1]
+        b, bucket = tokens.shape
         rel = jnp.arange(bucket)
-        positions = hist_len + rel
-        valid = rel < n_valid
+        positions = hist_len + rel  # shared: same stage for every row
+        valid = rel[None, :] < n_valids[:, None]  # [B, bucket]
         page_ids = jnp.where(
-            valid, table_row[positions // ps], self.trash_page
+            valid, table_rows[:, positions // ps], self.trash_page
         )
-        offsets = positions % ps
+        offsets = jnp.broadcast_to(positions % ps, (b, bucket))
         cache_cell = [cache]
 
         def kv_hook(li, k, v):
             if hist_len:
                 hk, hv = self._gather_history(
-                    cache_cell[0], li, table_row, hist_len
+                    cache_cell[0], li, table_rows, hist_len
                 )
                 k_all = jnp.concatenate([hk, k.astype(hk.dtype)], axis=2)
                 v_all = jnp.concatenate([hv, v.astype(hv.dtype)], axis=2)
             else:
                 k_all, v_all = k, v
+            hkv, d = k.shape[1], k.shape[3]
             cache_cell[0] = cache_cell[0].append(
-                li, k[0].transpose(1, 0, 2), v[0].transpose(1, 0, 2),
-                page_ids, offsets,
+                li,
+                k.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
+                v.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
+                page_ids.reshape(-1), offsets.reshape(-1),
             )
             return k_all, v_all
 
@@ -375,39 +388,68 @@ class InferenceEngine:
             params, tokens, q_offset=hist_len, interpret=self.interpret,
             kv_hook=kv_hook, tp_axis=self._tp_axis,
         )
-        last = logits[0, n_valid - 1]
+        last = logits[jnp.arange(b), n_valids - 1]  # [B, vocab]
         # NaN-watchdog flag: fused into the step, fetched with its results
         # (engine/health.py). Pad positions are real computations on pad
         # tokens, so the whole chunk is checked.
         finite = jnp.all(jnp.isfinite(logits))
         return cache_cell[0], last, finite
 
-    def _run_prefill(self, req: Request, chunk) -> None:
-        prompt = req._prompt
-        chunk_tokens = prompt[chunk.start : chunk.start + chunk.length]
-        bucket = _pow2_bucket(max(chunk.length, 8))
-        key = (chunk.start, bucket)
+    def _run_prefill_group(self, chunks) -> None:
+        """Prefill a group of SAME-STAGE chunks (equal ``start``, so equal
+        static hist_len) as one batched dispatch — a burst of simultaneous
+        arrivals streams through prefill together instead of one program
+        call per request (the batched form of ragged prefill: rows pad to
+        the group's bucket, shorter rows masked via n_valids)."""
+        start = chunks[0].start
+        bucket = _pow2_bucket(max(max(c.length for c in chunks), 8))
+        bb = _pow2_bucket(len(chunks), lo=1)
+        key = (start, bucket, bb)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._jit_impl(
-                functools.partial(self._chunked_prefill_impl, chunk.start),
+                functools.partial(self._chunked_prefill_impl, start),
                 "pcrrr", "crr", donate=(1,),
             )
-        tokens = jnp.asarray(
-            chunk_tokens + [0] * (bucket - chunk.length), jnp.int32
-        )[None]
-        table = self.scheduler.page_table(req.req_id)
         pps = self.config.cache.max_pages_per_seq
-        table_row = jnp.asarray(
-            table + [self.trash_page] * (pps - len(table)), jnp.int32
-        )
+        tok_rows, table_rs, n_valids, tables = [], [], [], []
+        for c in chunks:
+            req = self.scheduler.active[c.req_id]
+            toks = req._prompt[c.start : c.start + c.length]
+            tok_rows.append(toks + [0] * (bucket - c.length))
+            table = self.scheduler.page_table(c.req_id)
+            tables.append(table)
+            table_rs.append(
+                table + [self.trash_page] * (pps - len(table))
+            )
+            n_valids.append(c.length)
+        for _ in range(bb - len(chunks)):
+            # Pad rows write only the trash page; 1 valid token keeps the
+            # last-logits gather index in range.
+            tok_rows.append([0] * bucket)
+            table_rs.append([self.trash_page] * pps)
+            n_valids.append(1)
         self.cache, last_logits, finite = self._prefill_fns[key](
-            self.params, self.cache, tokens, table_row, chunk.length
+            self.params, self.cache,
+            jnp.asarray(tok_rows, jnp.int32),
+            jnp.asarray(table_rs, jnp.int32),
+            jnp.asarray(n_valids, jnp.int32),
         )
         if self.health_config.check_numerics:
             watchdog_check(
                 self.health, self._fetcher.fetch(finite),
-                phase="prefill", request_ids=[req.req_id],
+                phase="prefill", request_ids=[c.req_id for c in chunks],
             )
+        for i, c in enumerate(chunks):
+            self._finish_prefill_chunk(
+                self.scheduler.active[c.req_id], c,
+                jnp.asarray(table_rs[i], jnp.int32), tables[i],
+                last_logits[i],
+            )
+
+    def _finish_prefill_chunk(self, req: Request, chunk, table_row, table,
+                              last_logits) -> None:
+        """Host-side per-request bookkeeping after a prefill dispatch."""
+        prompt = req._prompt
         slot = req.batch_slot
         new_len = chunk.start + chunk.length
         self.page_tables = self.page_tables.at[slot].set(table_row)
@@ -638,7 +680,7 @@ class InferenceEngine:
             # Whole-table dense gather (static shape); the dynamic-length
             # mask lives in attention_fn.
             return self._gather_history(
-                cache_cell[0], li, table_row, hist_full
+                cache_cell[0], li, table_row[None], hist_full
             )
 
         def attention_fn(q, k, v):
