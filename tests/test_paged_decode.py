@@ -119,7 +119,8 @@ class TestPagedDecode:
         k_qt = quantize_pages(k_pages, quant)
         v_qt = quantize_pages(v_pages, quant)
         out = paged_attention(
-            q, k_qt, v_qt, lengths, page_indices, pages_per_compute_block=2
+            q, k_qt, v_qt, lengths, page_indices, pages_per_compute_block=2,
+            int8_mxu=False,  # the exact-dequant tier; MXU tier below
         )
         # Oracle on the *dequantized* cache: the kernel's fused dequant must
         # match explicit dequantization exactly (same scheme).
@@ -148,8 +149,33 @@ class TestPagedDecode:
             q, k_pages, v_pages, lengths, page_indices,
             pages_per_compute_block=2,
         )
-        tol = 0.02 if quant == "int8" else 0.15
+        # Default path = int8 MXU: KV quant error + ~0.4% q/P rounding.
+        tol = 0.03 if quant == "int8" else 0.15
         assert float(jnp.max(jnp.abs(out_q - out_fp))) <= tol
+
+    @pytest.mark.parametrize("quant", ["int8", "int4"])
+    def test_int8_mxu_close_to_exact_dequant(self, quant):
+        """The int8-MXU fast path (default) stays within q/P-rounding
+        distance of the exact fused-dequant path on the same pages."""
+        batch, hkv, d, ps, pps = 2, 2, 128, 128, 2
+        key = jax.random.PRNGKey(6)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.array([256, 130], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 32, ps, d, batch, pps, lengths
+        )
+        q = jax.random.normal(kq, (batch, 4, d))
+        kq_, vq_ = quantize_pages(k_pages, quant), quantize_pages(
+            v_pages, quant
+        )
+        out_mxu = paged_attention(
+            q, kq_, vq_, lengths, page_indices, pages_per_compute_block=2
+        )
+        out_exact = paged_attention(
+            q, kq_, vq_, lengths, page_indices, pages_per_compute_block=2,
+            int8_mxu=False,
+        )
+        assert float(jnp.max(jnp.abs(out_mxu - out_exact))) <= 3e-2
 
     def test_single_page_sequences(self):
         batch, hkv, d, ps = 2, 1, 128, 128

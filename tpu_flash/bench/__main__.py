@@ -296,13 +296,13 @@ def config5_longcontext(iters: int):
          f"({100 * res.roofline_frac:.1f}% roofline)")
 
     tps, secs, gbps = bench_decode_tokens_per_s(
-        batch=4, context=32768, kv_quant="int4", page_size=512,
+        batch=4, context=32768, kv_quant="int4", page_size=1024,
         iters=max(64, iters),
     )
     rows.append(
         {
             "config": 5,
-            "name": "int4-kv decode b4 gqa4 32K ps512",
+            "name": "int4-kv decode b4 gqa4 32K ps1024",
             "metric": "tokens_per_s",
             "value": tps,
             "step_ms": secs * 1e3,

@@ -275,29 +275,27 @@ def bench_engine_tokens_per_s(
             kv_dtype=kv_dtype,
         ),
     )
-    engine = InferenceEngine(model, params, ecfg)
-    rng = jax.random.PRNGKey(1)
-    prefix = list(
-        jax.random.randint(rng, (shared_prefix,), 0, 8192)
-    ) if shared_prefix else []
+    import numpy as np
 
-    def submit_round(salt):
-        for i in range(batch):
-            tail = jax.random.randint(
-                jax.random.fold_in(rng, salt * 1000 + i),
-                (prompt_len - shared_prefix,), 0, 8192,
-            )
-            engine.submit(
-                [int(x) for x in prefix] + [int(x) for x in tail],
-                max_new_tokens=new_tokens,
-            )
+    engine = InferenceEngine(model, params, ecfg)
+    # Host-side prompt generation: device arrays here would mean one D2H
+    # fetch per TOKEN on remote/relay backends (minutes of pure latency).
+    host_rng = np.random.default_rng(1)
+    prefix = host_rng.integers(0, 8192, shared_prefix).tolist()
+
+    def submit_round():
+        for _ in range(batch):
+            tail = host_rng.integers(
+                0, 8192, prompt_len - shared_prefix
+            ).tolist()
+            engine.submit(prefix + tail, max_new_tokens=new_tokens)
 
     # Round 1 compiles every program (prefill buckets, decode burst sizes);
     # round 2 is the steady-state measurement.
-    submit_round(0)
+    submit_round()
     engine.run()
     engine.metrics = type(engine.metrics)()
-    submit_round(1)
+    submit_round()
     t0 = time.perf_counter()
     engine.run()
     wall = time.perf_counter() - t0

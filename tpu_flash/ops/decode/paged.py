@@ -135,6 +135,7 @@ def _paged_attn_kernel(
     head_dim: int,
     sm_scale: float,
     kv_quant: Optional[str],  # None | "int8" | "int4"
+    int8_mxu: bool = False,  # quantized payloads ride the int8 MXU
     skip_scale_dma: bool = False,  # perf diagnostics only (wrong numerics)
     skip_scale_mul: bool = False,
 ):
@@ -241,19 +242,39 @@ def _paged_attn_kernel(
         # payloads keep the f32 path with HIGHEST (true-f32 MXU passes) so
         # the kernel meets the exactness contract vs the oracle.
         native_bf16 = kv_quant is None and k_raw.dtype == jnp.bfloat16
-        if native_bf16:
-            k_f = k_raw.reshape(bk, head_dim)
-            q_op = q.astype(jnp.bfloat16)
-            precision = jax.lax.Precision.DEFAULT
+        quant_mxu = quantized and int8_mxu
+        precision = jax.lax.Precision.HIGHEST
+        if quant_mxu:
+            # int8 MXU scores: quantize the (tiny) q rows in-kernel and
+            # dot int8 x int8 -> int32, then rank-1 dequant — the [bk, d]
+            # VPU int->f32 conversion (the measured int8-decode bottleneck,
+            # BENCHLOG 2026-08-16) never happens; only the [q, bk] result
+            # converts. sm_scale is already folded into q, so q_scale
+            # carries it through the dequant.
+            k8 = k_raw.reshape(bk, head_dim)
+            if k8.dtype != jnp.int8:
+                k8 = k8.astype(jnp.int8)  # int4 path: unpacked int32 vals
+            q_abs = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+            q_scale = jnp.where(q_abs == 0.0, 1.0, q_abs / 127.0)
+            q8 = jnp.clip(
+                jnp.round(q / q_scale), -127, 127
+            ).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                q8, k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * q_scale
         else:
-            k_f = k_raw.reshape(bk, head_dim).astype(jnp.float32)
-            q_op = q
-            precision = jax.lax.Precision.HIGHEST
-
-        s = jax.lax.dot_general(
-            q_op, k_f, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [q_per_kv, bk]
+            if native_bf16:
+                k_f = k_raw.reshape(bk, head_dim)
+                q_op = q.astype(jnp.bfloat16)
+                precision = jax.lax.Precision.DEFAULT
+            else:
+                k_f = k_raw.reshape(bk, head_dim).astype(jnp.float32)
+                q_op = q
+            s = jax.lax.dot_general(
+                q_op, k_f, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [q_per_kv, bk]
         if quantized and not skip_scale_mul:
             s = s * k_scale_buf[slot]  # [1, bk] column scales
 
@@ -280,19 +301,38 @@ def _paged_attn_kernel(
         v_raw = v_buf[slot]
         if kv_quant == "int4":
             v_raw = _unpack_int4_tokens(v_raw)
-        if native_bf16:
-            v_f = v_raw.reshape(bk, head_dim)
-            p_op = p.astype(jnp.bfloat16)
+        if quant_mxu:
+            # PV on the int8 MXU: fold the per-token V scales into P's
+            # columns (as the f32 path does), quantize the P rows, dot
+            # int8, rank-1 dequant. P >= 0 so the int8 range is one-sided.
+            v8 = v_raw.reshape(bk, head_dim)
+            if v8.dtype != jnp.int8:
+                v8 = v8.astype(jnp.int8)
+            pv = p * v_scale_buf[slot] if not skip_scale_mul else p
+            p_abs = jnp.max(pv, axis=1, keepdims=True)
+            p_scale = jnp.where(p_abs == 0.0, 1.0, p_abs / 127.0)
+            p8 = jnp.clip(
+                jnp.round(pv / p_scale), 0, 127
+            ).astype(jnp.int8)
+            out = jax.lax.dot(
+                p8, v8, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * p_scale
+            acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
         else:
-            v_f = v_raw.reshape(bk, head_dim).astype(jnp.float32)
-            p_op = p
-        if quantized and not skip_scale_mul:
-            p_op = p_op * v_scale_buf[slot]  # fold V scales into P columns
-
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
-            p_op, v_f, preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+            if native_bf16:
+                v_f = v_raw.reshape(bk, head_dim)
+                p_op = p.astype(jnp.bfloat16)
+            else:
+                v_f = v_raw.reshape(bk, head_dim).astype(jnp.float32)
+                p_op = p
+            if quantized and not skip_scale_mul:
+                p_op = p_op * v_scale_buf[slot]  # fold V scales into P
+            acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + (
+                jax.lax.dot(
+                    p_op, v_f, preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+            )
 
         @pl.when(i == num_active - 1)
         def _epilogue():
@@ -311,6 +351,7 @@ def paged_attention(
     sm_scale: Optional[float] = None,
     pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    int8_mxu: bool = True,
     _debug_skip_scale_dma: bool = False,  # perf diagnostics; WRONG numerics
     _debug_skip_dequant_mul: bool = False,
 ) -> jax.Array:
@@ -325,6 +366,12 @@ def paged_attention(
       lengths: valid context length per sequence (>= 1).
       page_indices: page table; entry [b, j] is the physical page holding
         tokens [j*page_size, (j+1)*page_size) of sequence b.
+      int8_mxu: quantized payloads only — run QK^T and PV on the int8 MXU
+        (q and P rows quantized in-kernel, rank-1 dequant), skipping the
+        [bk, d] VPU int->f32 converts that bound int8 decode (2.6x tok/s,
+        BENCHLOG 2026-08-17; default ON). Adds ~0.4% relative q/P rounding
+        error on top of the KV quantization error; pass False for the
+        exact fused-dequant path.
       pages_per_compute_block: pages per kernel block (block kv size =
         pages_per_compute_block * page_size). Default (None) adapts to the
         cache: ~4096 tokens per block for quantized pages / ~2048 for fp —
@@ -442,6 +489,7 @@ def paged_attention(
         head_dim=head_dim,
         sm_scale=float(sm_scale if sm_scale is not None else head_dim**-0.5),
         kv_quant=kv_quant,
+        int8_mxu=int8_mxu,
         skip_scale_dma=_debug_skip_scale_dma,
         skip_scale_mul=_debug_skip_dequant_mul,
     )
