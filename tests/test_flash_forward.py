@@ -98,6 +98,54 @@ class TestParityFP32:
         np.testing.assert_allclose(out, ref, **F32_TOL)
 
 
+class TestTriangularGrid:
+    """The causal active-cell enumeration (BlockSizes.triangular, the
+    default) must be bit-for-bit interchangeable with the rectangular
+    predicated grid — same math, different cell walk."""
+
+    @pytest.mark.parametrize(
+        "b,hq,hkv,sq,skv,off",
+        [
+            (1, 2, 2, 256, 256, 0),
+            (1, 4, 2, 256, 256, 0),     # GQA
+            (2, 2, 1, 200, 200, 0),     # ragged kv tail (padding masked)
+            (1, 2, 2, 128, 384, 256),   # chunked-prefill offset
+        ],
+    )
+    def test_matches_rectangular(self, b, hq, hkv, sq, skv, off):
+        q, k, v = _qkv(jax.random.PRNGKey(3), b, hq, hkv, sq, skv, 128)
+        rect = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                          triangular=False)
+        tri = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                         triangular=True)
+        o_rect = flash_attention(q, k, v, causal=True, block_sizes=rect,
+                                 q_offset=off)
+        o_tri = flash_attention(q, k, v, causal=True, block_sizes=tri,
+                                q_offset=off)
+        np.testing.assert_allclose(o_rect, o_tri, atol=1e-6, rtol=1e-6)
+
+    def test_residuals_match(self):
+        q, k, v = _qkv(jax.random.PRNGKey(4), 1, 2, 2, 256, 256, 128)
+        rect = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                          triangular=False)
+        tri = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                         triangular=True)
+        o1, lse1 = flash_attention(q, k, v, causal=True, block_sizes=rect,
+                                   save_residuals=True)
+        o2, lse2 = flash_attention(q, k, v, causal=True, block_sizes=tri,
+                                   save_residuals=True)
+        np.testing.assert_allclose(o1, o2, atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(lse1, lse2, atol=1e-6, rtol=1e-6)
+
+    def test_bq_larger_than_bkv_major(self):
+        q, k, v = _qkv(jax.random.PRNGKey(5), 1, 2, 2, 512, 512, 128)
+        tri = BlockSizes(block_q=256, block_kv_major=128, block_kv=128,
+                         triangular=True)
+        out = flash_attention(q, k, v, causal=True, block_sizes=tri)
+        ref = reference_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+
 class TestParityBF16:
     @pytest.mark.parametrize("causal", [False, True])
     def test_mha_bf16(self, causal):

@@ -40,10 +40,15 @@ class BlockSizes:
     block_kv_dkv: int = 128
     block_q_dq: int = 128
     block_kv_dq: int = 128
+    # Causal forward: enumerate only active (q, kv) cells in a 1-D
+    # scalar-prefetch grid (no predicated dead cells) instead of the
+    # rectangular grid. See ops/flash/forward.py::_flash_fwd_tri_kernel.
+    triangular: bool = False
 
     def __post_init__(self):
         for f in dataclasses.fields(self):
-            _check_pos(f.name, getattr(self, f.name))
+            if f.type is int or f.type == "int":
+                _check_pos(f.name, getattr(self, f.name))
         if self.block_kv_major % self.block_kv != 0:
             raise ValueError(
                 f"block_kv ({self.block_kv}) must divide block_kv_major "

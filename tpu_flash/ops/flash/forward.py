@@ -167,6 +167,96 @@ def _flash_fwd_kernel(
             ).astype(lse_ref.dtype)
 
 
+def _flash_fwd_tri_kernel(
+    # scalar prefetch
+    qmap_ref,  # [n_cells] q-block index of each active cell
+    kvmap_ref,  # [n_cells] kv-block index
+    islast_ref,  # [n_cells] 1 on the q block's final kv cell
+    # inputs / outputs / scratch: as _flash_fwd_kernel
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    sm_scale: float,
+    block_kv: int,
+    q_offset: int,
+    kv_len: int,
+    mask_kv_tail: bool,
+):
+    """Causal forward over a TRIANGULAR cell enumeration: the grid's last
+    dimension walks only the active (q, kv) block pairs (qmap/kvmap via
+    scalar prefetch), so above-diagonal cells never exist — no predicated
+    dead cells, which is what makes small blocks (less diagonal masking
+    waste) affordable. Math identical to _flash_fwd_kernel."""
+    block_q = q_ref.shape[2]
+    block_kv_major = k_ref.shape[2]
+    c = pl.program_id(2)
+    q_idx = qmap_ref[c]
+    kv_idx = kvmap_ref[c]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    q = q_ref[0, 0]
+    if sm_scale != 1.0:
+        q = q * sm_scale
+    for start in range(0, block_kv_major, block_kv):
+        k = k_ref[0, 0, start : start + block_kv, :]
+        s = jax.lax.dot_general(
+            q, k, TRANS_B_DIM_NUMBERS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        kv_base = kv_idx * block_kv_major + start
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+        mask = (col - row) <= (q_offset + q_idx * block_q - kv_base)
+        if mask_kv_tail:
+            mask = jnp.logical_and(mask, col < kv_len - kv_base)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_curr = jnp.sum(p, axis=1, keepdims=True)
+        l_scratch[...] = l_prev * alpha + l_curr
+        m_scratch[...] = m_next
+
+        v = v_ref[0, 0, start : start + block_kv, :]
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(islast_ref[c] == 1)
+    def _epilogue():
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            m = m_scratch[...]
+            lse_ref[0, 0] = jnp.where(
+                m == -jnp.inf, -jnp.inf, m + jnp.log(l_scratch[...])
+            ).astype(lse_ref.dtype)
+
+
 def flash_attention_forward(
     q: jax.Array,  # [batch, num_q_heads, q_len, head_dim] (padded, aligned)
     k: jax.Array,  # [batch, num_kv_heads, kv_len_padded, head_dim]
@@ -179,6 +269,7 @@ def flash_attention_forward(
     kv_len: Optional[int] = None,  # true kv length before padding
     save_residuals: bool = False,
     interpret: bool = False,
+    triangular: bool = False,
 ):
     """Launch the forward kernel on pre-padded inputs.
 
@@ -186,6 +277,10 @@ def flash_attention_forward(
     kv_len_padded % block_kv_major == 0, head_dim % 128 == 0.
     Returns ``o`` or ``(o, lse)`` with lse of shape [b, hq, q_len]
     (logsumexp of scaled scores, the FA2 backward residual).
+
+    ``triangular`` (causal only): enumerate active (q, kv) block cells in
+    a 1-D scalar-prefetch grid instead of a rectangular grid with
+    predicated dead cells — see _flash_fwd_tri_kernel.
     """
     batch, num_q_heads, q_len, head_dim = q.shape
     _, num_kv_heads, kv_len_padded, _ = k.shape
@@ -270,6 +365,17 @@ def flash_attention_forward(
         pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
     ]
 
+    if causal and (triangular or block_sizes.triangular):
+        return _forward_triangular(
+            q, k, v,
+            sm_scale=sm_scale, block_q=block_q,
+            block_kv_major=block_kv_major, block_kv=block_kv,
+            q_offset=q_offset, kv_len=kv_len,
+            num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
+            q_per_kv=q_per_kv, save_residuals=save_residuals,
+            interpret=interpret,
+        )
+
     # 2 matmuls (QK^T and PV), 2*M*N*K flops each.
     cost = pl.CostEstimate(
         flops=4 * batch * num_q_heads * q_len * kv_len_padded * head_dim,
@@ -300,4 +406,120 @@ def flash_attention_forward(
     if save_residuals:
         lse = outs[1][..., 0]  # lanes are replicated; keep one
         return o, lse
+    return o
+
+
+def _forward_triangular(
+    q, k, v, *, sm_scale, block_q, block_kv_major, block_kv, q_offset,
+    kv_len, num_q_blocks, num_kv_blocks, q_per_kv, save_residuals,
+    interpret,
+):
+    """Causal forward over the active-cell enumeration (triangular grid)."""
+    import numpy as np
+
+    batch, num_q_heads, q_len, head_dim = q.shape
+    kv_len_padded = k.shape[2]
+
+    qmap, kvmap, islast = [], [], []
+    for qb in range(num_q_blocks):
+        last = min(
+            num_kv_blocks - 1,
+            ((qb + 1) * block_q - 1 + q_offset) // block_kv_major,
+        )
+        for kvb in range(last + 1):
+            qmap.append(qb)
+            kvmap.append(kvb)
+            islast.append(1 if kvb == last else 0)
+    qmap = jnp.asarray(np.asarray(qmap, np.int32))
+    kvmap = jnp.asarray(np.asarray(kvmap, np.int32))
+    islast = jnp.asarray(np.asarray(islast, np.int32))
+    n_cells = qmap.shape[0]
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim),
+            lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv_major, head_dim),
+            lambda b, h, c, qm, km, il: (b, h // q_per_kv, km[c], 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv_major, head_dim),
+            lambda b, h, c, qm, km, il: (b, h // q_per_kv, km[c], 0),
+        ),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim),
+            lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
+        ),
+    ]
+    if save_residuals:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (batch, num_q_heads, q_len, NUM_LANES), jnp.float32
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, NUM_LANES),
+                lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
+            )
+        )
+
+    base_kernel = functools.partial(
+        _flash_fwd_tri_kernel,
+        sm_scale=sm_scale,
+        block_kv=block_kv,
+        q_offset=q_offset,
+        kv_len=kv_len,
+        mask_kv_tail=kv_len < kv_len_padded,
+    )
+    if save_residuals:
+        kernel = base_kernel
+    else:
+        def kernel(qm, km, il, q_r, k_r, v_r, o_r, m_s, l_s, acc_s):
+            return base_kernel(
+                qm, km, il, q_r, k_r, v_r, o_r, None, m_s, l_s, acc_s
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(batch, num_q_heads, n_cells),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # m
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # l
+            pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
+        ],
+    )
+    cell_tokens = n_cells * block_q * block_kv_major
+    cost = pl.CostEstimate(
+        flops=4 * batch * num_q_heads * cell_tokens * head_dim,
+        bytes_accessed=(
+            q.size * q.dtype.itemsize
+            + k.size * k.dtype.itemsize
+            + v.size * v.dtype.itemsize
+            + q.size * q.dtype.itemsize
+        ),
+        transcendentals=batch * num_q_heads * cell_tokens,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(qmap, kvmap, islast, q, k, v)
+
+    o = outs[0]
+    if save_residuals:
+        return o, outs[1][..., 0]
     return o

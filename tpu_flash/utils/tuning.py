@@ -95,4 +95,8 @@ def default_block_sizes(
         block_kv_dkv=min(block_kv_major, 256),
         block_q_dq=min(block_q, 256),
         block_kv_dq=min(block_kv_major, 256),
+        # Causal forward enumerates only active cells (measured: +5-7% at
+        # 8K-32K from eliminating predicated dead cells, never worse;
+        # BENCHLOG 2026-08-17). Non-causal calls ignore the flag.
+        triangular=True,
     )
