@@ -102,6 +102,28 @@ class TestQuantizedShapes:
         assert out.dtype == jnp.bfloat16
 
 
+class TestQuantizedTriangular:
+    def test_triangular_matches_rectangular(self):
+        """Causal active-cell enumeration == predicated rectangular grid,
+        bitwise, including ragged kv_len masking."""
+        q, k, v = _rand_qkv(jax.random.PRNGKey(9), 1, 4, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        rect = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                          triangular=False)
+        tri = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                         triangular=True)
+        for kv_len in (256, 219):
+            o1 = flash_attention_quantized(
+                qi, causal=True, block_sizes=rect, kv_len=kv_len
+            )
+            o2 = flash_attention_quantized(
+                qi, causal=True, block_sizes=tri, kv_len=kv_len
+            )
+            np.testing.assert_array_equal(
+                np.asarray(o1, np.float32), np.asarray(o2, np.float32)
+            )
+
+
 class TestScaleAlgebra:
     """The rank-1 fusion identities the kernel relies on, standalone."""
 

@@ -409,16 +409,17 @@ def flash_attention_forward(
     return o
 
 
-def _forward_triangular(
-    q, k, v, *, sm_scale, block_q, block_kv_major, block_kv, q_offset,
-    kv_len, num_q_blocks, num_kv_blocks, q_per_kv, save_residuals,
-    interpret,
+def build_tri_cells(
+    num_q_blocks: int,
+    num_kv_blocks: int,
+    block_q: int,
+    block_kv_major: int,
+    q_offset: int,
 ):
-    """Causal forward over the active-cell enumeration (triangular grid)."""
+    """(qmap, kvmap, islast) int32 arrays enumerating the causally-active
+    (q, kv) block cells in q-major order — the scalar-prefetch inputs of
+    the triangular kernels."""
     import numpy as np
-
-    batch, num_q_heads, q_len, head_dim = q.shape
-    kv_len_padded = k.shape[2]
 
     qmap, kvmap, islast = [], [], []
     for qb in range(num_q_blocks):
@@ -430,9 +431,25 @@ def _forward_triangular(
             qmap.append(qb)
             kvmap.append(kvb)
             islast.append(1 if kvb == last else 0)
-    qmap = jnp.asarray(np.asarray(qmap, np.int32))
-    kvmap = jnp.asarray(np.asarray(kvmap, np.int32))
-    islast = jnp.asarray(np.asarray(islast, np.int32))
+    return (
+        jnp.asarray(np.asarray(qmap, np.int32)),
+        jnp.asarray(np.asarray(kvmap, np.int32)),
+        jnp.asarray(np.asarray(islast, np.int32)),
+    )
+
+
+def _forward_triangular(
+    q, k, v, *, sm_scale, block_q, block_kv_major, block_kv, q_offset,
+    kv_len, num_q_blocks, num_kv_blocks, q_per_kv, save_residuals,
+    interpret,
+):
+    """Causal forward over the active-cell enumeration (triangular grid)."""
+    batch, num_q_heads, q_len, head_dim = q.shape
+    kv_len_padded = k.shape[2]
+
+    qmap, kvmap, islast = build_tri_cells(
+        num_q_blocks, num_kv_blocks, block_q, block_kv_major, q_offset
+    )
     n_cells = qmap.shape[0]
 
     in_specs = [

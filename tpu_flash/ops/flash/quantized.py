@@ -97,17 +97,8 @@ def quantize_attention_inputs(
 
 
 def _quant_fwd_kernel(
-    q_ref,  # [1, 1, block_q, d] payload
-    qs_ref,  # [1, 1, block_q, 128] f32
-    k_ref,  # [1, 1, block_kv_major, d] payload
-    ks_ref,  # [1, 1, 1, block_kv_major] f32
-    v_ref,
-    vs_ref,
-    o_ref,  # [1, 1, block_q, d] out dtype
-    m_scratch,  # VMEM [block_q, 128] f32
-    l_scratch,
-    acc_scratch,  # VMEM [block_q, d] f32
-    *,
+    *args,  # [prefetch qmap/kvmap/islast when triangular,] q_ref, qs_ref,
+    # k_ref, ks_ref, v_ref, vs_ref, o_ref, m_scratch, l_scratch, acc_scratch
     causal: bool,
     sm_scale: float,
     block_kv: int,
@@ -115,11 +106,21 @@ def _quant_fwd_kernel(
     num_kv_blocks: int,
     mask_kv_tail: bool,
     is_int8: bool,
+    triangular: bool = False,
 ):
+    if triangular:
+        (qmap_ref, kvmap_ref, islast_ref, q_ref, qs_ref, k_ref, ks_ref,
+         v_ref, vs_ref, o_ref, m_scratch, l_scratch, acc_scratch) = args
+        c = pl.program_id(2)
+        q_idx = qmap_ref[c]
+        kv_idx = kvmap_ref[c]
+    else:
+        (q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, m_scratch,
+         l_scratch, acc_scratch) = args
+        q_idx = pl.program_id(2)
+        kv_idx = pl.program_id(3)
     block_q = q_ref.shape[2]
     block_kv_major = k_ref.shape[2]
-    q_idx = pl.program_id(2)
-    kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -127,10 +128,10 @@ def _quant_fwd_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    if causal:
+    if causal and not triangular:
         should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv_major
     else:
-        should_run = True
+        should_run = True  # triangular: only active cells are enumerated
 
     @pl.when(should_run)
     def _run():
@@ -193,14 +194,16 @@ def _quant_fwd_kernel(
             )
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
 
-    if causal:
-        last_kv = jnp.minimum(
+    if triangular:
+        is_last = islast_ref[c] == 1
+    elif causal:
+        is_last = kv_idx == jnp.minimum(
             num_kv_blocks - 1, ((q_idx + 1) * block_q - 1) // block_kv_major
         )
     else:
-        last_kv = num_kv_blocks - 1
+        is_last = kv_idx == num_kv_blocks - 1
 
-    @pl.when(kv_idx == last_kv)
+    @pl.when(is_last)
     def _epilogue():
         l = l_scratch[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -303,6 +306,8 @@ def flash_attention_quantized(
         ),
     ]
 
+    triangular = causal and block_sizes.triangular
+
     kernel = functools.partial(
         _quant_fwd_kernel,
         causal=causal,
@@ -312,6 +317,7 @@ def flash_attention_quantized(
         num_kv_blocks=num_kv_blocks,
         mask_kv_tail=kv_len < kv_len_stored,
         is_int8=dtype_name == "int8",
+        triangular=triangular,
     )
 
     cost = pl.CostEstimate(
@@ -325,6 +331,69 @@ def flash_attention_quantized(
         transcendentals=batch * num_q_heads * q_len * kv_len,
     )
 
+    scratch_shapes = [
+        pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+        pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+        pltpu.VMEM((block_q, head_dim), jnp.float32),
+    ]
+    out_shape = jax.ShapeDtypeStruct(
+        (batch, num_q_heads, q_len, head_dim), out_dtype
+    )
+
+    if triangular:
+        from tpu_flash.ops.flash.forward import build_tri_cells
+
+        qmap, kvmap, islast = build_tri_cells(
+            num_q_blocks, num_kv_blocks, block_q, block_kv_major, 0
+        )
+        n_cells = qmap.shape[0]
+        tri_in_specs = [
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim),
+                lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, NUM_LANES),
+                lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv_major, head_dim),
+                lambda b, h, c, qm, km, il: (b, h // q_per_kv, km[c], 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, block_kv_major),
+                lambda b, h, c, qm, km, il: (b, h // q_per_kv, 0, km[c]),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv_major, head_dim),
+                lambda b, h, c, qm, km, il: (b, h // q_per_kv, km[c], 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, block_kv_major),
+                lambda b, h, c, qm, km, il: (b, h // q_per_kv, 0, km[c]),
+            ),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(batch, num_q_heads, n_cells),
+            in_specs=tri_in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, head_dim),
+                lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
+            ),
+            scratch_shapes=scratch_shapes,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qmap, kvmap, islast, qv, qs, kv_, ks, vv, vs)
+
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -332,14 +401,8 @@ def flash_attention_quantized(
         out_specs=pl.BlockSpec(
             (1, 1, block_q, head_dim), lambda b, h, q, kv: (b, h, q, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_q_heads, q_len, head_dim), out_dtype
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
-        ],
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 "parallel", "parallel", "parallel", "arbitrary",
