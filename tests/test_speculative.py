@@ -137,15 +137,27 @@ class TestSpeculativeDecoding:
         rid = eng.submit(prompt, max_new_tokens=5)
         assert len(eng.run()[rid]) == 5
 
-    def test_multi_request_batches_bypass_speculation(
+    def test_multi_request_batched_speculation_exact(
         self, model_and_params
     ):
+        """Multiple concurrent streams speculate in ONE batched verify:
+        each stream's greedy tokens must equal its solo non-speculative
+        stream (draftable and non-draftable prompts mixed)."""
         model, params = model_and_params
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6], [9, 9, 9]]
+        expected = []
+        for p in prompts:
+            base = _engine(model, params, spec_k=0)
+            rb = base.submit(p, max_new_tokens=20)
+            expected.append(base.run()[rb])
+
         eng = _engine(model, params, spec_k=8)
-        r1 = eng.submit([5, 6, 7, 5, 6, 7, 5, 6], max_new_tokens=6)
-        r2 = eng.submit([9, 9, 9], max_new_tokens=6)
+        eng.max_decode_burst = 2  # give drafts a chance to form mid-stream
+        rids = [eng.submit(p, max_new_tokens=20) for p in prompts]
         out = eng.run()
-        assert len(out[r1]) == 6 and len(out[r2]) == 6
+        for rid, exp in zip(rids, expected):
+            assert out[rid] == exp
+        assert eng.speculation_stats()["proposed"] > 0
 
     def test_draft_model_speculation_exact(self, model_and_params):
         """Draft-model speculation: a separate small model proposes; the

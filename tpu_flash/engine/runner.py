@@ -165,18 +165,20 @@ class InferenceEngine:
         self.max_decode_burst = 8
         self._decode_multi_fns: Dict[int, object] = {}
         self._prefill_fns: Dict[tuple, object] = {}
-        # Speculative decoding (prompt-lookup drafts, single-stream): 0
-        # disables. Draft tokens verify in ONE forward over the paged
-        # cache; accepted prefix + one correction/bonus token commit per
-        # step. Greedy verifies by argmax; sampled requests use exact
-        # rejection sampling (sampling.py speculative_sample), so the
-        # output distribution matches non-speculative decoding.
+        # Speculative decoding (prompt-lookup or draft-model proposals):
+        # 0 disables. ALL active decode slots verify their drafts in ONE
+        # batched forward over the paged cache (slots without a usable
+        # draft ride along as a plain 1-token sample); accepted prefix +
+        # one correction/bonus token commit per slot per step. Greedy
+        # verifies by argmax; sampled requests use exact rejection
+        # sampling (sampling.py speculative_sample), so the output
+        # distribution matches non-speculative decoding.
         self.speculation_k = 8
-        # Verification gathers the sequence's whole page table densely
-        # (static shape); cap the table size it's worth that for — very
-        # long-context configs fall back to burst decode.
-        self.speculation_max_table_tokens = 16384
-        self._verify_fns: Dict[int, object] = {}
+        # Verification gathers each row's whole page table densely
+        # (static shape); cap the TOTAL (row-bucket x table) tokens it's
+        # worth that for — beyond it, burst decode.
+        self.speculation_max_table_tokens = 32768
+        self._verify_fns: Dict[tuple, object] = {}
         self._spec_proposed = 0
         self._spec_accepted = 0
         # Draft-model speculation: a small model greedy-generates the k
@@ -653,42 +655,48 @@ class InferenceEngine:
         )
         return [int(t) for t in drafts]
 
-    def _verify_impl(self, n_tok, params, cache, tokens, length, table_row,
-                     key, temp, top_k, top_p):
-        """Verify [last_token, draft...] (n_tok tokens) in one forward over
-        the paged cache at dynamic offset ``length``, then run exact
-        speculative rejection sampling on-device (engine/sampling.py
-        ``speculative_sample`` — greedy requests flow through the same
-        one-hot math deterministically). Appends all n_tok tokens' KV
-        (rejected drafts' entries are masked by lengths and overwritten when
-        their positions are legitimately reached). Returns
-        (cache, emit tokens [n_tok], n_emit, logps [n_tok], finite)."""
+    def _verify_impl(self, n_tok, params, cache, tokens, lengths_b,
+                     table_rows, key, temps, top_ks, top_ps, draft_lens):
+        """Verify a BATCH of [last_token, draft...] rows ([B, n_tok]) in
+        one forward over the paged cache at per-row dynamic offsets
+        ``lengths_b``, then run exact speculative rejection sampling
+        on-device per row (engine/sampling.py ``speculative_sample`` —
+        greedy rows flow through the same one-hot math deterministically;
+        rows with draft_len 0 just sample their next token). Appends every
+        row's n_tok tokens' KV (rejected drafts' entries are masked by
+        lengths and overwritten when their positions are legitimately
+        reached). Returns (cache, emit [B, n_tok], n_emit [B],
+        logps [B, n_tok], finite)."""
         ps = self.config.cache.page_size
         pps = self.config.cache.max_pages_per_seq
         hist_full = pps * ps
-        positions = length + jnp.arange(n_tok)
+        b = tokens.shape[0]
+        positions = lengths_b[:, None] + jnp.arange(n_tok)[None]
         # Positions past the reserved pages land on trash (table padding).
-        page_ids = table_row[positions // ps]
+        page_ids = jnp.take_along_axis(table_rows, positions // ps, axis=1)
         offsets = positions % ps
         cache_cell = [cache]
 
         def kv_hook(li, k, v):
+            hkv, d = k.shape[1], k.shape[3]
             cache_cell[0] = cache_cell[0].append(
-                li, k[0].transpose(1, 0, 2), v[0].transpose(1, 0, 2),
-                page_ids, offsets,
+                li,
+                k.transpose(0, 2, 1, 3).reshape(b * n_tok, hkv, d),
+                v.transpose(0, 2, 1, 3).reshape(b * n_tok, hkv, d),
+                page_ids.reshape(-1), offsets.reshape(-1),
             )
             # Whole-table dense gather (static shape); the dynamic-length
             # mask lives in attention_fn.
             return self._gather_history(
-                cache_cell[0], li, table_row[None], hist_full
+                cache_cell[0], li, table_rows, hist_full
             )
 
         def attention_fn(q, k, v):
-            # Exact attention with the dynamic-offset causal mask the
-            # static-q_offset flash kernel can't express. q [1,hq,n_tok,d];
-            # k/v [1,hkv,hist_full,d]. Compute is O(n_tok * ctx) — decode-
-            # class, negligible; the HBM sweep is the point (n_tok tokens
-            # verified for one pass over the KV).
+            # Exact attention with the per-row dynamic-offset causal mask
+            # the static-q_offset flash kernel can't express. q
+            # [B,hq,n_tok,d]; k/v [B,hkv,hist_full,d]. Compute is
+            # O(B * n_tok * ctx) — decode-class, negligible; the HBM sweep
+            # is the point (n_tok tokens verified per pass over the KV).
             rep = q.shape[1] // k.shape[1]
             kf = jnp.repeat(k.astype(jnp.float32), rep, axis=1)
             vf = jnp.repeat(v.astype(jnp.float32), rep, axis=1)
@@ -700,7 +708,7 @@ class InferenceEngine:
                 * scale
             )
             key_pos = jnp.arange(hist_full)[None, None, None, :]
-            allow = key_pos <= positions[None, None, :, None]
+            allow = key_pos <= positions[:, None, :, None]
             s_ = jnp.where(allow, s_, -1e30)
             w = jax.nn.softmax(s_, axis=-1)
             return jnp.einsum("bhqk,bhkd->bhqd", w, vf).astype(q.dtype)
@@ -709,69 +717,111 @@ class InferenceEngine:
             params, tokens, interpret=self.interpret, kv_hook=kv_hook,
             tp_axis=self._tp_axis, positions=positions,
             attention_fn=attention_fn,
-        )
+        )  # [B, n_tok, vocab]
         from tpu_flash.engine.sampling import speculative_sample
 
-        emit, n_emit = speculative_sample(
-            logits[0].astype(jnp.float32), tokens[0, 1:], key,
-            temp, top_k, top_p,
+        keys = jax.random.split(key, b)
+        emit, n_emit = jax.vmap(
+            lambda lg, dr, ky, t, tk, tp_, dl: speculative_sample(
+                lg.astype(jnp.float32), dr, ky, t, tk, tp_, dl
+            )
+        )(
+            logits, tokens[:, 1:], keys, temps, top_ks, top_ps, draft_lens
         )
         # Reported logprobs are the raw model distribution's (pre-filter),
         # matching the burst-decode path's convention.
         logps = jnp.take_along_axis(
-            jax.nn.log_softmax(logits[0], axis=-1), emit[:, None], axis=-1
-        )[:, 0]
+            jax.nn.log_softmax(logits, axis=-1), emit[..., None], axis=-1
+        )[..., 0]
         finite = jnp.all(jnp.isfinite(logits))
         return cache_cell[0], emit, n_emit, finite, logps
 
-    def _run_speculative(self, req, slot: int, draft: List[int]) -> int:
-        n_tok = 1 + len(draft)
-        if n_tok not in self._verify_fns:
-            self._verify_fns[n_tok] = self._jit_impl(
+    def _run_speculative(self, items) -> int:
+        """Verify every item's draft in ONE batched sweep.
+
+        ``items``: list of (req, slot, draft) — all active decode slots;
+        items with an empty draft ride along (draft_len 0 = one plain
+        sampled/greedy token through the same program). Rows bucket to a
+        power of two so compiled variants stay bounded at
+        (n_tok, row-bucket)."""
+        max_k = max(len(d) for _, _, d in items)
+        n_tok = 1 + max_k
+        bb = _pow2_bucket(len(items), lo=1)
+        fn_key = (n_tok, bb)
+        if fn_key not in self._verify_fns:
+            self._verify_fns[fn_key] = self._jit_impl(
                 functools.partial(self._verify_impl, n_tok),
-                "pcrrrrrrr", "crrrr", donate=(1,),
+                "pcrrrrrrrr", "crrrr", donate=(1,),
             )
-        last = (self.outputs[req.req_id] or req._prompt)[-1]
-        tokens = jnp.asarray([[last] + draft], jnp.int32)
-        sp = req.sampling
+        pps = self.config.cache.max_pages_per_seq
+        tok_rows, dlens, temps, tks, tps = [], [], [], [], []
+        slots = [slot for _, slot, _ in items]
+        for req, slot, draft in items:
+            last = (self.outputs[req.req_id] or req._prompt)[-1]
+            tok_rows.append([last] + draft + [0] * (max_k - len(draft)))
+            dlens.append(len(draft))
+            sp = req.sampling
+            temps.append(sp.temperature)
+            tks.append(sp.top_k)
+            tps.append(sp.top_p)
+        n_pad = bb - len(items)
+        for _ in range(n_pad):
+            tok_rows.append([0] * n_tok)
+            dlens.append(0)
+            temps.append(0.0)
+            tks.append(0)
+            tps.append(1.0)
+        slots_arr = jnp.asarray(slots, jnp.int32)
+        lengths_b = jnp.concatenate(
+            [self.lengths[slots_arr], jnp.zeros((n_pad,), jnp.int32)]
+        )
+        table_rows = jnp.concatenate(
+            [
+                self.page_tables[slots_arr],
+                jnp.full((n_pad, pps), self.trash_page, jnp.int32),
+            ]
+        )
         self._rng, sk = jax.random.split(self._rng)
         (
             self.cache, emit_dev, n_emit_dev, finite, logps_dev,
-        ) = self._verify_fns[n_tok](
-            self.params, self.cache, tokens, self.lengths[slot],
-            self.page_tables[slot], sk,
-            jnp.float32(sp.temperature), jnp.int32(sp.top_k),
-            jnp.float32(sp.top_p),
+        ) = self._verify_fns[fn_key](
+            self.params, self.cache,
+            jnp.asarray(tok_rows, jnp.int32), lengths_b, table_rows, sk,
+            jnp.asarray(temps, jnp.float32), jnp.asarray(tks, jnp.int32),
+            jnp.asarray(tps, jnp.float32), jnp.asarray(dlens, jnp.int32),
         )
         emit_host = self._fetcher.fetch(emit_dev)
-        n_emit = int(self._fetcher.fetch(n_emit_dev))
+        n_emit_host = self._fetcher.fetch(n_emit_dev)
         logps = self._fetcher.fetch(logps_dev)
         if self.health_config.check_numerics:
             watchdog_check(
                 self.health, self._fetcher.fetch(finite),
-                phase="decode", request_ids=[req.req_id],
+                phase="decode", request_ids=[r.req_id for r, _, _ in items],
             )
-        accepted = n_emit - 1
-        emit = [int(emit_host[i]) for i in range(n_emit)]
-        emit = emit[: req.max_new_tokens - req.generated]
-        final: List[int] = []
-        for t in emit:
-            final.append(t)
-            if t in req.stop_tokens:
-                req.stopped = True
-                break
-        self._spec_proposed += len(draft)
-        self._spec_accepted += accepted
-        self.outputs[req.req_id].extend(final)
-        self.logprobs[req.req_id].extend(
-            float(logps[i]) for i in range(len(final))
-        )
-        self.scheduler.report_decoded(req.req_id, len(final))
-        self.lengths = self.lengths.at[slot].add(len(final))
-        self.last_tokens = self.last_tokens.at[slot].set(final[-1])
-        if req.done:
-            self.active[slot] = False
-        return len(final)
+        total = 0
+        for i, (req, slot, draft) in enumerate(items):
+            n_emit = int(n_emit_host[i])
+            emit = [int(emit_host[i, j]) for j in range(n_emit)]
+            emit = emit[: req.max_new_tokens - req.generated]
+            final: List[int] = []
+            for t in emit:
+                final.append(t)
+                if t in req.stop_tokens:
+                    req.stopped = True
+                    break
+            self._spec_proposed += len(draft)
+            self._spec_accepted += n_emit - 1
+            self.outputs[req.req_id].extend(final)
+            self.logprobs[req.req_id].extend(
+                float(logps[i, j]) for j in range(len(final))
+            )
+            self.scheduler.report_decoded(req.req_id, len(final))
+            self.lengths = self.lengths.at[slot].add(len(final))
+            self.last_tokens = self.last_tokens.at[slot].set(final[-1])
+            if req.done:
+                self.active[slot] = False
+            total += len(final)
+        return total
 
     def speculation_stats(self) -> Dict[str, float]:
         return {
@@ -799,37 +849,44 @@ class InferenceEngine:
             if mask[s] and self.scheduler.slots[s] is not None
         ]
 
-        # Speculative path: single greedy stream with a usable prompt-lookup
-        # draft — verify k drafts in one KV sweep instead of k sweeps.
+        # Speculative path: verify every slot's draft in one batched KV
+        # sweep instead of k sequential sweeps. Non-greedy requests
+        # speculate too — rejection sampling in the verify step keeps the
+        # output distribution exact (the draft is deterministic, so
+        # accept-prob = p(draft); corrections sample the residual).
         table_tokens = (
             self.config.cache.max_pages_per_seq
             * self.config.cache.page_size
         )
         if (
             self.speculation_k > 0
-            and table_tokens <= self.speculation_max_table_tokens
-            and len(rids) == 1
+            and rids
             and not self.scheduler.waiting
+            and table_tokens * _pow2_bucket(len(rids), lo=1)
+            <= self.speculation_max_table_tokens
         ):
-            # Non-greedy requests speculate too: rejection sampling in the
-            # verify step keeps the output distribution exact (the draft is
-            # deterministic, so accept-prob = p(draft); corrections sample
-            # the residual).
-            req = self.scheduler.active.get(rids[0])
-            if (
-                req is not None
-                and req.max_new_tokens - req.generated > 1
-            ):
-                context = req._prompt + self.outputs[req.req_id]
+            items = []
+            any_draft = False
+            for rid in rids:
+                req = self.scheduler.active.get(rid)
+                if req is None:
+                    continue
                 k = min(
                     self.speculation_k,
                     req.max_new_tokens - req.generated - 1,
                 )
-                draft = self._propose_draft(context, k)
-                if draft:
-                    return self._run_speculative(
-                        req, req.batch_slot, draft
-                    )
+                draft: List[int] = []
+                if k > 0:
+                    context = req._prompt + self.outputs[req.req_id]
+                    draft = self._propose_draft(context, k)
+                any_draft = any_draft or bool(draft)
+                items.append((req, req.batch_slot, draft))
+            total_draft = sum(len(d) for _, _, d in items)
+            # Engage when the draft mass beats what one fused burst step
+            # would yield anyway: a lone short draft among many idle slots
+            # isn't worth preempting burst decode for.
+            if items and total_draft >= max(1, len(items)):
+                return self._run_speculative(items)
         remaining = [
             self.scheduler.active[r].max_new_tokens
             - self.scheduler.active[r].generated

@@ -19,6 +19,7 @@ Semantics (matching the common serving contract):
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -119,6 +120,9 @@ def speculative_sample(
     temperature: jax.Array,  # scalar f32 (one request's params)
     top_k: jax.Array,  # scalar int32
     top_p: jax.Array,  # scalar f32
+    draft_len: Optional[jax.Array] = None,  # scalar int32: only the first
+    # draft_len proposals are real (batched speculation pads rows to a
+    # common k); None = all k. draft_len=0 degenerates to one plain sample.
 ):
     """Exact speculative rejection sampling for a *deterministic* draft.
 
@@ -153,13 +157,18 @@ def speculative_sample(
     p_draft = jnp.take_along_axis(probs[:k], draft[:, None], axis=-1)[:, 0]
     u = jax.random.uniform(key_u, (k,)) if k else jnp.zeros((0,))
     accept = u < p_draft
+    if draft_len is not None:
+        accept = jnp.logical_and(accept, jnp.arange(k) < draft_len)
     # Number of leading accepts: stops at the first rejection.
     a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32))).astype(jnp.int32)
 
-    # Correction (a < k): residual of row a = p with draft[a] zeroed.
-    # Bonus (a == k): row k unmodified.
+    # Correction (a < effective draft length): residual of row a = p with
+    # draft[a] zeroed. Bonus (all real proposals accepted): row a
+    # unmodified — a pad position is a plain sample, not a rejection, so
+    # its token must NOT be zeroed out of the distribution.
+    k_eff = k if draft_len is None else draft_len
     p_row = probs[a]
-    rejected_tok = jnp.where(a < k, draft[jnp.minimum(a, k - 1)], -1)
+    rejected_tok = jnp.where(a < k_eff, draft[jnp.minimum(a, k - 1)], -1)
     p_adj = jnp.where(jnp.arange(vocab) == rejected_tok, 0.0, p_row)
     correction = jax.random.categorical(key_c, jnp.log(p_adj)).astype(
         jnp.int32
