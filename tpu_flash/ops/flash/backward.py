@@ -71,39 +71,46 @@ def _recompute_p(q, k, lse_col, *, sm_scale, causal, mask_kv_tail, kv_len,
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref,  # [1, 1, block_q, head_dim]
-    k_ref,  # [1, 1, block_kv, head_dim]
-    v_ref,
-    do_ref,  # [1, 1, block_q, head_dim]
-    lse_ref,  # [1, 1, block_q, NUM_LANES]
-    di_ref,  # [1, 1, block_q, NUM_LANES]
-    dk_ref,  # [1, 1, block_kv, head_dim] out
-    dv_ref,  # out
-    dk_scratch,  # VMEM [block_kv, head_dim] f32
-    dv_scratch,
-    *,
+    *args,  # [prefetch kvmap/qmap/isfirst/islast when triangular,] q_ref,
+    # k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scratch,
+    # dv_scratch
     causal: bool,
     sm_scale: float,
     q_offset: int,
     kv_len: int,
     mask_kv_tail: bool,
     num_q_blocks: int,
+    triangular: bool = False,
 ):
+    if triangular:
+        (kvmap_ref, qmap_ref, isfirst_ref, islast_ref, q_ref, k_ref, v_ref,
+         do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scratch,
+         dv_scratch) = args
+        c = pl.program_id(2)
+        kv_idx = kvmap_ref[c]
+        q_idx = qmap_ref[c]
+        init_now = isfirst_ref[c] == 1
+        is_last = islast_ref[c] == 1
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+         dk_scratch, dv_scratch) = args
+        kv_idx = pl.program_id(2)
+        q_idx = pl.program_id(3)
+        init_now = q_idx == 0
+        is_last = q_idx == num_q_blocks - 1
     block_q = q_ref.shape[2]
     block_kv = k_ref.shape[2]
-    kv_idx = pl.program_id(2)
-    q_idx = pl.program_id(3)
 
-    @pl.when(q_idx == 0)
+    @pl.when(init_now)
     def _init():
         dk_scratch[...] = jnp.zeros_like(dk_scratch)
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
 
-    if causal:
+    if causal and not triangular:
         max_q_pos = (q_idx + 1) * block_q - 1 + q_offset
         should_run = max_q_pos >= kv_idx * block_kv
     else:
-        should_run = True
+        should_run = True  # triangular: only active cells exist
 
     precision = _precision(q_ref.dtype)
 
@@ -142,48 +149,54 @@ def _flash_bwd_dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(q_idx == num_q_blocks - 1)
+    @pl.when(is_last)
     def _epilogue():
         dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
 def _flash_bwd_dq_kernel(
-    q_ref,  # [1, 1, block_q, head_dim]
-    k_ref,  # [1, 1, block_kv, head_dim]
-    v_ref,
-    do_ref,
-    lse_ref,
-    di_ref,
-    dq_ref,  # [1, 1, block_q, head_dim] out
-    dq_scratch,  # VMEM [block_q, head_dim] f32
-    *,
+    *args,  # [prefetch qmap/kvmap/islast when triangular,] q_ref, k_ref,
+    # v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scratch
     causal: bool,
     sm_scale: float,
     q_offset: int,
     kv_len: int,
     mask_kv_tail: bool,
     num_kv_blocks: int,
+    triangular: bool = False,
 ):
+    if triangular:
+        (qmap_ref, kvmap_ref, islast_ref, q_ref, k_ref, v_ref, do_ref,
+         lse_ref, di_ref, dq_ref, dq_scratch) = args
+        c = pl.program_id(2)
+        q_idx = qmap_ref[c]
+        kv_idx = kvmap_ref[c]
+        is_last = islast_ref[c] == 1
+        should_run = True  # only active cells are enumerated
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+         dq_scratch) = args
+        q_idx = pl.program_id(2)
+        kv_idx = pl.program_id(3)
+        if causal:
+            block_q_ = q_ref.shape[2]
+            block_kv_ = k_ref.shape[2]
+            max_q_pos = (q_idx + 1) * block_q_ - 1 + q_offset
+            should_run = max_q_pos >= kv_idx * block_kv_
+            is_last = kv_idx == jnp.minimum(
+                num_kv_blocks - 1,
+                ((q_idx + 1) * block_q_ - 1 + q_offset) // block_kv_,
+            )
+        else:
+            should_run = True
+            is_last = kv_idx == num_kv_blocks - 1
     block_q = q_ref.shape[2]
     block_kv = k_ref.shape[2]
-    q_idx = pl.program_id(2)
-    kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
     def _init():
         dq_scratch[...] = jnp.zeros_like(dq_scratch)
-
-    if causal:
-        max_q_pos = (q_idx + 1) * block_q - 1 + q_offset
-        should_run = max_q_pos >= kv_idx * block_kv
-        last_kv = jnp.minimum(
-            num_kv_blocks - 1,
-            ((q_idx + 1) * block_q - 1 + q_offset) // block_kv,
-        )
-    else:
-        should_run = True
-        last_kv = num_kv_blocks - 1
 
     precision = _precision(q_ref.dtype)
 
@@ -214,9 +227,41 @@ def _flash_bwd_dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(kv_idx == last_kv)
+    @pl.when(is_last)
     def _epilogue():
         dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _build_dkv_cells(
+    num_q_blocks: int,
+    num_kv_blocks: int,
+    block_q: int,
+    block_kv: int,
+    q_offset: int,
+):
+    """kv-major enumeration of causally-active (kv, q) cells for the dKV
+    kernel: per kv block, q runs from its first contributing block to the
+    end. A kv block with NO contributing q still gets one (fully-masked)
+    cell so its dk/dv output block is written (zeros)."""
+    import numpy as np
+
+    kvmap, qmap, isfirst, islast = [], [], [], []
+    for kvb in range(num_kv_blocks):
+        first = min(
+            max(0, (kvb * block_kv - q_offset) // block_q),
+            num_q_blocks - 1,
+        )
+        for qb in range(first, num_q_blocks):
+            kvmap.append(kvb)
+            qmap.append(qb)
+            isfirst.append(1 if qb == first else 0)
+            islast.append(1 if qb == num_q_blocks - 1 else 0)
+    return (
+        jnp.asarray(np.asarray(kvmap, np.int32)),
+        jnp.asarray(np.asarray(qmap, np.int32)),
+        jnp.asarray(np.asarray(isfirst, np.int32)),
+        jnp.asarray(np.asarray(islast, np.int32)),
+    )
 
 
 def flash_attention_backward(
@@ -295,6 +340,8 @@ def flash_attention_backward(
         lambda b, h, kv, q_i: (b, h, q_block_index(q_i, kv), 0),
     )
 
+    triangular = causal and block_sizes.triangular
+
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_kernel,
         causal=causal,
@@ -303,32 +350,79 @@ def flash_attention_backward(
         kv_len=kv_len,
         mask_kv_tail=mask_kv_tail,
         num_q_blocks=num_q_blocks,
+        triangular=triangular,
     )
-    dk, dv = pl.pallas_call(
-        dkv_kernel,
-        grid=(batch, num_q_heads, num_kv_blocks, num_q_blocks),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, res_spec, res_spec],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, block_kv, head_dim), lambda b, h, kv, q_i: (b, h, kv, 0)
-            )
-        ]
-        * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (batch, num_q_heads, kv_len_padded, head_dim), k.dtype
-            )
-        ]
-        * 2,
-        scratch_shapes=[
-            pltpu.VMEM((block_kv, head_dim), jnp.float32),
-            pltpu.VMEM((block_kv, head_dim), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(q, k, v, do, lse_rep, di_rep)
+    dkv_out_shape = [
+        jax.ShapeDtypeStruct(
+            (batch, num_q_heads, kv_len_padded, head_dim), k.dtype
+        )
+    ] * 2
+    dkv_scratch = [
+        pltpu.VMEM((block_kv, head_dim), jnp.float32),
+        pltpu.VMEM((block_kv, head_dim), jnp.float32),
+    ]
+    if triangular:
+        kvmap, qmap, isfirst, islast = _build_dkv_cells(
+            num_q_blocks, num_kv_blocks, block_q, block_kv, q_offset
+        )
+        n_cells = kvmap.shape[0]
+        tq_spec = pl.BlockSpec(
+            (1, 1, block_q, head_dim),
+            lambda b, h, c, km, qm, fi, il: (b, h, qm[c], 0),
+        )
+        tkv_spec = pl.BlockSpec(
+            (1, 1, block_kv, head_dim),
+            lambda b, h, c, km, qm, fi, il: (b, h // q_per_kv, km[c], 0),
+        )
+        tres_spec = pl.BlockSpec(
+            (1, 1, block_q, NUM_LANES),
+            lambda b, h, c, km, qm, fi, il: (b, h, qm[c], 0),
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(batch, num_q_heads, n_cells),
+            in_specs=[
+                tq_spec, tkv_spec, tkv_spec, tq_spec, tres_spec, tres_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_kv, head_dim),
+                    lambda b, h, c, km, qm, fi, il: (b, h, km[c], 0),
+                )
+            ]
+            * 2,
+            scratch_shapes=dkv_scratch,
+        )
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid_spec=grid_spec,
+            out_shape=dkv_out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(kvmap, qmap, isfirst, islast, q, k, v, do, lse_rep, di_rep)
+    else:
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid=(batch, num_q_heads, num_kv_blocks, num_q_blocks),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, res_spec, res_spec],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_kv, head_dim),
+                    lambda b, h, kv, q_i: (b, h, kv, 0),
+                )
+            ]
+            * 2,
+            out_shape=dkv_out_shape,
+            scratch_shapes=dkv_scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "arbitrary",
+                ),
+            ),
+            interpret=interpret,
+        )(q, k, v, do, lse_rep, di_rep)
 
     # ---- dQ kernel ----
     block_q_dq = min(block_sizes.block_q_dq, q_len)
@@ -371,23 +465,70 @@ def flash_attention_backward(
         kv_len=kv_len,
         mask_kv_tail=mask_kv_tail,
         num_kv_blocks=num_kv_blocks_dq,
+        triangular=triangular,
     )
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(batch, num_q_heads, num_q_blocks_dq, num_kv_blocks_dq),
-        in_specs=[
-            q_spec_dq, kv_spec_dq, kv_spec_dq, q_spec_dq, res_spec_dq,
-            res_spec_dq,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q_dq, head_dim), lambda b, h, q_i, kv: (b, h, q_i, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q_dq, head_dim), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(q, k, v, do, lse_rep, di_rep)
+    dq_scratch_shapes = [pltpu.VMEM((block_q_dq, head_dim), jnp.float32)]
+    if triangular:
+        from tpu_flash.ops.flash.forward import build_tri_cells
+
+        qmap, kvmap, islast = build_tri_cells(
+            num_q_blocks_dq, num_kv_blocks_dq, block_q_dq, block_kv_dq,
+            q_offset,
+        )
+        n_cells = qmap.shape[0]
+        tq_spec = pl.BlockSpec(
+            (1, 1, block_q_dq, head_dim),
+            lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
+        )
+        tkv_spec = pl.BlockSpec(
+            (1, 1, block_kv_dq, head_dim),
+            lambda b, h, c, qm, km, il: (b, h // q_per_kv, km[c], 0),
+        )
+        tres_spec = pl.BlockSpec(
+            (1, 1, block_q_dq, NUM_LANES),
+            lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(batch, num_q_heads, n_cells),
+            in_specs=[
+                tq_spec, tkv_spec, tkv_spec, tq_spec, tres_spec, tres_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q_dq, head_dim),
+                lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
+            ),
+            scratch_shapes=dq_scratch_shapes,
+        )
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qmap, kvmap, islast, q, k, v, do, lse_rep, di_rep)
+    else:
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid=(batch, num_q_heads, num_q_blocks_dq, num_kv_blocks_dq),
+            in_specs=[
+                q_spec_dq, kv_spec_dq, kv_spec_dq, q_spec_dq, res_spec_dq,
+                res_spec_dq,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q_dq, head_dim),
+                lambda b, h, q_i, kv: (b, h, q_i, 0),
+            ),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            scratch_shapes=dq_scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "arbitrary",
+                ),
+            ),
+            interpret=interpret,
+        )(q, k, v, do, lse_rep, di_rep)
 
     return dq, dk, dv
