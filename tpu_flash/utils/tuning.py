@@ -91,10 +91,14 @@ def default_block_sizes(
         block_q=block_q,
         block_kv_major=block_kv_major,
         block_kv=block_kv,
-        block_q_dkv=min(block_q, 256),
-        block_kv_dkv=min(block_kv_major, 256),
-        block_q_dq=min(block_q, 256),
-        block_kv_dq=min(block_kv_major, 256),
+        # Backward tiles match the forward's (1024-capped): with the
+        # triangular grid, 1024 tiles beat 256 by 1.4x at 8K (BENCHLOG
+        # 2026-08-17 backward tile sweep) — small tiles were only ever a
+        # dead-cell mitigation.
+        block_q_dkv=block_q,
+        block_kv_dkv=block_kv_major,
+        block_q_dq=block_q,
+        block_kv_dq=block_kv_major,
         # Causal forward enumerates only active cells (measured: +5-7% at
         # 8K-32K from eliminating predicated dead cells, never worse;
         # BENCHLOG 2026-08-17). Non-causal calls ignore the flag.
