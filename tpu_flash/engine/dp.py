@@ -9,13 +9,14 @@ least-loaded replica. Replicas never communicate — the KV cache, page pool,
 and scheduler are replica-local — so scaling is embarrassingly parallel and
 a replica failure degrades capacity, not correctness.
 
-Dispatch is asynchronous: every replica's step is issued before any
-replica's results are fetched, so R decode bursts run concurrently on
-disjoint devices while the host loops.
+Steps run concurrently, one host thread per replica (a replica's step
+blocks on its own device fetch), so R decode bursts execute in parallel
+on their disjoint devices instead of serializing on the host loop.
 """
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -78,6 +79,14 @@ class DataParallelEngine:
         self._route: Dict[int, Tuple[int, int]] = {}  # rid -> (rep, local)
         self._next_id = 0
         self._rr = 0  # round-robin tiebreak
+        # One thread per replica: each InferenceEngine.step() blocks on its
+        # own D2H fetch, so concurrent threads are what lets R replicas'
+        # device work overlap (engines share no state; JAX execution is
+        # thread-safe).
+        self._pool = (
+            ThreadPoolExecutor(max_workers=replicas) if replicas > 1
+            else None
+        )
 
     # -- client API ----------------------------------------------------------
 
@@ -113,12 +122,17 @@ class DataParallelEngine:
         return any(e.scheduler.has_work() for e in self.engines)
 
     def step(self) -> None:
-        """One step on every replica that has work. Each replica's step
-        dispatches its device programs and fetches its own results; fetches
-        overlap the other replicas' device work because dispatch is async
-        and the replicas' devices are disjoint."""
-        for eng in self.engines:
-            if eng.scheduler.has_work():
+        """One step on every replica that has work, run CONCURRENTLY (one
+        thread per replica): a replica's step blocks the calling thread on
+        its own D2H fetch, so threading is what makes the replicas' device
+        work overlap on their disjoint device groups."""
+        busy = [e for e in self.engines if e.scheduler.has_work()]
+        if self._pool is not None and len(busy) > 1:
+            futures = [self._pool.submit(e.step) for e in busy]
+            for f in futures:
+                f.result()  # surface exceptions
+        else:
+            for eng in busy:
                 eng.step()
 
     def run(self) -> Dict[int, List[int]]:
@@ -127,6 +141,8 @@ class DataParallelEngine:
         return self.outputs
 
     def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
         for eng in self.engines:
             eng.close()
 

@@ -603,57 +603,74 @@ class InferenceEngine:
                 return list(context[i + ngram : i + ngram + k])
         return []
 
-    def _draft_impl(self, k, params_d, window, length):
-        """Greedy-generate ``k`` draft tokens with the draft model in one
-        jitted scan. ``window`` [1, W] holds the last ``length`` context
-        tokens left-aligned (right-padded); each step runs a dense causal
-        forward over the W+k buffer and appends the argmax at the frontier.
-        Window-relative positions: the draft is a sliding-window policy —
-        only acceptance rate depends on it, never output correctness."""
-        w = window.shape[1]
+    def _draft_impl(self, k, params_d, windows, lengths):
+        """Greedy-generate ``k`` draft tokens per row with the draft model
+        in ONE jitted scan over a batch of context windows. ``windows``
+        [B, W] holds each row's last ``lengths[b]`` context tokens
+        left-aligned (right-padded); each step runs a dense causal forward
+        over the [B, W + k] buffer and appends each row's argmax at its
+        own frontier. Window-relative positions: the draft is a
+        sliding-window policy — only acceptance rate depends on it, never
+        output correctness. Returns drafts [B, k]."""
+        b = windows.shape[0]
         buf0 = jnp.concatenate(
-            [window, jnp.zeros((1, k), jnp.int32)], axis=1
+            [windows, jnp.zeros((b, k), jnp.int32)], axis=1
         )
 
         def body(carry, _):
-            buf, pos = carry  # pos = index of the next empty slot
+            buf, pos = carry  # pos [B]: index of each row's next slot
             logits = self.draft_model.forward(
                 params_d, buf, interpret=self.interpret
             )
-            nxt = jnp.argmax(logits[0, pos - 1]).astype(jnp.int32)
-            buf = jax.lax.dynamic_update_slice(
-                buf, nxt[None, None], (0, pos)
-            )
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.take_along_axis(
+                preds, (pos - 1)[:, None], axis=1
+            )[:, 0]
+            buf = buf.at[jnp.arange(b), pos].set(nxt)
             return (buf, pos + 1), nxt
 
         (_, _), drafts = jax.lax.scan(
-            body, (buf0, length), None, length=k
+            body, (buf0, lengths), None, length=k
         )
-        return drafts
+        return drafts.T  # [B, k]
 
-    def _propose_draft(self, context: List[int], k: int) -> List[int]:
-        """Draft k tokens: from the draft model when configured, else
+    def _propose_drafts(
+        self, contexts: List[List[int]], k: int
+    ) -> List[List[int]]:
+        """Draft up to k tokens per context: from the draft model when
+        configured (ONE batched dispatch for all rows), else host-side
         prompt lookup. Both are deterministic proposals, verified by the
         same exact rejection-sampling sweep."""
         if self.draft_model is None:
-            return self._find_draft(context, k)
+            return [self._find_draft(c, k) for c in contexts]
         w = self.draft_window
-        tail = context[-w:]
-        length = len(tail)
-        window = jnp.asarray(
-            [tail + [0] * (w - length)], jnp.int32
-        )
-        key = (k, w)
+        bb = _pow2_bucket(len(contexts), lo=1)
+        rows, lens = [], []
+        for c in contexts:
+            tail = c[-w:]
+            rows.append(tail + [0] * (w - len(tail)))
+            lens.append(len(tail))
+        for _ in range(bb - len(contexts)):
+            rows.append([0] * w)
+            lens.append(1)
+        key = (k, w, bb)
         if key not in self._draft_fns:
             self._draft_fns[key] = jax.jit(
                 functools.partial(self._draft_impl, k)
             )
         drafts = self._fetcher.fetch(
             self._draft_fns[key](
-                self.draft_params, window, jnp.int32(length)
+                self.draft_params,
+                jnp.asarray(rows, jnp.int32),
+                jnp.asarray(lens, jnp.int32),
             )
         )
-        return [int(t) for t in drafts]
+        return [
+            [int(t) for t in drafts[i]] for i in range(len(contexts))
+        ]
+
+    def _propose_draft(self, context: List[int], k: int) -> List[int]:
+        return self._propose_drafts([context], k)[0]
 
     def _verify_impl(self, n_tok, params, cache, tokens, lengths_b,
                      table_rows, key, temps, top_ks, top_ps, draft_lens):
@@ -866,7 +883,7 @@ class InferenceEngine:
             <= self.speculation_max_table_tokens
         ):
             items = []
-            any_draft = False
+            want = []  # (items index, context, k): rows needing proposals
             for rid in rids:
                 req = self.scheduler.active.get(rid)
                 if req is None:
@@ -875,12 +892,25 @@ class InferenceEngine:
                     self.speculation_k,
                     req.max_new_tokens - req.generated - 1,
                 )
-                draft: List[int] = []
+                items.append((req, req.batch_slot, []))
                 if k > 0:
-                    context = req._prompt + self.outputs[req.req_id]
-                    draft = self._propose_draft(context, k)
-                any_draft = any_draft or bool(draft)
-                items.append((req, req.batch_slot, draft))
+                    want.append(
+                        (
+                            len(items) - 1,
+                            req._prompt + self.outputs[req.req_id],
+                            k,
+                        )
+                    )
+            if want:
+                # One batched proposal call for all rows (a draft model
+                # drafts every row in a single dispatch).
+                max_k = max(k for _, _, k in want)
+                proposals = self._propose_drafts(
+                    [c for _, c, _ in want], max_k
+                )
+                for (idx, _, k), d in zip(want, proposals):
+                    req, slot, _ = items[idx]
+                    items[idx] = (req, slot, d[:k])
             total_draft = sum(len(d) for _, _, d in items)
             # Engage when the draft mass beats what one fused burst step
             # would yield anyway: a lone short draft among many idle slots

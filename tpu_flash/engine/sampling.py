@@ -168,7 +168,12 @@ def speculative_sample(
     # its token must NOT be zeroed out of the distribution.
     k_eff = k if draft_len is None else draft_len
     p_row = probs[a]
-    rejected_tok = jnp.where(a < k_eff, draft[jnp.minimum(a, k - 1)], -1)
+    if k:
+        rejected_tok = jnp.where(
+            a < k_eff, draft[jnp.minimum(a, k - 1)], -1
+        )
+    else:  # empty draft: plain sample, nothing to reject
+        rejected_tok = jnp.int32(-1)
     p_adj = jnp.where(jnp.arange(vocab) == rejected_tok, 0.0, p_row)
     correction = jax.random.categorical(key_c, jnp.log(p_adj)).astype(
         jnp.int32

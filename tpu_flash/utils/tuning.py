@@ -43,6 +43,25 @@ def fwd_vmem_bytes(
     return 2 * (q + kv + o) + scores + scratch
 
 
+def bwd_vmem_bytes(
+    block_q: int, block_kv: int, head_dim: int, dtype=jnp.bfloat16
+) -> int:
+    """Rough VMEM footprint of one dKV backward cell (the heavier of the
+    two backward kernels): q/k/v/do blocks + lse/di residual tiles + dk/dv
+    outputs (2x pipeline buffers), plus the f32 p/dp/ds score temporaries
+    and the dk/dv f32 scratch."""
+    itm = _itemsize(dtype)
+    blocks = (
+        2 * block_q * head_dim * itm  # q, do
+        + 2 * block_kv * head_dim * itm  # k, v
+        + 2 * block_q * NUM_LANES * 4  # lse, di
+        + 2 * block_kv * head_dim * itm  # dk, dv outputs
+    )
+    scores = 3 * block_q * block_kv * 4  # p, dp, ds f32 temporaries
+    scratch = 2 * block_kv * head_dim * 4
+    return 2 * blocks + scores + scratch
+
+
 @functools.lru_cache(maxsize=None)
 def default_block_sizes(
     q_len: int,
@@ -87,18 +106,29 @@ def default_block_sizes(
         else:
             break  # minimum shapes; let the compiler complain if it must
 
+    # Backward tiles match the forward's (1024-capped): with the
+    # triangular grid, 1024 tiles beat 256 by 1.4x at 8K (BENCHLOG
+    # 2026-08-17 backward tile sweep) — small tiles were only ever a
+    # dead-cell mitigation. The backward cell is ~3x the forward's VMEM,
+    # so it gets its own feasibility shrink.
+    bwd_q, bwd_kv = block_q, block_kv_major
+    while (
+        bwd_vmem_bytes(bwd_q, bwd_kv, head_dim, dtype) > vmem_budget
+        and max(bwd_q, bwd_kv) > NUM_LANES
+    ):
+        if bwd_kv >= bwd_q:
+            bwd_kv //= 2
+        else:
+            bwd_q //= 2
+
     return BlockSizes(
         block_q=block_q,
         block_kv_major=block_kv_major,
         block_kv=block_kv,
-        # Backward tiles match the forward's (1024-capped): with the
-        # triangular grid, 1024 tiles beat 256 by 1.4x at 8K (BENCHLOG
-        # 2026-08-17 backward tile sweep) — small tiles were only ever a
-        # dead-cell mitigation.
-        block_q_dkv=block_q,
-        block_kv_dkv=block_kv_major,
-        block_q_dq=block_q,
-        block_kv_dq=block_kv_major,
+        block_q_dkv=bwd_q,
+        block_kv_dkv=bwd_kv,
+        block_q_dq=bwd_q,
+        block_kv_dq=bwd_kv,
         # Causal forward enumerates only active cells (measured: +5-7% at
         # 8K-32K from eliminating predicated dead cells, never worse;
         # BENCHLOG 2026-08-17). Non-causal calls ignore the flag.
