@@ -136,6 +136,25 @@ class TestShardedEngine:
         assert second.run() == expected
 
     @requires_8
+    def test_tp_speculation_matches_single_chip(self, model_and_params):
+        """Speculative decoding under the TP engine (batched verify runs
+        under shard_map) must emit exactly the single-chip stream."""
+        model, params = model_and_params
+        prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+        ref = InferenceEngine(model, params, _config(), interpret=True)
+        ref.speculation_k = 6
+        r1 = ref.submit(prompt, max_new_tokens=16)
+        expected = ref.run()[r1]
+        assert ref.speculation_stats()["proposed"] > 0  # spec engaged
+
+        eng = InferenceEngine(model, params, _config(), interpret=True,
+                              mesh=_tp_mesh(2))
+        eng.speculation_k = 6
+        r2 = eng.submit(prompt, max_new_tokens=16)
+        assert eng.run()[r2] == expected
+        assert eng.speculation_stats()["proposed"] > 0
+
+    @requires_8
     def test_indivisible_heads_rejected(self, model_and_params):
         model, params = model_and_params
         with pytest.raises(ValueError, match="divide"):
