@@ -1,0 +1,96 @@
+"""End-to-end serving example: the full tpu_flash stack in one file.
+
+Runs anywhere (CPU interpret mode without a TPU; real kernels on TPU):
+
+    PYTHONPATH=. python examples/serve.py
+
+Demonstrates: model init (or HF import), continuous-batching engine with
+a quantized paged KV cache, prefix caching, sampling + stop tokens,
+speculative decoding, per-token logprobs, engine snapshot/resume, and
+scale-out (tensor-parallel and data-parallel serving) when multiple
+devices are present.
+"""
+
+import tempfile
+
+import jax
+
+from tpu_flash.checkpoint import restore_engine, snapshot_engine
+from tpu_flash.core.config import CacheConfig, EngineConfig
+from tpu_flash.engine import DataParallelEngine
+from tpu_flash.engine.runner import InferenceEngine
+from tpu_flash.engine.sampling import SamplingParams
+from tpu_flash.models import FlashTransformer, ModelConfig
+
+
+def main():
+    # A small demo model; for real weights use
+    # tpu_flash.checkpoint.params_from_hf_llama(state_dict, config).
+    cfg = ModelConfig(
+        name="demo", vocab_size=512, hidden_size=256, num_layers=2,
+        num_q_heads=8, num_kv_heads=4, head_dim=128,
+        intermediate_size=512, dtype="float32",
+    )
+    model = FlashTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    engine_cfg = EngineConfig(
+        max_batch_size=4,
+        max_seq_len=512,
+        prefill_chunk=64,
+        # bf16 KV: quality-safe default. For long context switch to
+        # kv_dtype="int8"/"int4" with page_size 512-1024 (see CacheConfig).
+        cache=CacheConfig(
+            page_size=16, num_pages=256, max_pages_per_seq=16,
+            kv_dtype="bfloat16",
+        ),
+    )
+
+    engine = InferenceEngine(model, params, engine_cfg)
+
+    # Mixed workload: greedy, sampled, stop-token'd; the shared prefix is
+    # served from the prefix cache after the first request writes it.
+    system = [7, 7, 7, 7, 7, 7, 7, 7] * 4  # a shared "system prompt"
+    r1 = engine.submit(system + [1, 2, 3], max_new_tokens=12)
+    r2 = engine.submit(
+        system + [4, 5], max_new_tokens=12,
+        sampling=SamplingParams(temperature=0.8, top_p=0.9),
+    )
+    r3 = engine.submit([9, 8, 7, 9, 8, 7, 9, 8], max_new_tokens=12,
+                       stop_tokens=[0])
+    outputs = engine.run()
+    print("outputs:", {r: outputs[r] for r in (r1, r2, r3)})
+    print("logprobs[r1]:", [round(x, 3) for x in engine.logprobs[r1]])
+    print("prefix cache:", engine.prefix_stats())
+    print("speculation:", engine.speculation_stats())
+    print("metrics:", engine.metrics.summary())
+
+    # Snapshot / resume mid-serving.
+    r4 = engine.submit(system + [6], max_new_tokens=8)
+    engine.step()  # partially run it
+    with tempfile.TemporaryDirectory() as td:
+        snapshot_engine(td, engine)
+        resumed = InferenceEngine(model, params, engine_cfg)
+        restore_engine(td, resumed)
+        print("resumed outputs:", resumed.run()[r4])
+        resumed.close()
+    engine.close()
+
+    # Scale-out when devices allow: TP shards one engine over a "model"
+    # axis; DP runs independent replicas (optionally TP inside each).
+    n = jax.device_count()
+    if n >= 2:
+        dp = DataParallelEngine(
+            model, params, engine_cfg, replicas=2,
+            tp=2 if n >= 4 and cfg.num_kv_heads % 2 == 0 else 1,
+        )
+        rids = [dp.submit(system + [i], max_new_tokens=6) for i in range(4)]
+        outs = dp.run()
+        print(f"DP x TP ({dp.replicas} replicas, tp={dp.tp}):",
+              {r: outs[r] for r in rids})
+        print("DP stats:", dp.stats())
+        dp.close()
+
+
+if __name__ == "__main__":
+    main()

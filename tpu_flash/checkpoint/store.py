@@ -128,9 +128,16 @@ def snapshot_engine(path, engine) -> None:
     path.mkdir(parents=True, exist_ok=True)
     cache = engine.cache
 
+    def _np_save(x):
+        # np.savez writes ml_dtypes.bfloat16 as a raw void dtype ("|V2")
+        # that np.load can't hand back to JAX; store as f32 (lossless for
+        # bf16) — restore casts back to the engine's payload dtype.
+        a = np.asarray(x)
+        return a.astype(np.float32) if str(a.dtype) == "bfloat16" else a
+
     arrays = {
-        "k_pages": np.asarray(cache.k_pages),
-        "v_pages": np.asarray(cache.v_pages),
+        "k_pages": _np_save(cache.k_pages),
+        "v_pages": _np_save(cache.v_pages),
         "page_tables": np.asarray(engine.page_tables),
         "lengths": np.asarray(engine.lengths),
         "last_tokens": np.asarray(engine.last_tokens),
@@ -210,8 +217,12 @@ def restore_engine(path, engine) -> None:
 
     engine.cache = dataclasses.replace(
         engine.cache,
-        k_pages=jnp.asarray(data["k_pages"]),
-        v_pages=jnp.asarray(data["v_pages"]),
+        k_pages=jnp.asarray(data["k_pages"]).astype(
+            engine.cache.k_pages.dtype
+        ),
+        v_pages=jnp.asarray(data["v_pages"]).astype(
+            engine.cache.v_pages.dtype
+        ),
         k_scales=(
             jnp.asarray(data["k_scales"]) if engine.cache.quantized else None
         ),

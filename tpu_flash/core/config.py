@@ -98,7 +98,16 @@ class AttentionConfig:
 
 @dataclasses.dataclass(frozen=True)
 class CacheConfig:
-    """Paged KV-cache layout: page size, capacity, and quantization."""
+    """Paged KV-cache layout: page size, capacity, and quantization.
+
+    Measured v5e guidance (BENCHLOG.md): for production serving use
+    page_size 512-1024 (quantized caches) or ~1024 (bf16) — larger pages
+    cut per-page DMA issues; 128 is a fragmentation-friendly default for
+    short-context workloads. kv_dtype speed order at 8K ctx is
+    int4 > int8 > bfloat16 > float32 (int8-MXU decode path); bfloat16 is
+    the quality-safe default (zero quantization error), int8/int4 the
+    long-context memory levers.
+    """
 
     page_size: int = 128  # tokens per page; lane-aligned
     num_pages: int = 1024
