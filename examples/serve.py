@@ -49,8 +49,9 @@ def main():
     engine = InferenceEngine(model, params, engine_cfg)
 
     # Mixed workload: greedy, sampled, stop-token'd; the shared prefix is
-    # served from the prefix cache after the first request writes it.
-    system = [7, 7, 7, 7, 7, 7, 7, 7] * 4  # a shared "system prompt"
+    # served from the prefix cache after the first request writes it
+    # (matches land on the prefill_chunk grid, so share >= one chunk).
+    system = [7, 8, 9, 7, 8, 9, 7, 8] * 8  # a 64-token "system prompt"
     r1 = engine.submit(system + [1, 2, 3], max_new_tokens=12)
     r2 = engine.submit(
         system + [4, 5], max_new_tokens=12,

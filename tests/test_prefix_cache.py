@@ -188,6 +188,40 @@ class TestEnginePrefixCache:
         stats = eng.prefix_stats()
         assert stats["hits_tokens"] >= 16  # two full pages reused
 
+    def test_same_step_burst_shares_via_deferral(self, model_and_params):
+        """A burst of same-prefix requests submitted TOGETHER: the second
+        admission defers one step (scheduler._pending_prefix_tokens) until
+        the first prefill has indexed the shared pages, then admits with a
+        cache hit — the shared prefix prefills once, not once per
+        request."""
+        model, params = model_and_params
+        eng = _engine(model, params)
+        common = [7] * 32  # 4 pages / 2 prefill chunks of shared prefix
+        p1 = common + [1, 2, 3]
+        p2 = common + [4, 5]
+        r1 = eng.submit(p1, max_new_tokens=4)
+        r2 = eng.submit(p2, max_new_tokens=4)  # same step, no index yet
+        out = eng.run()
+        assert out[r1] == _oracle(model, params, p1, 4)
+        assert out[r2] == _oracle(model, params, p2, 4)
+        stats = eng.prefix_stats()
+        assert stats["hits_tokens"] >= 32, stats
+        # The shared pages were prefilled once: r2 skipped them entirely.
+        assert eng.metrics.prefill_tokens <= len(p1) + len(p2) - 32
+
+    def test_deferral_no_deadlock_on_divergent_prompts(
+        self, model_and_params
+    ):
+        """A waiting request that shares NO indexed-able prefix must admit
+        immediately; one sharing a prefix must eventually admit even if
+        the live prefill finishes first."""
+        model, params = model_and_params
+        eng = _engine(model, params)
+        r1 = eng.submit([7] * 32 + [1], max_new_tokens=2)
+        r2 = eng.submit([9, 8, 7, 6], max_new_tokens=2)  # divergent
+        out = eng.run()
+        assert len(out[r1]) == 2 and len(out[r2]) == 2
+
     def test_sequential_retention(self, model_and_params):
         """Second request arrives after the first finished — retention keeps
         the prefix pages alive for reuse."""

@@ -145,6 +145,15 @@ class Scheduler:
                 shared_pages, matched = self.prefix_index.match(
                     prompt, granularity=self.config.prefill_chunk
                 )
+                # Deferred same-prefix admission: if a LIVE prefill is
+                # about to index a longer shared prefix than what's cached
+                # now (its pages register incrementally per chunk), hold
+                # this request a step and admit it with the cache hit —
+                # a burst of same-system-prompt arrivals prefills the
+                # shared pages once instead of once per request. Progress
+                # is guaranteed: the live prefill advances every step.
+                if self._pending_prefix_tokens(prompt) > matched:
+                    break
             pages = self._pages_needed(req.prompt_len + req.max_new_tokens)
             n_new = pages - len(shared_pages)
             if shared_pages and not self.allocator.share(
@@ -206,6 +215,32 @@ class Scheduler:
             prefill=prefill, decode_slots=sorted(decode_slots),
             finished=finished,
         )
+
+    def _pending_prefix_tokens(self, prompt) -> int:
+        """Longest prefix of ``prompt`` (in full pages, rounded to the
+        prefill-chunk grid like :meth:`PrefixIndex.match`) that a request
+        currently in PREFILL will have indexed once its prefill completes.
+        Used to defer admission until the shared pages are reusable."""
+        ps = self._page_size
+        gran = self.config.prefill_chunk
+        usable = len(prompt) - 1  # match() always leaves >= 1 token
+        best = 0
+        for other in self.active.values():
+            if other.state is not RequestState.PREFILL:
+                continue
+            op = getattr(other, "_prompt", None)
+            if not op:
+                continue
+            limit = min(len(op), usable)
+            n = 0
+            while n < limit and op[n] == prompt[n]:
+                n += 1
+            n = (n // ps) * ps  # whole pages only
+            if gran > 1:
+                n -= n % gran
+                n -= n % ps
+            best = max(best, n)
+        return best
 
     def report_decoded(self, req_id: int, n: int = 1) -> None:
         """The runner reports n generated tokens for a request."""
