@@ -118,6 +118,35 @@ class TestEngineEndToEnd:
         assert (0, 64, 2) in engine._prefill_fns
         assert (64, 64, 2) in engine._prefill_fns
 
+    def test_mixed_stage_ragged_prefill_parity(self, model_and_params):
+        """Requests admitted at staggered steps reach DIFFERENT prefill
+        stages; their chunks must fuse into ONE ragged dispatch per step
+        (ops/flash/ragged.py) and still decode exactly what each request
+        decodes alone."""
+        model, params = model_and_params
+        key = jax.random.PRNGKey(21)
+        p1 = [int(x) for x in jax.random.randint(key, (150,), 0, 200)]
+        p2 = [int(x) for x in
+              jax.random.randint(jax.random.PRNGKey(22), (100,), 0, 200)]
+        expected = [
+            _oracle_generate(model, params, p, 3) for p in (p1, p2)
+        ]
+        cfg = EngineConfig(
+            max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+            cache=CacheConfig(
+                page_size=8, num_pages=64, max_pages_per_seq=32,
+            ),
+        )
+        engine = InferenceEngine(model, params, cfg, interpret=True)
+        r1 = engine.submit(p1, max_new_tokens=3)
+        engine.step()  # r1 prefills chunk [0, 64) alone
+        r2 = engine.submit(p2, max_new_tokens=3)
+        outputs = engine.run()  # next steps mix stages: r1@64+, r2@0+
+        assert outputs[r1] == expected[0]
+        assert outputs[r2] == expected[1]
+        # The mixed-stage steps really fused (ragged program compiled).
+        assert engine._ragged_fns, "expected a ragged prefill dispatch"
+
     def test_more_requests_than_slots(self, model_and_params):
         model, params = model_and_params
         engine = _engine(model, params, max_batch=2)

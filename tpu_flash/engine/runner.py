@@ -165,6 +165,10 @@ class InferenceEngine:
         self.max_decode_burst = 8
         self._decode_multi_fns: Dict[int, object] = {}
         self._prefill_fns: Dict[tuple, object] = {}
+        # Ragged (mixed-stage) prefill: chunks of requests at DIFFERENT
+        # prompt positions fuse into one dispatch (ops/flash/ragged.py);
+        # keyed on (hist_cap, token bucket, row bucket).
+        self._ragged_fns: Dict[tuple, object] = {}
         # Speculative decoding (prompt-lookup or draft-model proposals):
         # 0 disables. ALL active decode slots verify their drafts in ONE
         # batched forward over the paged cache (slots without a usable
@@ -288,8 +292,12 @@ class InferenceEngine:
             groups: Dict[int, list] = {}
             for chunk in plan.prefill:
                 groups.setdefault(chunk.start, []).append(chunk)
-            for start in sorted(groups):
-                self._run_prefill_group(groups[start])
+            if len(groups) > 1:
+                # Mixed stages: ONE ragged dispatch for every chunk this
+                # step instead of one program call per stage.
+                self._run_prefill_ragged(plan.prefill)
+            elif groups:
+                self._run_prefill_group(next(iter(groups.values())))
             n_decoded = 0
             if plan.decode_slots:
                 n_decoded = self._run_decode(plan.decode_slots)
@@ -434,6 +442,117 @@ class InferenceEngine:
             self.params, self.cache,
             jnp.asarray(tok_rows, jnp.int32),
             jnp.asarray(table_rs, jnp.int32),
+            jnp.asarray(n_valids, jnp.int32),
+        )
+        if self.health_config.check_numerics:
+            watchdog_check(
+                self.health, self._fetcher.fetch(finite),
+                phase="prefill", request_ids=[c.req_id for c in chunks],
+            )
+        for i, c in enumerate(chunks):
+            self._finish_prefill_chunk(
+                self.scheduler.active[c.req_id], c,
+                jnp.asarray(table_rs[i], jnp.int32), tables[i],
+                last_logits[i],
+            )
+
+    def _ragged_prefill_impl(self, hist_cap, params, cache, tokens,
+                             table_rows, starts, n_valids):
+        """A BATCH of prefill chunks at DIFFERENT stages in one dispatch:
+        row b's tokens sit at absolute positions [starts[b],
+        starts[b] + n_valids[b]) of its own sequence. Every row's history
+        gathers to the static ``hist_cap`` (dead columns masked inside the
+        ragged kernel via the per-row offset), the chunk's K/V append into
+        the row's pages, and attention runs through
+        ops/flash/ragged.flash_attention_ragged — the mixed-stage
+        generalization of _chunked_prefill_impl. Same layer math: the
+        model's own ``forward`` with kv_hook + attention_fn seams."""
+        from tpu_flash.ops.flash import flash_attention_ragged
+
+        ps = self.config.cache.page_size
+        b, bucket = tokens.shape
+        rel = jnp.arange(bucket)
+        positions = starts[:, None] + rel[None, :]  # [B, bucket]
+        valid = rel[None, :] < n_valids[:, None]
+        page_ids = jnp.where(
+            valid,
+            jnp.take_along_axis(table_rows, positions // ps, axis=1),
+            self.trash_page,
+        )
+        offsets = positions % ps
+        cache_cell = [cache]
+
+        def kv_hook(li, k, v):
+            hk, hv = self._gather_history(
+                cache_cell[0], li, table_rows, hist_cap
+            )
+            k_all = jnp.concatenate([hk, k.astype(hk.dtype)], axis=2)
+            v_all = jnp.concatenate([hv, v.astype(hv.dtype)], axis=2)
+            hkv, d = k.shape[1], k.shape[3]
+            cache_cell[0] = cache_cell[0].append(
+                li,
+                k.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
+                v.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
+                page_ids.reshape(-1), offsets.reshape(-1),
+            )
+            return k_all, v_all
+
+        def attention_fn(q, k, v):
+            return flash_attention_ragged(
+                q, k, v, starts, hist_cap=hist_cap,
+                interpret=self.interpret,
+            )
+
+        logits = self.model.forward(
+            params, tokens, interpret=self.interpret, kv_hook=kv_hook,
+            tp_axis=self._tp_axis, positions=positions,
+            attention_fn=attention_fn,
+        )
+        last = logits[jnp.arange(b), n_valids - 1]  # [B, vocab]
+        finite = jnp.all(jnp.isfinite(logits))
+        return cache_cell[0], last, finite
+
+    def _run_prefill_ragged(self, chunks) -> None:
+        """Fuse prefill chunks at MIXED stages into one program call.
+
+        Histories pad to the power-of-two bucket of the deepest stage
+        (bounding compiled variants); each row's live-history length rides
+        in as a runtime array, so one executable serves any stage mix."""
+        bucket = _pow2_bucket(max(max(c.length for c in chunks), 8))
+        bb = _pow2_bucket(len(chunks), lo=1)
+        pps = self.config.cache.max_pages_per_seq
+        ps = self.config.cache.page_size
+        hist_cap = min(
+            _pow2_bucket(max(c.start for c in chunks),
+                         lo=max(self.config.prefill_chunk, 8)),
+            pps * ps,
+        )
+        key = (hist_cap, bucket, bb)
+        if key not in self._ragged_fns:
+            self._ragged_fns[key] = self._jit_impl(
+                functools.partial(self._ragged_prefill_impl, hist_cap),
+                "pcrrrr", "crr", donate=(1,),
+            )
+        tok_rows, table_rs, starts, n_valids, tables = [], [], [], [], []
+        for c in chunks:
+            req = self.scheduler.active[c.req_id]
+            toks = req._prompt[c.start : c.start + c.length]
+            tok_rows.append(toks + [0] * (bucket - c.length))
+            table = self.scheduler.page_table(c.req_id)
+            tables.append(table)
+            table_rs.append(table + [self.trash_page] * (pps - len(table)))
+            starts.append(c.start)
+            n_valids.append(c.length)
+        for _ in range(bb - len(chunks)):
+            tok_rows.append([0] * bucket)
+            table_rs.append([self.trash_page] * pps)
+            starts.append(0)
+            n_valids.append(1)
+        self.cache, last_logits, finite = self._ragged_fns[key](
+            self.params, self.cache,
+            jnp.asarray(tok_rows, jnp.int32),
+            jnp.asarray(table_rs, jnp.int32),
+            jnp.asarray(starts, jnp.int32),
             jnp.asarray(n_valids, jnp.int32),
         )
         if self.health_config.check_numerics:

@@ -5,11 +5,13 @@ from tpu_flash.ops.flash.quantized import (
     flash_attention_quantized,
     quantize_attention_inputs,
 )
+from tpu_flash.ops.flash.ragged import flash_attention_ragged
 
 __all__ = [
     "QuantizedAttentionInputs",
     "dequantize_attention_inputs",
     "flash_attention",
     "flash_attention_quantized",
+    "flash_attention_ragged",
     "quantize_attention_inputs",
 ]
