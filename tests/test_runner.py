@@ -147,6 +147,37 @@ class TestEngineEndToEnd:
         # The mixed-stage steps really fused (ragged program compiled).
         assert engine._ragged_fns, "expected a ragged prefill dispatch"
 
+    @pytest.mark.parametrize("kv_dtype", ["float32", "int4"])
+    def test_paged_prefill_matches_gather_path(
+        self, model_and_params, kv_dtype
+    ):
+        """The in-kernel paged-history prefill (default) and the
+        gather-to-dense fallback must emit identical tokens, for fp and
+        quantized caches, including mixed-stage (ragged) steps."""
+        model, params = model_and_params
+        p1 = [int(x) for x in
+              jax.random.randint(jax.random.PRNGKey(31), (150,), 0, 200)]
+        p2 = [int(x) for x in
+              jax.random.randint(jax.random.PRNGKey(32), (90,), 0, 200)]
+
+        def run(paged):
+            cfg = EngineConfig(
+                max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+                paged_prefill=paged,
+                cache=CacheConfig(
+                    page_size=8, num_pages=64, max_pages_per_seq=32,
+                    kv_dtype=kv_dtype,
+                ),
+            )
+            eng = InferenceEngine(model, params, cfg, interpret=True)
+            r1 = eng.submit(p1, max_new_tokens=3)
+            eng.step()  # stagger: forces a ragged (mixed-stage) step too
+            r2 = eng.submit(p2, max_new_tokens=3)
+            outs = eng.run()
+            return outs[r1], outs[r2]
+
+        assert run(True) == run(False)
+
     def test_more_requests_than_slots(self, model_and_params):
         model, params = model_and_params
         engine = _engine(model, params, max_batch=2)

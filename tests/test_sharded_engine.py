@@ -74,6 +74,30 @@ class TestShardedEngine:
         assert eng.run()[r2] == expected
 
     @requires_8
+    def test_tp_mixed_stage_ragged_prefill(self, model_and_params):
+        """Staggered arrivals under TP: mixed-stage chunks fuse through the
+        ragged kernel inside shard_map and match the single-chip engine."""
+        model, params = model_and_params
+        p1 = [int(x) for x in
+              jax.random.randint(jax.random.PRNGKey(6), (40,), 0, 200)]
+        p2 = [int(x) for x in
+              jax.random.randint(jax.random.PRNGKey(7), (30,), 0, 200)]
+
+        def staggered(mesh):
+            eng = InferenceEngine(model, params, _config(), interpret=True,
+                                  mesh=mesh)
+            r1 = eng.submit(p1, max_new_tokens=3)
+            eng.step()  # p1 reaches stage 16 alone (prefill_chunk=16)
+            r2 = eng.submit(p2, max_new_tokens=3)
+            outs = eng.run()
+            return outs[r1], outs[r2], bool(eng._ragged_fns)
+
+        ref1, ref2, ref_ragged = staggered(None)
+        tp1, tp2, tp_ragged = staggered(_tp_mesh(2))
+        assert ref_ragged and tp_ragged, "ragged path not exercised"
+        assert (tp1, tp2) == (ref1, ref2)
+
+    @requires_8
     def test_tp_cache_actually_sharded(self, model_and_params):
         model, params = model_and_params
         mesh = _tp_mesh(2)

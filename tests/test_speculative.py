@@ -159,6 +159,33 @@ class TestSpeculativeDecoding:
             assert out[rid] == exp
         assert eng.speculation_stats()["proposed"] > 0
 
+    @pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+    def test_paged_verify_matches_gather_verify(
+        self, model_and_params, kv_dtype
+    ):
+        """The in-kernel paged verify sweep (default) and the dense
+        whole-table-gather verify must emit identical token streams."""
+        model, params = model_and_params
+        prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+
+        def run(paged):
+            cfg = EngineConfig(
+                max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+                paged_prefill=paged,
+                cache=CacheConfig(
+                    page_size=8, num_pages=64, max_pages_per_seq=16,
+                    kv_dtype=kv_dtype,
+                ),
+            )
+            eng = InferenceEngine(model, params, cfg, interpret=True)
+            eng.speculation_k = 8
+            rid = eng.submit(prompt, max_new_tokens=20)
+            out = eng.run()[rid]
+            assert eng.speculation_stats()["proposed"] > 0
+            return out
+
+        assert run(True) == run(False)
+
     def test_draft_model_speculation_exact(self, model_and_params):
         """Draft-model speculation: a separate small model proposes; the
         output stream must still be exactly the non-speculative one. With

@@ -146,11 +146,33 @@ class EngineConfig:
     cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
     health: Optional[object] = None  # engine.health.HealthConfig
     prefix_cache: bool = True  # reuse full prompt-prefix pages (engine/prefix.py)
+    # Prefill chunks attend their paged history IN-KERNEL
+    # (ops/flash/paged_prefill.py): each history page is read once,
+    # instead of gather-to-dense (3x the history bytes) + dense flash.
+    # Speculative verify rides the same kernel (draft rows = a tiny
+    # chunk at per-row dynamic offsets), replacing the whole-table
+    # dense gather + f32 einsum.
+    #
+    # "auto" (default): in-kernel paged for QUANTIZED caches (measured
+    # at parity-or-better with gather on v5e, and it skips the dense
+    # dequantized intermediate) and for speculative verify on any cache
+    # dtype (the gather alternative reads the WHOLE table per layer);
+    # fp caches keep the gather prefill path (the bf16 paged sweep
+    # measured slower than gather+dense-flash — BENCHLOG 2026-08-17).
+    # True forces the paged kernel everywhere it applies; False forces
+    # gather everywhere. Prefill falls back to gather when the chunk
+    # stage is not page-aligned regardless.
+    paged_prefill: object = "auto"  # "auto" | True | False
 
     def __post_init__(self):
         _check_pos("max_batch_size", self.max_batch_size)
         _check_pos("max_seq_len", self.max_seq_len)
         _check_pos("prefill_chunk", self.prefill_chunk)
+        if self.paged_prefill not in ("auto", True, False):
+            raise ValueError(
+                f"paged_prefill must be 'auto', True or False, got "
+                f"{self.paged_prefill!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -311,6 +311,19 @@ class InferenceEngine:
 
     # -- prefill ---------------------------------------------------------------
 
+    def _paged_enabled(self, verify: bool = False) -> bool:
+        """Resolve config.paged_prefill ("auto" | True | False) for a
+        dispatch site. "auto": quantized caches use the in-kernel paged
+        sweep (measured parity-or-better vs gather+dequant on v5e, and no
+        dense dequantized intermediate); speculative verify uses it on any
+        cache dtype (the alternative gathers the WHOLE page table per
+        layer); fp prefill keeps gather+dense-flash (BENCHLOG 2026-08-17:
+        the bf16 paged sweep measured slower)."""
+        mode = self.config.paged_prefill
+        if mode == "auto":
+            return verify or self.config.cache.quantized
+        return bool(mode)
+
     def _gather_history(self, cache, layer: int, table_rows, hist_len: int):
         """Dense (dequantized) K/V of the first ``hist_len`` cached tokens
         of a batch of sequences (``table_rows`` [B, pps]) — exactly the
@@ -375,9 +388,15 @@ class InferenceEngine:
         )
         offsets = jnp.broadcast_to(positions % ps, (b, bucket))
         cache_cell = [cache]
+        li_cell = [0]
+        # In-kernel paged history (each page read once) when the stage is
+        # page-aligned; otherwise gather-to-dense (3x the history bytes).
+        use_paged = (
+            self._paged_enabled() and hist_len > 0 and hist_len % ps == 0
+        )
 
         def kv_hook(li, k, v):
-            if hist_len:
+            if hist_len and not use_paged:
                 hk, hv = self._gather_history(
                     cache_cell[0], li, table_rows, hist_len
                 )
@@ -392,11 +411,28 @@ class InferenceEngine:
                 v.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
                 page_ids.reshape(-1), offsets.reshape(-1),
             )
+            li_cell[0] = li
             return k_all, v_all
+
+        attention_fn = None
+        if use_paged:
+            from tpu_flash.ops.flash import paged_prefill_attention
+
+            starts_b = jnp.full((b,), hist_len, jnp.int32)
+
+            def attention_fn(q, k, v):
+                # k/v here are the CHUNK's own tensors (the hook appended
+                # them to the pages already; history stays paged).
+                kp, vp = cache_cell[0].layer_view(li_cell[0])
+                return paged_prefill_attention(
+                    q, k, v, kp, vp, starts_b, table_rows,
+                    hist_cap=hist_len, interpret=self.interpret,
+                )
 
         logits = self.model.forward(
             params, tokens, q_offset=hist_len, interpret=self.interpret,
             kv_hook=kv_hook, tp_axis=self._tp_axis,
+            attention_fn=attention_fn,
         )
         last = logits[jnp.arange(b), n_valids - 1]  # [B, vocab]
         # NaN-watchdog flag: fused into the step, fetched with its results
@@ -467,7 +503,10 @@ class InferenceEngine:
         ops/flash/ragged.flash_attention_ragged — the mixed-stage
         generalization of _chunked_prefill_impl. Same layer math: the
         model's own ``forward`` with kv_hook + attention_fn seams."""
-        from tpu_flash.ops.flash import flash_attention_ragged
+        from tpu_flash.ops.flash import (
+            flash_attention_ragged,
+            paged_prefill_attention,
+        )
 
         ps = self.config.cache.page_size
         b, bucket = tokens.shape
@@ -481,13 +520,18 @@ class InferenceEngine:
         )
         offsets = positions % ps
         cache_cell = [cache]
+        li_cell = [0]
+        use_paged = self._paged_enabled() and hist_cap % ps == 0
 
         def kv_hook(li, k, v):
-            hk, hv = self._gather_history(
-                cache_cell[0], li, table_rows, hist_cap
-            )
-            k_all = jnp.concatenate([hk, k.astype(hk.dtype)], axis=2)
-            v_all = jnp.concatenate([hv, v.astype(hv.dtype)], axis=2)
+            if use_paged:
+                k_all, v_all = k, v  # history stays paged
+            else:
+                hk, hv = self._gather_history(
+                    cache_cell[0], li, table_rows, hist_cap
+                )
+                k_all = jnp.concatenate([hk, k.astype(hk.dtype)], axis=2)
+                v_all = jnp.concatenate([hv, v.astype(hv.dtype)], axis=2)
             hkv, d = k.shape[1], k.shape[3]
             cache_cell[0] = cache_cell[0].append(
                 li,
@@ -495,13 +539,29 @@ class InferenceEngine:
                 v.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
                 page_ids.reshape(-1), offsets.reshape(-1),
             )
+            li_cell[0] = li
             return k_all, v_all
 
-        def attention_fn(q, k, v):
-            return flash_attention_ragged(
-                q, k, v, starts, hist_cap=hist_cap,
-                interpret=self.interpret,
-            )
+        if use_paged:
+
+            def attention_fn(q, k, v):
+                # Mixed stages in one in-kernel paged sweep: per-row
+                # offsets bound each row's history read; rows whose chunk
+                # K/V were just appended below their hist_cap are masked
+                # by the same offsets.
+                kp, vp = cache_cell[0].layer_view(li_cell[0])
+                return paged_prefill_attention(
+                    q, k, v, kp, vp, starts, table_rows,
+                    hist_cap=hist_cap, interpret=self.interpret,
+                )
+
+        else:
+
+            def attention_fn(q, k, v):
+                return flash_attention_ragged(
+                    q, k, v, starts, hist_cap=hist_cap,
+                    interpret=self.interpret,
+                )
 
         logits = self.model.forward(
             params, tokens, interpret=self.interpret, kv_hook=kv_hook,
@@ -803,6 +863,8 @@ class InferenceEngine:
         lengths and overwritten when their positions are legitimately
         reached). Returns (cache, emit [B, n_tok], n_emit [B],
         logps [B, n_tok], finite)."""
+        from tpu_flash.ops.flash import paged_prefill_attention
+
         ps = self.config.cache.page_size
         pps = self.config.cache.max_pages_per_seq
         hist_full = pps * ps
@@ -812,6 +874,13 @@ class InferenceEngine:
         page_ids = jnp.take_along_axis(table_rows, positions // ps, axis=1)
         offsets = positions % ps
         cache_cell = [cache]
+        li_cell = [0]
+        # The draft rows are a tiny "prefill chunk" at per-row dynamic
+        # offsets — exactly the paged-prefill kernel's contract. It reads
+        # each row's live history pages once (skipping trash/padding rows,
+        # offs = 0) instead of gathering the WHOLE table densely and
+        # attending it with a head-replicated f32 einsum.
+        use_paged = self._paged_enabled(verify=True)
 
         def kv_hook(li, k, v):
             hkv, d = k.shape[1], k.shape[3]
@@ -821,33 +890,50 @@ class InferenceEngine:
                 v.transpose(0, 2, 1, 3).reshape(b * n_tok, hkv, d),
                 page_ids.reshape(-1), offsets.reshape(-1),
             )
+            li_cell[0] = li
+            if use_paged:
+                return k, v  # history stays paged
             # Whole-table dense gather (static shape); the dynamic-length
             # mask lives in attention_fn.
             return self._gather_history(
                 cache_cell[0], li, table_rows, hist_full
             )
 
-        def attention_fn(q, k, v):
-            # Exact attention with the per-row dynamic-offset causal mask
-            # the static-q_offset flash kernel can't express. q
-            # [B,hq,n_tok,d]; k/v [B,hkv,hist_full,d]. Compute is
-            # O(B * n_tok * ctx) — decode-class, negligible; the HBM sweep
-            # is the point (n_tok tokens verified per pass over the KV).
-            rep = q.shape[1] // k.shape[1]
-            kf = jnp.repeat(k.astype(jnp.float32), rep, axis=1)
-            vf = jnp.repeat(v.astype(jnp.float32), rep, axis=1)
-            scale = self.model.config.head_dim**-0.5
-            s_ = (
-                jnp.einsum(
-                    "bhqd,bhkd->bhqk", q.astype(jnp.float32), kf
+        if use_paged:
+
+            def attention_fn(q, k, v):
+                # k/v are the draft rows' own K/V (already appended to the
+                # pages above; the offs mask keeps them out of the history
+                # sweep — they're attended via the dense chunk input).
+                kp, vp = cache_cell[0].layer_view(li_cell[0])
+                return paged_prefill_attention(
+                    q, k, v, kp, vp, lengths_b, table_rows,
+                    hist_cap=hist_full, interpret=self.interpret,
                 )
-                * scale
-            )
-            key_pos = jnp.arange(hist_full)[None, None, None, :]
-            allow = key_pos <= positions[:, None, :, None]
-            s_ = jnp.where(allow, s_, -1e30)
-            w = jax.nn.softmax(s_, axis=-1)
-            return jnp.einsum("bhqk,bhkd->bhqd", w, vf).astype(q.dtype)
+
+        else:
+
+            def attention_fn(q, k, v):
+                # Exact attention with the per-row dynamic-offset causal
+                # mask. q [B,hq,n_tok,d]; k/v [B,hkv,hist_full,d]. Compute
+                # is O(B * n_tok * ctx) — decode-class, negligible; the
+                # HBM sweep is the point (n_tok tokens verified per pass
+                # over the KV).
+                rep = q.shape[1] // k.shape[1]
+                kf = jnp.repeat(k.astype(jnp.float32), rep, axis=1)
+                vf = jnp.repeat(v.astype(jnp.float32), rep, axis=1)
+                scale = self.model.config.head_dim**-0.5
+                s_ = (
+                    jnp.einsum(
+                        "bhqd,bhkd->bhqk", q.astype(jnp.float32), kf
+                    )
+                    * scale
+                )
+                key_pos = jnp.arange(hist_full)[None, None, None, :]
+                allow = key_pos <= positions[:, None, :, None]
+                s_ = jnp.where(allow, s_, -1e30)
+                w = jax.nn.softmax(s_, axis=-1)
+                return jnp.einsum("bhqk,bhkd->bhqd", w, vf).astype(q.dtype)
 
         logits = self.model.forward(
             params, tokens, interpret=self.interpret, kv_hook=kv_hook,

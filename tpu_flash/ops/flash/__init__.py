@@ -5,9 +5,11 @@ from tpu_flash.ops.flash.quantized import (
     flash_attention_quantized,
     quantize_attention_inputs,
 )
+from tpu_flash.ops.flash.paged_prefill import paged_prefill_attention
 from tpu_flash.ops.flash.ragged import flash_attention_ragged
 
 __all__ = [
+    "paged_prefill_attention",
     "QuantizedAttentionInputs",
     "dequantize_attention_inputs",
     "flash_attention",

@@ -1,0 +1,472 @@
+"""Prefill attention directly over the paged KV cache.
+
+A prefill chunk's queries attend [its sequence's cached history | the
+chunk itself]. The engine's original path materialized the history densely
+per layer per chunk (XLA gather: read pages -> write dense -> the flash
+kernel reads the dense copy = 3x the history bytes); this kernel reads
+each history page exactly ONCE, streaming pages HBM->VMEM with explicit
+``pltpu.make_async_copy`` DMAs (the decode kernel's page pipeline,
+ops/decode/paged.py, generalized to block_q>1 queries) and taking the
+chunk's own K/V as a dense input. Per-row dynamic history lengths ride in
+as scalar prefetch, so one program serves same-stage AND mixed-stage
+(ragged) chunk batches; history blocks that a row doesn't need are
+neither fetched (the DMA is inside the predicate) nor computed.
+
+Two structural choices match the decode kernel (measured on v5e — the
+per-q-head variant lost to gather-to-dense 833 vs 630 us/chunk at 8K
+history, BENCHLOG 2026-08-17):
+
+* **GQA folding** — the row grid is (batch x KV heads); all ``q_per_kv``
+  query heads of a KV head stack into one [q_per_kv * block_q, d] tile,
+  so a history page crosses HBM once per KV head, not once per Q head
+  (4x traffic on Llama GQA), and the MXU sees 4x-taller matmuls.
+* **Cross-block double buffering** — each history block's DMA is issued
+  one block ahead into the alternate buffer slot (the decode kernel's
+  stateless slot-parity scheme), overlapping page streaming with the
+  previous block's compute instead of start->wait serialization.
+
+This closes SURVEY.md §7 "hard part #2" (paged gather on TPU) for the
+prefill path: the reference streams dense K/V tiles with loader warps
+(loaders.cuh:114-203); here the streamed tiles are dynamically-indexed
+quantized cache pages.
+
+Toolchain constraints honored (BENCHLOG 2026-08-17): 3-D grid with
+(batch, kv-head) fused, pure-lookup index maps, all-"arbitrary" dimension
+semantics (prefetched-scalar-dependent masking + "parallel" semantics
+sends the Mosaic compile into a >10 min slow path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.core.reference import DEFAULT_MASK_VALUE
+from tpu_flash.ops.decode.paged import _MultiPageCopy
+from tpu_flash.ops.quant.quantize import QuantizedTensor, _unpack_int4_tokens
+
+NUM_LANES = 128
+TRANS_B_DIM_NUMBERS = (((1,), (1,)), ((), ()))
+
+
+def _paged_prefill_kernel(
+    # scalar prefetch
+    offs_ref,  # [BKV] per-row history length
+    bmap_ref,  # [BKV] batch index of the row
+    khead_ref,  # [BKV] kv-head index within the pages array
+    tables_ref,  # [B, pages_per_seq] page table
+    cmap_ref,  # [n_kv_steps] chunk-walk map (consumed by index maps only)
+    # inputs
+    q_ref,  # [1, q_per_kv * block_q, d] stacked per-head chunk-block tiles
+    ck_ref,  # [1, block_q, d] chunk K tile
+    cv_ref,  # [1, block_q, d] chunk V tile
+    k_pages_hbm,  # ANY [hkv, num_pages, page_rows, payload_d]
+    k_scales_hbm,  # ANY [hkv, num_pages, 1, page_size] or None
+    v_pages_hbm,  # ANY
+    v_scales_hbm,  # ANY or None
+    # outputs
+    o_ref,  # [1, q_per_kv * block_q, d]
+    # scratch
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    k_buf,  # VMEM [2, ppb, page_rows, payload_d]
+    k_scale_buf,  # VMEM [2, 1, bk_hist] or None
+    v_buf,
+    v_scale_buf,
+    k_sem,
+    k_scale_sem,
+    v_sem,
+    v_scale_sem,
+    *,
+    sm_scale: float,
+    kv_quant: Optional[str],
+    q_per_kv: int,
+    pages_per_block: int,
+    pages_per_seq: int,
+    page_size: int,
+    num_hist_blocks: int,
+    num_chunk_blocks: int,
+    scales_on: bool,
+):
+    rows = q_ref.shape[1]  # q_per_kv * block_q
+    block_q = rows // q_per_kv
+    head_dim = q_ref.shape[2]
+    bk = pages_per_block * page_size
+    bh_total = pl.num_programs(0)
+    bh = pl.program_id(0)
+    q_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
+    offs = offs_ref[bh]
+    b = bmap_ref[bh]
+    h = khead_ref[bh]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    is_bf16 = q_ref.dtype == jnp.bfloat16
+    precision = (
+        jax.lax.Precision.DEFAULT if is_bf16 else jax.lax.Precision.HIGHEST
+    )
+
+    def make_copy(pages, scales, buf, sbuf, sem, ssem, bb, hh, block_idx,
+                  slot):
+        return _MultiPageCopy(
+            pages, scales if scales_on else None, buf,
+            sbuf if scales_on else None, sem, ssem if scales_on else None,
+            tables_ref, bb, hh, block_idx, slot,
+            pages_per_block=pages_per_block, pages_per_seq=pages_per_seq,
+            page_size=page_size,
+        )
+
+    def start_both(bb, hh, block_idx, slot):
+        make_copy(
+            k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
+            k_scale_sem, bb, hh, block_idx, slot,
+        ).start()
+        make_copy(
+            v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
+            v_scale_sem, bb, hh, block_idx, slot,
+        ).start()
+
+    def n_active(row):
+        # History blocks row `row` actually reads (0 when offs == 0).
+        return pl.cdiv(offs_ref[row], bk)
+
+    def dequant(raw, scale_row):
+        # raw [ppb, page_rows, payload_d] -> [bk, d] in q dtype, matching
+        # the engine's gather path bit-for-bit (dequantize to the model
+        # dtype, then the usual matmul).
+        if kv_quant == "int4":
+            raw = _unpack_int4_tokens(raw)
+        tile = raw.reshape(bk, head_dim)
+        if kv_quant is not None:
+            tile = tile.astype(jnp.float32) * scale_row.reshape(bk, 1)
+            return tile.astype(q_ref.dtype)
+        return tile  # bf16/f32 pages feed the MXU natively
+
+    def softmax_update(s, v_tile):
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scratch[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        pv = jax.lax.dot(
+            p.astype(v_tile.dtype), v_tile,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    q = q_ref[0]
+    if sm_scale != 1.0:
+        q = q * sm_scale
+
+    is_hist = kv_idx < num_hist_blocks
+
+    @pl.when(jnp.logical_and(is_hist, kv_idx * bk < offs))
+    def _hist_block():
+        # --- double-buffer pipeline (decode-kernel slot-parity scheme) ---
+        # DMA cells = active history cells, walked in grid order
+        # (bh, q_idx, kv_idx). Slot parity is the count of DMA cells
+        # before this one, recomputed statelessly.
+        def count_rows_before(_row, acc):
+            return acc + jnp.where(
+                _row < bh, n_active(_row) * num_chunk_blocks, 0
+            )
+
+        cells_before = (
+            jax.lax.fori_loop(0, bh_total, count_rows_before, 0)
+            + q_idx * n_active(bh)
+            + kv_idx
+        )
+        slot = jax.lax.rem(cells_before, 2)
+
+        @pl.when(cells_before == 0)
+        def _prime_first():
+            start_both(b, h, kv_idx, 0)
+
+        # Next DMA cell after (bh, q_idx, kv_idx): the following active
+        # history block of this row/q-block, else this row's next q block
+        # (restarting at history block 0), else the first active history
+        # block of the next row with any history.
+        na = n_active(bh)
+        roll_q = kv_idx + 1 >= na
+        nkv = jnp.where(roll_q, 0, kv_idx + 1)
+        nqi = jnp.where(roll_q, q_idx + 1, q_idx)
+        roll_row = nqi >= num_chunk_blocks
+
+        def next_row_with_hist(_row, acc):
+            take = jnp.logical_and(
+                acc == bh_total,
+                jnp.logical_and(_row > bh, n_active(_row) > 0),
+            )
+            return jnp.where(take, _row, acc)
+
+        nrow = jax.lax.fori_loop(0, bh_total, next_row_with_hist, bh_total)
+        nbh = jnp.where(roll_row, nrow, bh)
+        nqi = jnp.where(roll_row, 0, nqi)
+
+        @pl.when(nbh < bh_total)
+        def _prefetch_next():
+            start_both(
+                bmap_ref[nbh], khead_ref[nbh], nkv, 1 - slot
+            )
+
+        # --- wait + compute ---
+        make_copy(
+            k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
+            k_scale_sem, b, h, kv_idx, slot,
+        ).wait()
+        k_tile = dequant(
+            k_buf[slot], k_scale_buf[slot] if scales_on else None
+        )
+        s = jax.lax.dot_general(
+            q, k_tile, TRANS_B_DIM_NUMBERS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
+        s = jnp.where(col + kv_idx * bk < offs, s, DEFAULT_MASK_VALUE)
+        make_copy(
+            v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
+            v_scale_sem, b, h, kv_idx, slot,
+        ).wait()
+        v_tile = dequant(
+            v_buf[slot], v_scale_buf[slot] if scales_on else None
+        )
+        softmax_update(s, v_tile)
+
+    c_idx = kv_idx - num_hist_blocks  # chunk block index when >= 0
+
+    @pl.when(jnp.logical_and(kv_idx >= num_hist_blocks, c_idx <= q_idx))
+    def _chunk_block():
+        k_tile = ck_ref[0]
+        s = jax.lax.dot_general(
+            q, k_tile, TRANS_B_DIM_NUMBERS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # Row r of the stacked tile is query position
+        # q_idx * block_q + (r % block_q) of head r // block_q.
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_q), 1)
+        row_in_blk = jax.lax.broadcasted_iota(
+            jnp.int32, (q_per_kv, block_q, block_q), 1
+        ).reshape(rows, block_q)
+        mask = (col - row_in_blk) <= (q_idx - c_idx) * block_q
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        softmax_update(s, cv_ref[0])
+
+    @pl.when(kv_idx == num_hist_blocks + q_idx)
+    def _epilogue():
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def paged_prefill_attention(
+    q: jax.Array,  # [B, hq, q_len, d] chunk queries
+    chunk_k: jax.Array,  # [B, hkv, q_len, d] the chunk's own K (dense)
+    chunk_v: jax.Array,
+    k_pages,  # jax.Array or QuantizedTensor (one layer's pages)
+    v_pages,
+    q_offsets: jax.Array,  # [B] per-row history length (<= hist_cap)
+    page_tables: jax.Array,  # [B, pages_per_seq] int32
+    *,
+    hist_cap: int,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    pages_per_compute_block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Chunk attention over [paged history | dense chunk].
+
+    Equivalent, per row ``b``, to causal attention of the chunk at
+    q_offset=q_offsets[b] over that row's first q_offsets[b] cached
+    tokens (dequantized exactly as the decode kernel reads them) plus the
+    chunk itself. ``hist_cap`` (static) bounds the history sweep; rows
+    read only ceil(q_offsets[b]/block) history blocks.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, num_q_heads, q_len, head_dim = q.shape
+    num_kv_heads = chunk_k.shape[1]
+    q_per_kv = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    # head_dim should be lane-aligned (128) on hardware — pages carry the
+    # cache's native d, so it cannot be padded here. Interpret mode (and
+    # the engine's tiny test models) runs at any d.
+
+    kv_quant = None
+    k_scales = v_scales = None
+    if isinstance(k_pages, QuantizedTensor):
+        kv_quant = k_pages.dtype_name
+        if kv_quant not in ("int8", "int4"):
+            raise ValueError(f"unsupported KV quant {kv_quant!r}")
+        k_vals, k_scales = k_pages.values, k_pages.scales
+        v_vals, v_scales = v_pages.values, v_pages.scales
+        k_scales = k_scales.squeeze(-1)[:, :, None, :]
+        v_scales = v_scales.squeeze(-1)[:, :, None, :]
+    else:
+        k_vals, v_vals = k_pages, v_pages
+
+    _, num_pages, page_rows, payload_d = k_vals.shape
+    page_size = page_rows * 2 if kv_quant == "int4" else page_rows
+    pages_per_seq = page_tables.shape[1]
+    if hist_cap % page_size:
+        raise ValueError(f"hist_cap {hist_cap} % page_size {page_size} != 0")
+    hist_pages = hist_cap // page_size
+    if hist_pages > pages_per_seq:
+        raise ValueError("hist_cap exceeds the page table")
+
+    if pages_per_compute_block is None:
+        target = 2048 // page_size
+        ppb = max(1, min(target, hist_pages))
+    else:
+        ppb = min(pages_per_compute_block, hist_pages)
+    while hist_pages % ppb:
+        ppb -= 1
+    num_hist_blocks = hist_pages // ppb
+
+    block_q = min(block_q, _round_up(q_len, 8))
+    q_len_p = _round_up(q_len, block_q)
+    num_chunk_blocks = q_len_p // block_q
+    rows = q_per_kv * block_q
+
+    def pad_seq(x):
+        if x.shape[2] == q_len_p:
+            return x
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, q_len_p - x.shape[2]), (0, 0))
+        )
+
+    bkv_total = batch * num_kv_heads
+    # Stack the q_per_kv query heads of each KV head: for each chunk block
+    # qi, rows [h0's block | h1's block | ...] -> one [rows, d] MXU tile
+    # whose history K/V is shared (fetched once per KV head, not per Q
+    # head — the GQA traffic fix).
+    qf = (
+        pad_seq(q)
+        .reshape(batch, num_kv_heads, q_per_kv, num_chunk_blocks, block_q,
+                 head_dim)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(bkv_total, num_chunk_blocks * rows, head_dim)
+    )
+    ckf = pad_seq(chunk_k).reshape(bkv_total, q_len_p, head_dim)
+    cvf = pad_seq(chunk_v).reshape(bkv_total, q_len_p, head_dim)
+
+    offs_bkv = jnp.repeat(q_offsets.astype(jnp.int32), num_kv_heads)
+    bmap = np.repeat(np.arange(batch, dtype=np.int32), num_kv_heads)
+    khead = np.arange(bkv_total, dtype=np.int32) % num_kv_heads
+    bmap = jnp.asarray(bmap)
+    khead = jnp.asarray(khead)
+
+    scales_on = kv_quant is not None
+    bk = ppb * page_size
+
+    # Chunk-tile walk for the kv grid dim: park on chunk block 0 through
+    # the history steps (fetch elided after the first), then walk
+    # 0,1,2,... — precomputed host-side so the index map stays a pure
+    # prefetch lookup (compile-cliff findings, module docstring).
+    cmap = jnp.asarray(
+        np.maximum(
+            np.arange(num_hist_blocks + num_chunk_blocks, dtype=np.int32)
+            - num_hist_blocks,
+            0,
+        )
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(bkv_total, num_chunk_blocks, num_hist_blocks + num_chunk_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows, head_dim),
+                lambda bh, qi, kv, offs, bm, kh, tb, cm: (bh, qi, 0),
+            ),
+            pl.BlockSpec(
+                (1, block_q, head_dim),
+                lambda bh, qi, kv, offs, bm, kh, tb, cm: (bh, cm[kv], 0),
+            ),
+            pl.BlockSpec(
+                (1, block_q, head_dim),
+                lambda bh, qi, kv, offs, bm, kh, tb, cm: (bh, cm[kv], 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k pages
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k scales
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v pages
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v scales
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, rows, head_dim),
+                lambda bh, qi, kv, offs, bm, kh, tb, cm: (bh, qi, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((rows, head_dim), jnp.float32),
+            pltpu.VMEM((2, ppb, page_rows, payload_d), k_vals.dtype),
+            pltpu.VMEM((2, 1, bk), jnp.float32),
+            pltpu.VMEM((2, ppb, page_rows, payload_d), v_vals.dtype),
+            pltpu.VMEM((2, 1, bk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    if not scales_on:
+        k_scales = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        v_scales = jnp.zeros((1, 1, 1, 1), jnp.float32)
+
+    (o,) = pl.pallas_call(
+        functools.partial(
+            _paged_prefill_kernel,
+            sm_scale=sm_scale,
+            kv_quant=kv_quant,
+            q_per_kv=q_per_kv,
+            pages_per_block=ppb,
+            pages_per_seq=pages_per_seq,
+            page_size=page_size,
+            num_hist_blocks=num_hist_blocks,
+            num_chunk_blocks=num_chunk_blocks,
+            scales_on=scales_on,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (bkv_total, num_chunk_blocks * rows, head_dim), q.dtype
+            )
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        offs_bkv, bmap, khead, page_tables.astype(jnp.int32), cmap,
+        qf, ckf, cvf, k_vals, k_scales, v_vals, v_scales,
+    )
+    o = (
+        o.reshape(batch, num_kv_heads, num_chunk_blocks, q_per_kv, block_q,
+                  head_dim)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(batch, num_q_heads, q_len_p, head_dim)
+    )
+    return o[:, :, :q_len]
