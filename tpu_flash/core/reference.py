@@ -32,6 +32,8 @@ def reference_attention(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     q_offset: int = 0,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Exact multi-head attention: softmax(scale * Q K^T + mask) V.
 
@@ -46,6 +48,12 @@ def reference_attention(
         segment ids; attention is masked across segment boundaries.
       q_offset: global position of q[..., 0, :] for causal masking when the
         query block is a suffix of the kv sequence (decode).
+      window: sliding-window size (causal only): q position p attends to kv
+        positions in [p - window + 1, p] (Mistral convention: window counts
+        the attended positions including self).
+      softcap: logit soft-capping — scores become
+        ``softcap * tanh(scores / softcap)`` after scaling, before masking
+        (Gemma-2 convention).
 
     Returns:
       [batch, num_heads, q_len, head_dim] in q.dtype.
@@ -61,15 +69,21 @@ def reference_attention(
         jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=jax.lax.Precision.HIGHEST)
         * scale
     )
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
 
     mask = None
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
     if causal:
         q_len, kv_len = q.shape[2], k.shape[2]
         q_pos = jnp.arange(q_len)[:, None] + q_offset
         kv_pos = jnp.arange(kv_len)[None, :]
         mask = kv_pos <= q_pos  # [q_len, kv_len]
+        if window is not None:
+            mask = jnp.logical_and(mask, kv_pos > q_pos - window)
         mask = mask[None, None]
     if q_segment_ids is not None:
         seg = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
@@ -94,6 +108,8 @@ def reference_gqa_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     q_offset: int = 0,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Exact grouped-query attention.
 
@@ -110,7 +126,8 @@ def reference_gqa_attention(
     k = jnp.repeat(k, rep, axis=1)
     v = jnp.repeat(v, rep, axis=1)
     return reference_attention(
-        q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset
+        q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset,
+        window=window, softcap=softcap,
     )
 
 
@@ -121,6 +138,8 @@ def reference_decode_attention(
     lengths: jax.Array,
     *,
     sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Exact single-token GQA decode against a (ragged) dense KV cache.
 
@@ -128,6 +147,9 @@ def reference_decode_attention(
       q: [batch, num_q_heads, head_dim] — one new token per sequence.
       k_cache, v_cache: [batch, num_kv_heads, max_len, head_dim].
       lengths: [batch] int32 valid lengths per sequence.
+      window: sliding window — the token at position lengths-1 attends only
+        to cache positions > lengths - 1 - window.
+      softcap: logit soft-capping (see reference_attention).
     """
     max_len = k_cache.shape[2]
     num_q_heads, num_kv_heads = q.shape[1], k_cache.shape[1]
@@ -145,7 +167,12 @@ def reference_decode_attention(
         )
         * scale
     )
-    valid = jnp.arange(max_len)[None, None, :] < lengths[:, None, None]
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
+    pos = jnp.arange(max_len)[None, None, :]
+    valid = pos < lengths[:, None, None]
+    if window is not None:
+        valid = jnp.logical_and(valid, pos > lengths[:, None, None] - 1 - window)
     scores = jnp.where(valid, scores, DEFAULT_MASK_VALUE)
     weights = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(

@@ -81,35 +81,36 @@ def _pad_qkv(q, k, v, block_sizes):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_core(q, k, v, causal, sm_scale, block_sizes, q_offset, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_core(q, k, v, causal, sm_scale, block_sizes, q_offset, interpret,
+                window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
     o = flash_attention_forward(
         qp, kp, vp,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=False,
-        interpret=interpret,
+        interpret=interpret, window=window, softcap=softcap,
     )
     return o[:, :, :q_len, :head_dim]
 
 
 def _flash_core_fwd(q, k, v, causal, sm_scale, block_sizes, q_offset,
-                    interpret):
+                    interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
     o_p, lse_p = flash_attention_forward(
         qp, kp, vp,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
-        interpret=interpret,
+        interpret=interpret, window=window, softcap=softcap,
     )
     o = o_p[:, :, :q_len, :head_dim]
     return o, (q, k, v, o_p, lse_p)
 
 
 def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
-                    residuals, g):
+                    window, softcap, residuals, g):
     q, k, v, o_p, lse_p = residuals
     batch, num_q_heads, q_len, head_dim = q.shape
     num_kv_heads, kv_len = k.shape[1], k.shape[2]
@@ -128,6 +129,7 @@ def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         qp, kp, vp, o_p, lse_rep, do_p,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=kv_len, interpret=interpret,
+        window=window, softcap=softcap,
     )
     dq = dq[:, :, :q_len, :head_dim]
     dk = dk[:, :, :kv_len, :head_dim]
@@ -150,36 +152,36 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 # flash_attention_backward).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flash_core_res(q, k, v, causal, sm_scale, block_sizes, q_offset,
-                    interpret):
+                    interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
     o_p, lse_p = flash_attention_forward(
         qp, kp, vp,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
-        interpret=interpret,
+        interpret=interpret, window=window, softcap=softcap,
     )
     return o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len]
 
 
 def _flash_core_res_fwd(q, k, v, causal, sm_scale, block_sizes, q_offset,
-                        interpret):
+                        interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
     o_p, lse_p = flash_attention_forward(
         qp, kp, vp,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
-        interpret=interpret,
+        interpret=interpret, window=window, softcap=softcap,
     )
     out = (o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len])
     return out, (q, k, v, o_p, lse_p)
 
 
 def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
-                        residuals, gs):
+                        window, softcap, residuals, gs):
     g, g_lse = gs
     q, k, v, o_p, lse_p = residuals
     batch, num_q_heads, q_len, head_dim = q.shape
@@ -200,7 +202,7 @@ def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         qp, kp, vp, o_p, lse_rep, do_p,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=kv_len, interpret=interpret,
-        dlse=dlse_p,
+        dlse=dlse_p, window=window, softcap=softcap,
     )
     dq = dq[:, :, :q_len, :head_dim]
     dk = dk[:, :, :kv_len, :head_dim]
@@ -220,17 +222,19 @@ _flash_core_res.defvjp(_flash_core_res_fwd, _flash_core_res_bwd)
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_sizes", "q_offset", "save_residuals",
-        "interpret",
+        "interpret", "window", "softcap",
     ),
 )
 def _flash_entry(q, k, v, causal, sm_scale, block_sizes, q_offset,
-                 save_residuals, interpret):
+                 save_residuals, interpret, window=None, softcap=None):
     if not save_residuals:
         return _flash_core(
-            q, k, v, causal, sm_scale, block_sizes, q_offset, interpret
+            q, k, v, causal, sm_scale, block_sizes, q_offset, interpret,
+            window, softcap,
         )
     return _flash_core_res(
-        q, k, v, causal, sm_scale, block_sizes, q_offset, interpret
+        q, k, v, causal, sm_scale, block_sizes, q_offset, interpret,
+        window, softcap,
     )
 
 
@@ -245,6 +249,8 @@ def flash_attention(
     q_offset: int = 0,
     save_residuals: bool = False,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Fused multi-head / grouped-query flash attention (differentiable).
 
@@ -266,6 +272,13 @@ def flash_attention(
         [batch, num_q_heads, q_len] (not differentiable through this path).
       interpret: run the kernel in interpreter mode (default: auto — True
         when no TPU backend is present, so CI runs on CPU).
+      window: sliding-window size (requires ``causal=True``): query position
+        p attends to kv positions in ``[p - window + 1, p]`` (Mistral
+        convention — window counts attended positions including self).
+        Blocks entirely outside the band are neither fetched nor computed.
+      softcap: logit soft-capping — scores become
+        ``softcap * tanh(scores / softcap)`` after scaling, before masking
+        (Gemma-2 convention). Differentiable.
 
     Returns:
       [batch, num_q_heads, q_len, head_dim] in q.dtype, or ``(o, lse)``.
@@ -284,6 +297,19 @@ def flash_attention(
         )
     if q.shape[-1] != k.shape[-1]:
         raise ValueError(f"head_dim mismatch: {q.shape[-1]} vs {k.shape[-1]}")
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        window = int(window)
+        if window >= q.shape[2] + q_offset:
+            window = None  # window reaches position 0 for every q row:
+            # plain causal
+    if softcap is not None:
+        if softcap <= 0:
+            raise ValueError(f"softcap must be > 0, got {softcap}")
+        softcap = float(softcap)
 
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -296,5 +322,5 @@ def flash_attention(
 
     return _flash_entry(
         q, k, v, causal, float(sm_scale), block_sizes, q_offset,
-        save_residuals, interpret,
+        save_residuals, interpret, window, softcap,
     )

@@ -44,14 +44,24 @@ def _precision(dtype):
 
 
 def _recompute_p(q, k, lse_col, *, sm_scale, causal, mask_kv_tail, kv_len,
-                 q_pos0, kv_pos0, precision):
-    """Recompute attention weights p = exp(sm_scale * q k^T - lse), masked."""
+                 q_pos0, kv_pos0, precision, window=None, softcap=None):
+    """Recompute attention weights p = exp(sm_scale * q k^T - lse), masked.
+
+    Returns ``(p, dcap)`` where ``dcap`` is the softcap chain-rule factor
+    ``1 - tanh(s/softcap)^2`` (None when softcap is off): with
+    ``s_capped = softcap * tanh(s / softcap)``, d(s_capped)/ds = dcap.
+    """
     block_q, block_kv = q.shape[0], k.shape[0]
     s = jax.lax.dot_general(
         q, k, TRANS_B, preferred_element_type=jnp.float32, precision=precision
     )
     if sm_scale != 1.0:
         s = s * sm_scale
+    dcap = None
+    if softcap is not None:
+        t = jnp.tanh(s * (1.0 / softcap))
+        s = softcap * t
+        dcap = 1.0 - t * t
     p = jnp.exp(s - lse_col)
     if causal or mask_kv_tail:
         row_ids = q_pos0 + jax.lax.broadcasted_iota(
@@ -63,11 +73,13 @@ def _recompute_p(q, k, lse_col, *, sm_scale, causal, mask_kv_tail, kv_len,
         mask = None
         if causal:
             mask = col_ids <= row_ids
+            if window is not None:
+                mask = jnp.logical_and(mask, col_ids > row_ids - window)
         if mask_kv_tail:
             tail = col_ids < kv_len
             mask = tail if mask is None else jnp.logical_and(mask, tail)
         p = jnp.where(mask, p, 0.0)
-    return s, p
+    return p, dcap
 
 
 def _flash_bwd_dkv_kernel(
@@ -81,6 +93,8 @@ def _flash_bwd_dkv_kernel(
     mask_kv_tail: bool,
     num_q_blocks: int,
     triangular: bool = False,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     if triangular:
         (kvmap_ref, qmap_ref, isfirst_ref, islast_ref, q_ref, k_ref, v_ref,
@@ -109,6 +123,13 @@ def _flash_bwd_dkv_kernel(
     if causal and not triangular:
         max_q_pos = (q_idx + 1) * block_q - 1 + q_offset
         should_run = max_q_pos >= kv_idx * block_kv
+        if window is not None:
+            # Skip q tiles entirely past this kv tile's window reach.
+            min_q_pos = q_idx * block_q + q_offset
+            max_kv_pos = (kv_idx + 1) * block_kv - 1
+            should_run = jnp.logical_and(
+                should_run, min_q_pos <= max_kv_pos + window - 1
+            )
     else:
         should_run = True  # triangular: only active cells exist
 
@@ -123,11 +144,12 @@ def _flash_bwd_dkv_kernel(
         lse_col = lse_ref[0, 0][:, :1]
         di_col = di_ref[0, 0][:, :1]
 
-        _, p = _recompute_p(
+        p, dcap = _recompute_p(
             q, k, lse_col,
             sm_scale=sm_scale, causal=causal, mask_kv_tail=mask_kv_tail,
             kv_len=kv_len, q_pos0=q_offset + q_idx * block_q,
             kv_pos0=kv_idx * block_kv, precision=precision,
+            window=window, softcap=softcap,
         )
 
         # dv += p^T @ do    (contract over the q dimension, no transpose op)
@@ -135,12 +157,14 @@ def _flash_bwd_dkv_kernel(
             p.astype(do.dtype), do, CONTRACT_0,
             preferred_element_type=jnp.float32, precision=precision,
         )
-        # dp = do @ v^T ; ds = p * (dp - di) * sm_scale
+        # dp = do @ v^T ; ds = p * (dp - di) [* dcap] * sm_scale
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), TRANS_B,
             preferred_element_type=jnp.float32, precision=precision,
         )
         ds = p * (dp - di_col)
+        if dcap is not None:
+            ds = ds * dcap
         if sm_scale != 1.0:
             ds = ds * sm_scale
         # dk += ds^T @ q
@@ -165,6 +189,8 @@ def _flash_bwd_dq_kernel(
     mask_kv_tail: bool,
     num_kv_blocks: int,
     triangular: bool = False,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     if triangular:
         (qmap_ref, kvmap_ref, islast_ref, q_ref, k_ref, v_ref, do_ref,
@@ -184,6 +210,12 @@ def _flash_bwd_dq_kernel(
             block_kv_ = k_ref.shape[2]
             max_q_pos = (q_idx + 1) * block_q_ - 1 + q_offset
             should_run = max_q_pos >= kv_idx * block_kv_
+            if window is not None:
+                min_q_pos = q_idx * block_q_ + q_offset
+                max_kv_pos = (kv_idx + 1) * block_kv_ - 1
+                should_run = jnp.logical_and(
+                    should_run, max_kv_pos >= min_q_pos - window + 1
+                )
             is_last = kv_idx == jnp.minimum(
                 num_kv_blocks - 1,
                 ((q_idx + 1) * block_q_ - 1 + q_offset) // block_kv_,
@@ -194,7 +226,14 @@ def _flash_bwd_dq_kernel(
     block_q = q_ref.shape[2]
     block_kv = k_ref.shape[2]
 
-    @pl.when(kv_idx == 0)
+    if window is None:
+        first_kv = 0
+    else:
+        first_kv = jnp.maximum(
+            (q_idx * block_q + q_offset - window + 1) // block_kv, 0
+        )
+
+    @pl.when(kv_idx == first_kv)
     def _init():
         dq_scratch[...] = jnp.zeros_like(dq_scratch)
 
@@ -209,17 +248,20 @@ def _flash_bwd_dq_kernel(
         lse_col = lse_ref[0, 0][:, :1]
         di_col = di_ref[0, 0][:, :1]
 
-        _, p = _recompute_p(
+        p, dcap = _recompute_p(
             q, k, lse_col,
             sm_scale=sm_scale, causal=causal, mask_kv_tail=mask_kv_tail,
             kv_len=kv_len, q_pos0=q_offset + q_idx * block_q,
             kv_pos0=kv_idx * block_kv, precision=precision,
+            window=window, softcap=softcap,
         )
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), TRANS_B,
             preferred_element_type=jnp.float32, precision=precision,
         )
         ds = p * (dp - di_col)
+        if dcap is not None:
+            ds = ds * dcap
         if sm_scale != 1.0:
             ds = ds * sm_scale
         dq_scratch[...] += jax.lax.dot(
@@ -238,11 +280,14 @@ def _build_dkv_cells(
     block_q: int,
     block_kv: int,
     q_offset: int,
+    window: Optional[int] = None,
 ):
     """kv-major enumeration of causally-active (kv, q) cells for the dKV
     kernel: per kv block, q runs from its first contributing block to the
-    end. A kv block with NO contributing q still gets one (fully-masked)
-    cell so its dk/dv output block is written (zeros)."""
+    last (the end, or — with a sliding window — the last q block whose
+    window still reaches this kv block). A kv block with NO contributing q
+    still gets one (fully-masked) cell so its dk/dv output block is
+    written (zeros)."""
     import numpy as np
 
     kvmap, qmap, isfirst, islast = [], [], [], []
@@ -251,11 +296,17 @@ def _build_dkv_cells(
             max(0, (kvb * block_kv - q_offset) // block_q),
             num_q_blocks - 1,
         )
-        for qb in range(first, num_q_blocks):
+        last = num_q_blocks - 1
+        if window is not None:
+            # Max q position attending into this kv block:
+            # p <= max_kv_pos + window - 1.
+            max_q_pos = (kvb + 1) * block_kv - 1 + window - 1 - q_offset
+            last = min(last, max(first, max_q_pos // block_q))
+        for qb in range(first, last + 1):
             kvmap.append(kvb)
             qmap.append(qb)
             isfirst.append(1 if qb == first else 0)
-            islast.append(1 if qb == num_q_blocks - 1 else 0)
+            islast.append(1 if qb == last else 0)
     return (
         jnp.asarray(np.asarray(kvmap, np.int32)),
         jnp.asarray(np.asarray(qmap, np.int32)),
@@ -279,6 +330,8 @@ def flash_attention_backward(
     kv_len: int,
     interpret: bool,
     dlse: Optional[jax.Array] = None,  # [b, hq, q_len_p] lse cotangent
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     """Compute (dq, dk, dv) on pre-padded inputs.
 
@@ -294,6 +347,8 @@ def flash_attention_backward(
     _, num_kv_heads, kv_len_padded, _ = k.shape
     q_per_kv = num_q_heads // num_kv_heads
     mask_kv_tail = kv_len < kv_len_padded
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
 
     # di = rowsum(o * do) [- dlse], lane-replicated to match lse layout.
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
@@ -315,12 +370,21 @@ def flash_attention_backward(
 
     if causal:
         # Early (fully-masked) q blocks re-map to the first contributing
-        # block so their fetches are elided.
+        # block so their fetches are elided; with a sliding window, late q
+        # blocks past the window's reach re-map likewise.
         def q_block_index(q_i, kv_i):
             first = jnp.maximum(
                 (kv_i * block_kv - q_offset) // block_q, 0
             )
-            return jnp.maximum(q_i, first)
+            q_i = jnp.maximum(q_i, first)
+            if window is not None:
+                last = jnp.maximum(
+                    ((kv_i + 1) * block_kv - 1 + window - 1 - q_offset)
+                    // block_q,
+                    first,
+                )
+                q_i = jnp.minimum(q_i, last)
+            return q_i
 
     else:
 
@@ -351,6 +415,8 @@ def flash_attention_backward(
         mask_kv_tail=mask_kv_tail,
         num_q_blocks=num_q_blocks,
         triangular=triangular,
+        window=window,
+        softcap=softcap,
     )
     dkv_out_shape = [
         jax.ShapeDtypeStruct(
@@ -363,7 +429,8 @@ def flash_attention_backward(
     ]
     if triangular:
         kvmap, qmap, isfirst, islast = _build_dkv_cells(
-            num_q_blocks, num_kv_blocks, block_q, block_kv, q_offset
+            num_q_blocks, num_kv_blocks, block_q, block_kv, q_offset,
+            window=window,
         )
         n_cells = kvmap.shape[0]
         tq_spec = pl.BlockSpec(
@@ -439,7 +506,15 @@ def flash_attention_backward(
 
         def kv_block_index(q_i, kv_i):
             last = ((q_i + 1) * block_q_dq - 1 + q_offset) // block_kv_dq
-            return jnp.minimum(kv_i, last)
+            kv_i = jnp.minimum(kv_i, last)
+            if window is not None:
+                first = jnp.maximum(
+                    (q_i * block_q_dq + q_offset - window + 1)
+                    // block_kv_dq,
+                    0,
+                )
+                kv_i = jnp.maximum(kv_i, first)
+            return kv_i
 
     else:
 
@@ -466,6 +541,8 @@ def flash_attention_backward(
         mask_kv_tail=mask_kv_tail,
         num_kv_blocks=num_kv_blocks_dq,
         triangular=triangular,
+        window=window,
+        softcap=softcap,
     )
     dq_scratch_shapes = [pltpu.VMEM((block_q_dq, head_dim), jnp.float32)]
     if triangular:
@@ -473,7 +550,7 @@ def flash_attention_backward(
 
         qmap, kvmap, islast = build_tri_cells(
             num_q_blocks_dq, num_kv_blocks_dq, block_q_dq, block_kv_dq,
-            q_offset,
+            q_offset, window=window,
         )
         n_cells = qmap.shape[0]
         tq_spec = pl.BlockSpec(

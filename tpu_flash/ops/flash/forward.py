@@ -58,13 +58,24 @@ def _flash_fwd_kernel(
     kv_len: int,  # true (unpadded) kv length
     num_kv_blocks: int,
     mask_kv_tail: bool,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     block_q = q_ref.shape[2]
     block_kv_major = k_ref.shape[2]
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
-    @pl.when(kv_idx == 0)
+    if window is None:
+        first_kv = 0
+    else:
+        # First kv block intersecting the window of this Q block's first row:
+        # positions >= min_q_pos - window + 1 are attended.
+        first_kv = jnp.maximum(
+            (q_idx * block_q + q_offset - window + 1) // block_kv_major, 0
+        )
+
+    @pl.when(kv_idx == first_kv)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -76,6 +87,14 @@ def _flash_fwd_kernel(
         # per-element early-out at utils.cuh:43.
         max_q_pos = (q_idx + 1) * block_q - 1 + q_offset
         should_run = max_q_pos >= kv_idx * block_kv_major
+        if window is not None:
+            # ... and only if the tile is not entirely below the window of
+            # this Q block's last attended row.
+            min_q_pos = q_idx * block_q + q_offset
+            max_kv_pos = (kv_idx + 1) * block_kv_major - 1
+            should_run = jnp.logical_and(
+                should_run, max_kv_pos >= min_q_pos - window + 1
+            )
     else:
         should_run = True
 
@@ -103,6 +122,8 @@ def _flash_fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
+            if softcap is not None:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
 
             kv_base = kv_idx * block_kv_major + start
             if causal or mask_kv_tail:
@@ -118,9 +139,13 @@ def _flash_fwd_kernel(
                         jnp.int32, (block_q, block_kv), 0
                     )
                     # col + kv_base <= row + q_offset + q_idx*block_q
-                    mask = (col - row) <= (
-                        q_offset + q_idx * block_q - kv_base
-                    )
+                    thr = q_offset + q_idx * block_q - kv_base
+                    mask = (col - row) <= thr
+                    if window is not None:
+                        # Sliding window: col + kv_base > q_pos - window.
+                        mask = jnp.logical_and(
+                            mask, (col - row) > thr - window
+                        )
                 if mask_kv_tail:
                     tail = col < kv_len - kv_base
                     mask = tail if mask is None else jnp.logical_and(mask, tail)
@@ -187,19 +212,29 @@ def _flash_fwd_tri_kernel(
     q_offset: int,
     kv_len: int,
     mask_kv_tail: bool,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     """Causal forward over a TRIANGULAR cell enumeration: the grid's last
     dimension walks only the active (q, kv) block pairs (qmap/kvmap via
     scalar prefetch), so above-diagonal cells never exist — no predicated
     dead cells, which is what makes small blocks (less diagonal masking
-    waste) affordable. Math identical to _flash_fwd_kernel."""
+    waste) affordable. With ``window`` the enumeration is a BAND (cells
+    below the window are dropped too). Math identical to _flash_fwd_kernel."""
     block_q = q_ref.shape[2]
     block_kv_major = k_ref.shape[2]
     c = pl.program_id(2)
     q_idx = qmap_ref[c]
     kv_idx = kvmap_ref[c]
 
-    @pl.when(kv_idx == 0)
+    if window is None:
+        first_kv = 0
+    else:
+        first_kv = jnp.maximum(
+            (q_idx * block_q + q_offset - window + 1) // block_kv_major, 0
+        )
+
+    @pl.when(kv_idx == first_kv)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -220,10 +255,15 @@ def _flash_fwd_tri_kernel(
             q, k, TRANS_B_DIM_NUMBERS,
             preferred_element_type=jnp.float32, precision=precision,
         )
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         kv_base = kv_idx * block_kv_major + start
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-        mask = (col - row) <= (q_offset + q_idx * block_q - kv_base)
+        thr = q_offset + q_idx * block_q - kv_base
+        mask = (col - row) <= thr
+        if window is not None:
+            mask = jnp.logical_and(mask, (col - row) > thr - window)
         if mask_kv_tail:
             mask = jnp.logical_and(mask, col < kv_len - kv_base)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -270,6 +310,8 @@ def flash_attention_forward(
     save_residuals: bool = False,
     interpret: bool = False,
     triangular: bool = False,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     """Launch the forward kernel on pre-padded inputs.
 
@@ -287,6 +329,8 @@ def flash_attention_forward(
     if kv_len is None:
         kv_len = kv_len_padded
     q_per_kv = num_q_heads // num_kv_heads
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
 
     block_q = min(block_sizes.block_q, q_len)
     block_kv_major = min(block_sizes.block_kv_major, kv_len_padded)
@@ -297,10 +341,17 @@ def flash_attention_forward(
     if causal:
         # Clamp the KV index past the diagonal so masked-out blocks re-map to
         # the diagonal block — Pallas elides refetches of an unchanged block,
-        # so above-diagonal K/V tiles never leave HBM.
+        # so above-diagonal K/V tiles never leave HBM. With a sliding window,
+        # also clamp below the window's first block.
         def kv_block_index(q, kv):
             last = ((q + 1) * block_q - 1 + q_offset) // block_kv_major
-            return jnp.minimum(kv, last)
+            kv = jnp.minimum(kv, last)
+            if window is not None:
+                first = jnp.maximum(
+                    (q * block_q + q_offset - window + 1) // block_kv_major, 0
+                )
+                kv = jnp.maximum(kv, first)
+            return kv
 
     else:
 
@@ -351,6 +402,8 @@ def flash_attention_forward(
         kv_len=kv_len,
         num_kv_blocks=num_kv_blocks,
         mask_kv_tail=kv_len < kv_len_padded,
+        window=window,
+        softcap=softcap,
     )
     if save_residuals:
         kernel = base_kernel
@@ -373,7 +426,7 @@ def flash_attention_forward(
             q_offset=q_offset, kv_len=kv_len,
             num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
             q_per_kv=q_per_kv, save_residuals=save_residuals,
-            interpret=interpret,
+            interpret=interpret, window=window, softcap=softcap,
         )
 
     # 2 matmuls (QK^T and PV), 2*M*N*K flops each.
@@ -415,10 +468,12 @@ def build_tri_cells(
     block_q: int,
     block_kv_major: int,
     q_offset: int,
+    window: Optional[int] = None,
 ):
     """(qmap, kvmap, islast) int32 arrays enumerating the causally-active
     (q, kv) block cells in q-major order — the scalar-prefetch inputs of
-    the triangular kernels."""
+    the triangular kernels. With ``window`` the enumeration is the active
+    BAND: cells entirely below the Q block's sliding window are dropped."""
     import numpy as np
 
     qmap, kvmap, islast = [], [], []
@@ -427,7 +482,12 @@ def build_tri_cells(
             num_kv_blocks - 1,
             ((qb + 1) * block_q - 1 + q_offset) // block_kv_major,
         )
-        for kvb in range(last + 1):
+        first = 0
+        if window is not None:
+            first = max(
+                0, (qb * block_q + q_offset - window + 1) // block_kv_major
+            )
+        for kvb in range(first, last + 1):
             qmap.append(qb)
             kvmap.append(kvb)
             islast.append(1 if kvb == last else 0)
@@ -441,14 +501,15 @@ def build_tri_cells(
 def _forward_triangular(
     q, k, v, *, sm_scale, block_q, block_kv_major, block_kv, q_offset,
     kv_len, num_q_blocks, num_kv_blocks, q_per_kv, save_residuals,
-    interpret,
+    interpret, window=None, softcap=None,
 ):
     """Causal forward over the active-cell enumeration (triangular grid)."""
     batch, num_q_heads, q_len, head_dim = q.shape
     kv_len_padded = k.shape[2]
 
     qmap, kvmap, islast = build_tri_cells(
-        num_q_blocks, num_kv_blocks, block_q, block_kv_major, q_offset
+        num_q_blocks, num_kv_blocks, block_q, block_kv_major, q_offset,
+        window=window,
     )
     n_cells = qmap.shape[0]
 
@@ -493,6 +554,8 @@ def _forward_triangular(
         q_offset=q_offset,
         kv_len=kv_len,
         mask_kv_tail=kv_len < kv_len_padded,
+        window=window,
+        softcap=softcap,
     )
     if save_residuals:
         kernel = base_kernel
