@@ -77,6 +77,19 @@ def main():
         resumed.close()
     engine.close()
 
+    # Sliding-window + softcap models (Mistral / Gemma-2 class): every
+    # serving path masks in-kernel, and decode skips below-window KV
+    # blocks (cost tracks the window, not the context).
+    import dataclasses
+
+    wcfg = dataclasses.replace(cfg, sliding_window=32, attn_softcap=30.0)
+    wmodel = FlashTransformer(wcfg)
+    wparams = wmodel.init(jax.random.PRNGKey(1))
+    wengine = InferenceEngine(wmodel, wparams, engine_cfg)
+    rw = wengine.submit(system + [1, 2, 3], max_new_tokens=8)
+    print("windowed outputs:", wengine.run()[rw])
+    wengine.close()
+
     # Scale-out when devices allow: TP shards one engine over a "model"
     # axis; DP runs independent replicas (optionally TP inside each).
     n = jax.device_count()

@@ -191,3 +191,99 @@ class TestPagedDecode:
         v_dense = gather_pages_to_dense(v_pages, page_indices)
         ref = reference_decode_attention(q, k_dense, v_dense, lengths)
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+class TestPagedDecodeWindow:
+    """Sliding-window decode: in-window parity + below-window block skip."""
+
+    def _run(self, window, lengths, softcap=None, quant=None, ppb=1,
+             int8_mxu=True, q_per_kv=2):
+        batch = len(lengths)
+        hkv, d, ps, pps = 2, 128, 128, 4
+        key = jax.random.PRNGKey(42)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 64, ps, d, batch, pps, lengths
+        )
+        q = jax.random.normal(kq, (batch, hkv * q_per_kv, d))
+        if quant:
+            kq_pages = quantize_pages(k_pages, quant)
+            vq_pages = quantize_pages(v_pages, quant)
+            out = paged_attention(
+                q, kq_pages, vq_pages, lengths, page_indices,
+                pages_per_compute_block=ppb, window=window, softcap=softcap,
+                int8_mxu=int8_mxu,
+            )
+            k_dense = dequantize(
+                QuantizedTensor(
+                    kq_pages.values[:, page_indices], 
+                    kq_pages.scales[:, page_indices],
+                    quant, kq_pages.packing,
+                ),
+                jnp.float32,
+            )
+            hkv_, b_, pp_, ps_, d_ = k_dense.shape
+            k_dense = k_dense.reshape(hkv_, b_, pp_ * ps_, d_).transpose(
+                1, 0, 2, 3
+            )
+            v_dense = dequantize(
+                QuantizedTensor(
+                    vq_pages.values[:, page_indices],
+                    vq_pages.scales[:, page_indices],
+                    quant, vq_pages.packing,
+                ),
+                jnp.float32,
+            )
+            v_dense = v_dense.reshape(hkv_, b_, pp_ * ps_, d_).transpose(
+                1, 0, 2, 3
+            )
+            tol = dict(atol=5e-2, rtol=5e-2)
+        else:
+            out = paged_attention(
+                q, k_pages, v_pages, lengths, page_indices,
+                pages_per_compute_block=ppb, window=window, softcap=softcap,
+            )
+            k_dense = gather_pages_to_dense(k_pages, page_indices)
+            v_dense = gather_pages_to_dense(v_pages, page_indices)
+            tol = dict(atol=2e-5, rtol=2e-5)
+        ref = reference_decode_attention(
+            q, k_dense, v_dense, lengths, window=window, softcap=softcap
+        )
+        np.testing.assert_allclose(out, ref, **tol)
+
+    def test_window_within_one_block(self):
+        self._run(window=50, lengths=[512, 200, 130])
+
+    def test_window_spanning_blocks(self):
+        self._run(window=300, lengths=[512, 400, 1])
+
+    def test_window_exceeds_length(self):
+        self._run(window=4096, lengths=[512, 3, 128])
+
+    def test_window_at_block_boundary(self):
+        # length 512, bk=128, window=128: first block = (512-128)//128 = 3
+        self._run(window=128, lengths=[512, 256, 384])
+
+    def test_window_multi_page_blocks(self):
+        self._run(window=300, lengths=[512, 257, 100], ppb=2)
+
+    def test_window_quantized_int8(self):
+        self._run(window=200, lengths=[512, 300, 90], quant="int8")
+
+    def test_window_quantized_int4(self):
+        self._run(window=200, lengths=[512, 300, 90], quant="int4")
+
+    def test_softcap_decode(self):
+        self._run(window=None, lengths=[512, 200, 1], softcap=30.0)
+
+    def test_window_and_softcap(self):
+        self._run(window=150, lengths=[512, 300, 60], softcap=25.0)
+
+    def test_window_validation(self):
+        q = jnp.zeros((1, 2, 128))
+        kp = jnp.zeros((2, 4, 128, 128))
+        lengths = jnp.array([1], jnp.int32)
+        pidx = jnp.zeros((1, 4), jnp.int32)
+        with pytest.raises(ValueError, match="window"):
+            paged_attention(q, kp, kp, lengths, pidx, window=0)

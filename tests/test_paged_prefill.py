@@ -147,3 +147,86 @@ class TestPagedPrefill:
         )
         ref = _oracle(q, ck, cv, kh, vh, [100])
         np.testing.assert_allclose(out, ref.astype(out.dtype), **F32_TOL)
+
+
+def _oracle_ws(q, ck, cv, kh, vh, offsets, window=None, softcap=None):
+    rows = []
+    for i in range(q.shape[0]):
+        off = int(offsets[i])
+        k_row = jnp.concatenate([kh[i : i + 1, :, :off], ck[i : i + 1]], 2)
+        v_row = jnp.concatenate([vh[i : i + 1, :, :off], cv[i : i + 1]], 2)
+        rows.append(
+            reference_gqa_attention(
+                q[i : i + 1].astype(jnp.float32),
+                k_row.astype(jnp.float32),
+                v_row.astype(jnp.float32),
+                causal=True, q_offset=off, window=window, softcap=softcap,
+            )
+        )
+    return jnp.concatenate(rows, axis=0)
+
+
+class TestPagedPrefillWindowSoftcap:
+    @pytest.mark.parametrize("window", [1, 30, 100, 400])
+    def test_window_mixed_offsets(self, window):
+        q, ck, cv, kp, vp, tables, kh, vh = _setup(
+            jax.random.PRNGKey(21), 3, 2, 4, 64, 256, 64, 64
+        )
+        offs = jnp.asarray([256, 128, 0], jnp.int32)
+        out = paged_prefill_attention(
+            q, ck, cv, kp, vp, offs, tables, hist_cap=256, window=window
+        )
+        ref = _oracle_ws(q, ck, cv, kh, vh, offs, window=window)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    @pytest.mark.parametrize("kv_quant", ["int8", "int4"])
+    def test_window_quantized_pages(self, kv_quant):
+        q, ck, cv, kp, vp, tables, kh, vh = _setup(
+            jax.random.PRNGKey(22), 2, 2, 4, 64, 256, 64, 64,
+            kv_quant=kv_quant,
+        )
+        offs = jnp.asarray([256, 192], jnp.int32)
+        out = paged_prefill_attention(
+            q, ck, cv, kp, vp, offs, tables, hist_cap=256, window=90
+        )
+        # Oracle over the SAME dequantized values: only fp error remains.
+        ref = _oracle_ws(q, ck, cv, kh, vh, offs, window=90)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+    def test_window_multi_q_blocks(self):
+        q, ck, cv, kp, vp, tables, kh, vh = _setup(
+            jax.random.PRNGKey(23), 2, 2, 4, 128, 256, 64, 64,
+            dtype=jnp.bfloat16,
+        )
+        offs = jnp.asarray([256, 64], jnp.int32)
+        out = paged_prefill_attention(
+            q, ck, cv, kp, vp, offs, tables, hist_cap=256, block_q=32,
+            window=70,
+        )
+        ref = _oracle_ws(q, ck, cv, kh, vh, offs, window=70)
+        np.testing.assert_allclose(
+            out.astype(jnp.float32), ref.astype(jnp.float32), **BF16_TOL
+        )
+
+    def test_softcap(self):
+        q, ck, cv, kp, vp, tables, kh, vh = _setup(
+            jax.random.PRNGKey(24), 2, 2, 2, 64, 256, 64, 64
+        )
+        offs = jnp.asarray([256, 100], jnp.int32)
+        out = paged_prefill_attention(
+            q, ck, cv, kp, vp, offs, tables, hist_cap=256, softcap=20.0
+        )
+        ref = _oracle_ws(q, ck, cv, kh, vh, offs, softcap=20.0)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    def test_window_and_softcap(self):
+        q, ck, cv, kp, vp, tables, kh, vh = _setup(
+            jax.random.PRNGKey(25), 2, 2, 4, 64, 256, 64, 64
+        )
+        offs = jnp.asarray([200, 64], jnp.int32)
+        out = paged_prefill_attention(
+            q, ck, cv, kp, vp, offs, tables, hist_cap=256, window=80,
+            softcap=12.0,
+        )
+        ref = _oracle_ws(q, ck, cv, kh, vh, offs, window=80, softcap=12.0)
+        np.testing.assert_allclose(out, ref, **F32_TOL)

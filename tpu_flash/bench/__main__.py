@@ -10,6 +10,8 @@ self-established on the current backend. Configs (BASELINE.md):
   3. GQA decode, INT8 KV, 4K ctx   (tokens/s + quantization Δ)
   4. FP8 QKV prefill + paged INT8 decode at 8K ctx
   5. long context 32K (per-chip ring-attention compute at INT4-KV decode)
+  6. engine-level serving throughput (slow; opt-in)
+  7. sliding-window decode 32K ctx / 4K window (Mistral-class serving)
 
 On a CPU backend the kernels run in interpreter mode: parity rows are
 meaningful, throughput rows are not (they're still emitted, flagged
@@ -313,6 +315,47 @@ def config5_longcontext(iters: int):
     return rows
 
 
+def config7_windowed_decode(iters: int):
+    """Sliding-window serving (Mistral-class): 32K context, 4K window —
+    the decode kernel skips below-window KV blocks, so the step cost
+    should track the window, not the context. Reports windowed tok/s and
+    the speedup over full-context decode on the same cache."""
+    from tpu_flash.bench.suite import bench_decode_tokens_per_s
+
+    rows = []
+    ctx, win = 32768, 4096
+    for kv_quant, fp_dtype, label in (
+        ("int8", None, "int8"),
+        (None, jnp.bfloat16, "bf16"),
+    ):
+        kwargs = dict(
+            context=ctx, kv_quant=kv_quant, iters=max(64, iters),
+            pages_per_compute_block=32 if kv_quant else 16,
+        )
+        if fp_dtype is not None:
+            kwargs["fp_dtype"] = fp_dtype
+        tps_w, secs_w, gbps_w = bench_decode_tokens_per_s(
+            window=win, **kwargs
+        )
+        tps_f, secs_f, _ = bench_decode_tokens_per_s(**kwargs)
+        name = f"windowed decode b8 gqa4 {ctx // 1024}K ctx win{win}"
+        rows.append(
+            {
+                "config": 7,
+                "name": f"{name} {label}-kv",
+                "metric": "tokens_per_s",
+                "value": tps_w,
+                "step_ms": secs_w * 1e3,
+                "attended_hbm_gbps": gbps_w,
+                "full_ctx_tokens_per_s": tps_f,
+                "window_speedup": tps_w / tps_f if tps_f else None,
+            }
+        )
+        _log(f"  {rows[-1]['name']}: {tps_w:.0f} tok/s windowed vs "
+             f"{tps_f:.0f} full ({tps_w / tps_f:.2f}x)")
+    return rows
+
+
 CONFIGS = {
     1: lambda iters: config1_parity(),
     2: config2_prefill,
@@ -321,6 +364,7 @@ CONFIGS = {
     5: config5_longcontext,
     # "e": engine-level serving throughput (slow; opt-in)
     6: config4_engine,
+    7: config7_windowed_decode,
 }
 
 

@@ -150,11 +150,14 @@ def bench_decode_tokens_per_s(
     pages_per_compute_block: int = 8,
     iters: int = 20,
     fp_dtype=jnp.float32,
+    window: Optional[int] = None,
 ):
     """BASELINE config 3 by default: Llama-3-8B GQA decode, INT8 KV, 4K ctx.
     ``fp_dtype`` sets the unquantized page payload (bfloat16 takes the
-    MXU-native decode path). Returns (tokens_per_second, seconds_per_step,
-    hbm_gbps)."""
+    MXU-native decode path). ``window`` benches sliding-window decode:
+    below-window KV blocks are skipped in-kernel, so cost tracks the
+    window, not the context; the GB/s figure counts only attended bytes.
+    Returns (tokens_per_second, seconds_per_step, hbm_gbps)."""
     from tpu_flash.core.reference import gather_pages_to_dense  # noqa: F401
     from tpu_flash.ops.decode import paged_attention
     from tpu_flash.ops.quant import quantize_pages
@@ -198,6 +201,7 @@ def bench_decode_tokens_per_s(
             o = paged_attention(
                 x, kq_, vq_, lengths, page_indices,
                 pages_per_compute_block=pages_per_compute_block,
+                window=window,
             )
             return o.astype(x.dtype)
 
@@ -208,6 +212,7 @@ def bench_decode_tokens_per_s(
             o = paged_attention(
                 x, k_, v_, lengths, page_indices,
                 pages_per_compute_block=pages_per_compute_block,
+                window=window,
             )
             return o.astype(x.dtype)
 
@@ -216,13 +221,14 @@ def bench_decode_tokens_per_s(
     )
 
     payload_itemsize = 1 if kv_quant else jnp.dtype(fp_dtype).itemsize
+    attended = min(window, context) if window else context
     kv_bytes = (
-        2 * batch * num_kv_heads * context * head_dim * payload_itemsize
+        2 * batch * num_kv_heads * attended * head_dim * payload_itemsize
     )
     if kv_quant == "int4":
         kv_bytes /= 2
     if kv_quant:
-        kv_bytes += 2 * batch * num_kv_heads * context * 4  # scales
+        kv_bytes += 2 * batch * num_kv_heads * attended * 4  # scales
     return batch / secs, secs, kv_bytes / secs / 1e9
 
 

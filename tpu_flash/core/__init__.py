@@ -1,5 +1,9 @@
 from tpu_flash.core.config import AttentionConfig, BlockSizes, EngineConfig, MeshConfig
-from tpu_flash.core.reference import reference_attention, reference_gqa_attention
+from tpu_flash.core.reference import (
+    SegmentIds,
+    reference_attention,
+    reference_gqa_attention,
+)
 from tpu_flash.core.softmax import SoftmaxState, merge_softmax_states
 
 __all__ = [

@@ -11,7 +11,7 @@ to stay NaN-free, see DEFAULT_MASK_VALUE).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +19,18 @@ import jax.numpy as jnp
 # -0.7 * float32 max: large enough to zero out after exp, small enough that
 # (mask + mask) does not overflow to -inf and produce NaN in exp(x - m).
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class SegmentIds(NamedTuple):
+    """Per-token segment ids for packed (multi-document) attention.
+
+    Attention is masked wherever ``q`` and ``kv`` ids differ, so packed
+    sequences never attend across document boundaries. Shapes:
+    ``q`` [batch, q_len] int32, ``kv`` [batch, kv_len] int32.
+    """
+
+    q: jax.Array
+    kv: jax.Array
 
 
 def reference_attention(

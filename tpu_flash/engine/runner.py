@@ -93,6 +93,11 @@ class InferenceEngine:
                     f"({cfg.num_q_heads}) and kv heads ({cfg.num_kv_heads})"
                 )
             self._tp_axis = "model"
+        # Sliding-window / softcap attention options, threaded through every
+        # attention dispatch site (prefill, ragged, paged sweep, decode,
+        # speculative verify) so windowed models serve on all paths.
+        self._window = cfg.sliding_window
+        self._softcap = cfg.attn_softcap
         self.interpret = (
             interpret
             if interpret is not None
@@ -296,8 +301,9 @@ class InferenceEngine:
                 # Mixed stages: ONE ragged dispatch for every chunk this
                 # step instead of one program call per stage.
                 self._run_prefill_ragged(plan.prefill)
-            elif groups:
-                self._run_prefill_group(next(iter(groups.values())))
+            else:
+                for group in groups.values():
+                    self._run_prefill_group(group)
             n_decoded = 0
             if plan.decode_slots:
                 n_decoded = self._run_decode(plan.decode_slots)
@@ -324,19 +330,22 @@ class InferenceEngine:
             return verify or self.config.cache.quantized
         return bool(mode)
 
-    def _gather_history(self, cache, layer: int, table_rows, hist_len: int):
-        """Dense (dequantized) K/V of the first ``hist_len`` cached tokens
-        of a batch of sequences (``table_rows`` [B, pps]) — exactly the
-        bytes the decode kernel would read, materialized for the chunk's
+    def _gather_history(self, cache, layer: int, table_rows, hist_len: int,
+                        start_page: int = 0):
+        """Dense (dequantized) K/V of cached tokens
+        [start_page * page_size, start_page * page_size + hist_len) of a
+        batch of sequences (``table_rows`` [B, pps]) — exactly the bytes
+        the decode kernel would read, materialized for the chunk's
         flash-attention call. ``hist_len`` is static (chunk starts are
         multiples of prefill_chunk), so shapes and the q_offset of the
-        attention call compile once per chunk index. Returns k/v
+        attention call compile once per chunk index. ``start_page`` drops
+        leading pages a sliding window can never attend. Returns k/v
         [B, hkv, hist_len, d]."""
         from tpu_flash.ops.quant import QuantizedTensor, dequantize
 
         ps = self.config.cache.page_size
         n_pages = -(-hist_len // ps)
-        pages = table_rows[:, :n_pages]  # [B, np]
+        pages = table_rows[:, start_page : start_page + n_pages]  # [B, np]
         dtype = self.model.dtype
 
         def gather(pages_arr, scales_arr):
@@ -394,11 +403,21 @@ class InferenceEngine:
         use_paged = (
             self._paged_enabled() and hist_len > 0 and hist_len % ps == 0
         )
+        # Sliding window: drop whole leading pages no chunk row can attend
+        # (earliest window start = hist_len - window + 1), so the gather
+        # and the attention sweep scale with the window, not the history.
+        # The band mask is translation-invariant, so attention runs at
+        # q_offset = kept history length; rope positions stay absolute.
+        drop_pages = 0
+        if self._window is not None and hist_len > 0:
+            drop_pages = max(0, hist_len - self._window + 1) // ps
+        hist_keep = hist_len - drop_pages * ps
 
         def kv_hook(li, k, v):
             if hist_len and not use_paged:
                 hk, hv = self._gather_history(
-                    cache_cell[0], li, table_rows, hist_len
+                    cache_cell[0], li, table_rows, hist_keep,
+                    start_page=drop_pages,
                 )
                 k_all = jnp.concatenate([hk, k.astype(hk.dtype)], axis=2)
                 v_all = jnp.concatenate([hv, v.astype(hv.dtype)], axis=2)
@@ -427,12 +446,14 @@ class InferenceEngine:
                 return paged_prefill_attention(
                     q, k, v, kp, vp, starts_b, table_rows,
                     hist_cap=hist_len, interpret=self.interpret,
+                    window=self._window, softcap=self._softcap,
                 )
 
         logits = self.model.forward(
-            params, tokens, q_offset=hist_len, interpret=self.interpret,
+            params, tokens, q_offset=hist_keep, interpret=self.interpret,
             kv_hook=kv_hook, tp_axis=self._tp_axis,
             attention_fn=attention_fn,
+            positions=positions,  # absolute (rope); attention band shifts
         )
         last = logits[jnp.arange(b), n_valids - 1]  # [B, vocab]
         # NaN-watchdog flag: fused into the step, fetched with its results
@@ -553,6 +574,7 @@ class InferenceEngine:
                 return paged_prefill_attention(
                     q, k, v, kp, vp, starts, table_rows,
                     hist_cap=hist_cap, interpret=self.interpret,
+                    window=self._window, softcap=self._softcap,
                 )
 
         else:
@@ -561,6 +583,7 @@ class InferenceEngine:
                 return flash_attention_ragged(
                     q, k, v, starts, hist_cap=hist_cap,
                     interpret=self.interpret,
+                    window=self._window, softcap=self._softcap,
                 )
 
         logits = self.model.forward(
@@ -706,7 +729,8 @@ class InferenceEngine:
 
             attn = paged_attention(
                 q, k_view, v_view, attn_lengths, page_tables,
-                interpret=self.interpret,
+                interpret=self.interpret, window=cfg.sliding_window,
+                softcap=cfg.attn_softcap,
             )  # [mb, hq, d]
             attn = attn.reshape(x.shape[0], -1)
             proj = attn @ layer["wo"]
@@ -909,6 +933,7 @@ class InferenceEngine:
                 return paged_prefill_attention(
                     q, k, v, kp, vp, lengths_b, table_rows,
                     hist_cap=hist_full, interpret=self.interpret,
+                    window=self._window, softcap=self._softcap,
                 )
 
         else:
@@ -929,8 +954,15 @@ class InferenceEngine:
                     )
                     * scale
                 )
+                if self._softcap is not None:
+                    s_ = self._softcap * jnp.tanh(s_ / self._softcap)
                 key_pos = jnp.arange(hist_full)[None, None, None, :]
                 allow = key_pos <= positions[:, None, :, None]
+                if self._window is not None:
+                    allow = jnp.logical_and(
+                        allow,
+                        key_pos > positions[:, None, :, None] - self._window,
+                    )
                 s_ = jnp.where(allow, s_, -1e30)
                 w = jax.nn.softmax(s_, axis=-1)
                 return jnp.einsum("bhqk,bhkd->bhqd", w, vf).astype(q.dtype)

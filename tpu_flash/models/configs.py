@@ -25,6 +25,12 @@ class ModelConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     dtype: str = "bfloat16"
+    # Sliding-window attention (Mistral convention: each position attends to
+    # the previous `sliding_window` positions including itself) — None for
+    # full causal attention. Applied in every layer.
+    sliding_window: "int | None" = None
+    # Gemma-2-style attention logit soft-capping (tanh), None to disable.
+    attn_softcap: "float | None" = None
 
     @property
     def attention(self) -> AttentionConfig:
@@ -61,6 +67,18 @@ LLAMA3_8B = ModelConfig(
     head_dim=128,
     intermediate_size=14336,
     rope_theta=500000.0,
+)
+
+MISTRAL_7B = ModelConfig(
+    name="mistral-7b",
+    vocab_size=32000,
+    hidden_size=4096,
+    num_layers=32,
+    num_q_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    intermediate_size=14336,
+    sliding_window=4096,
 )
 
 # Tiny config for CI: same structure, trivial sizes.

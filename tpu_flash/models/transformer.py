@@ -144,6 +144,7 @@ class FlashTransformer:
         tp_axis: Optional[str] = None,
         positions: Optional[jax.Array] = None,
         attention_fn=None,
+        segment_ids: Optional[jax.Array] = None,
     ):
         """Causal forward over a token block using the flash prefill kernel.
 
@@ -169,11 +170,42 @@ class FlashTransformer:
         attn`` replaces the causal flash call for paths whose masking the
         static-offset kernel can't express (again: dynamic-offset
         verification) — the rest of the layer body stays single-sourced.
+        ``segment_ids`` [batch, seq]: packed multi-document training —
+        rope positions restart at each document boundary and attention is
+        segment-masked in-kernel. Incompatible with kv_hook/attention_fn
+        (a packed row has no KV-cache serving path).
         """
         cfg = self.config
+        seg_attn = None
+        if segment_ids is not None:
+            if kv_hook is not None or attention_fn is not None:
+                raise ValueError(
+                    "segment_ids (packed training) cannot combine with "
+                    "kv_hook/attention_fn (serving seams)"
+                )
+            from tpu_flash.ops.flash import SegmentIds
+
+            seg_attn = SegmentIds(segment_ids, segment_ids)
         x = params["embed"][tokens].astype(self.dtype)
         if positions is None:
-            positions = q_offset + jnp.arange(tokens.shape[1])
+            if segment_ids is not None:
+                # Positions restart per document: arange minus the start
+                # index of each row's current segment (cummax over boundary
+                # indices).
+                ar = jnp.arange(tokens.shape[1])
+                boundary = jnp.concatenate(
+                    [
+                        jnp.ones_like(segment_ids[:, :1], dtype=bool),
+                        segment_ids[:, 1:] != segment_ids[:, :-1],
+                    ],
+                    axis=1,
+                )
+                seg_start = jax.lax.cummax(
+                    jnp.where(boundary, ar[None], 0), axis=1
+                )
+                positions = ar[None] - seg_start  # [batch, seq]
+            else:
+                positions = q_offset + jnp.arange(tokens.shape[1])
         kvs = []
         for li, layer in enumerate(params["layers"]):
             xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
@@ -187,7 +219,8 @@ class FlashTransformer:
             else:
                 attn = flash_attention(
                     q, k, v, causal=True, q_offset=q_offset,
-                    interpret=interpret,
+                    interpret=interpret, window=cfg.sliding_window,
+                    softcap=cfg.attn_softcap, segment_ids=seg_attn,
                 )
             b, h, s, d = attn.shape
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
@@ -203,14 +236,29 @@ class FlashTransformer:
             return logits, kvs
         return logits
 
-    def loss_fn(self, params: Params, tokens: jax.Array) -> jax.Array:
+    def loss_fn(
+        self,
+        params: Params,
+        tokens: jax.Array,
+        segment_ids: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """Next-token cross-entropy over a batch — the training objective
-        used by the multi-chip training step."""
-        logits = self.forward(params, tokens[:, :-1])
+        used by the multi-chip training step.
+
+        ``segment_ids`` [batch, seq]: packed training — attention and rope
+        restart per document, and positions whose next token belongs to a
+        DIFFERENT document are excluded from the loss."""
+        logits = self.forward(
+            params, tokens[:, :-1],
+            segment_ids=None if segment_ids is None else segment_ids[:, :-1],
+        )
         targets = tokens[:, 1:]
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-        return jnp.mean(nll)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        if segment_ids is None:
+            return jnp.mean(nll)
+        same = (segment_ids[:, :-1] == segment_ids[:, 1:]).astype(nll.dtype)
+        return jnp.sum(nll * same) / jnp.maximum(jnp.sum(same), 1.0)
 
     # -- decode (one token per sequence, vs KV arrays) ------------------------
 

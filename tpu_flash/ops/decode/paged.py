@@ -138,6 +138,8 @@ def _paged_attn_kernel(
     int8_mxu: bool = False,  # quantized payloads ride the int8 MXU
     skip_scale_dma: bool = False,  # perf diagnostics only (wrong numerics)
     skip_scale_mul: bool = False,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -147,6 +149,16 @@ def _paged_attn_kernel(
 
     length = lengths_ref[b]
     num_active = pl.cdiv(length, bk)
+
+    def first_block(ln):
+        # Sliding window: the token at position ln-1 attends to positions
+        # >= ln - window; blocks before that are neither fetched nor
+        # computed (decode cost scales with the window, not the context).
+        if window is None:
+            return 0
+        return jnp.maximum((ln - window) // bk, 0)
+
+    first_active = first_block(length)
 
     quantized = kv_quant is not None
 
@@ -163,19 +175,23 @@ def _paged_attn_kernel(
 
     def next_block_indices(b, h, i):
         """Next *active* (b, h, block) in grid order; sequences are
-        guaranteed length >= 1 so every (b, h) has >= 1 active block."""
+        guaranteed length >= 1 so every (b, h) has >= 1 active block.
+        With a sliding window the walk starts at the sequence's first
+        in-window block, not 0."""
         ni = i + 1
         roll_h = ni >= num_active
-        ni = jnp.where(roll_h, 0, ni)
         nh = jnp.where(roll_h, h + 1, h)
         roll_b = nh >= num_kv_heads
         nh = jnp.where(roll_b, 0, nh)
         nb = jnp.where(roll_b, b + 1, b)
+        # First block of the NEXT (b, h): same b unless rolling batch.
+        nfirst = first_block(lengths_ref[jnp.minimum(nb, batch - 1)])
+        ni = jnp.where(roll_h, nfirst, ni)
         return nb, nh, ni
 
-    @pl.when(i < num_active)
+    @pl.when(jnp.logical_and(i >= first_active, i < num_active))
     def _active():
-        @pl.when(i == 0)
+        @pl.when(i == first_active)
         def _reset_state():
             m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
             l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -187,13 +203,17 @@ def _paged_attn_kernel(
         # slots, inactive cells are skipped by the walk).
         def count_before(bb):
             def body(x, acc):
-                return acc + jnp.where(
-                    x < bb, pl.cdiv(lengths_ref[x], bk) * num_kv_heads, 0
-                )
+                lx = lengths_ref[x]
+                per_head = pl.cdiv(lx, bk) - first_block(lx)
+                return acc + jnp.where(x < bb, per_head * num_kv_heads, 0)
 
             return jax.lax.fori_loop(0, batch, body, 0)
 
-        cells_before = count_before(b) + h * num_active + i
+        cells_before = (
+            count_before(b)
+            + h * (num_active - first_active)
+            + (i - first_active)
+        )
         slot = jax.lax.rem(cells_before, 2)
 
         @pl.when(cells_before == 0)
@@ -277,10 +297,16 @@ def _paged_attn_kernel(
             )  # [q_per_kv, bk]
         if quantized and not skip_scale_mul:
             s = s * k_scale_buf[slot]  # [1, bk] column scales
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
 
-        # Mask positions beyond the sequence length.
+        # Mask positions beyond the sequence length (and, with a sliding
+        # window, before the window's first attended position).
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+        valid = pos < length
+        if window is not None:
+            valid = jnp.logical_and(valid, pos >= length - window)
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         # --- online softmax update ---
         m_prev = m_scratch[...]
@@ -352,6 +378,8 @@ def paged_attention(
     pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
     int8_mxu: bool = True,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
     _debug_skip_scale_dma: bool = False,  # perf diagnostics; WRONG numerics
     _debug_skip_dequant_mul: bool = False,
 ) -> jax.Array:
@@ -380,12 +408,22 @@ def paged_attention(
         page (pad short sequences' tables with a trash page, as the engine
         does); sequences much shorter than the block waste page reads —
         pass a smaller explicit value if your workload is short-context.
+      window: sliding-window size — the current token attends only to the
+        last ``window`` cache positions. KV blocks entirely before the
+        window are neither fetched nor computed, so decode cost scales
+        with the window rather than the context length.
+      softcap: tanh logit soft-capping (Gemma-2 convention), applied to
+        fully-dequantized scores before masking.
 
     Returns:
       [batch, num_q_heads, head_dim] attention output in q.dtype.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if softcap is not None and softcap <= 0:
+        raise ValueError(f"softcap must be > 0, got {softcap}")
 
     kv_quant = None
     k_scales = v_scales = None
@@ -492,6 +530,8 @@ def paged_attention(
         int8_mxu=int8_mxu,
         skip_scale_dma=_debug_skip_scale_dma,
         skip_scale_mul=_debug_skip_dequant_mul,
+        window=int(window) if window is not None else None,
+        softcap=float(softcap) if softcap is not None else None,
     )
 
     if kv_quant is None:

@@ -1,4 +1,5 @@
 from tpu_flash.ops.flash.api import flash_attention
+from tpu_flash.core.reference import SegmentIds
 from tpu_flash.ops.flash.quantized import (
     QuantizedAttentionInputs,
     dequantize_attention_inputs,

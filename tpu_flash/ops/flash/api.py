@@ -81,37 +81,60 @@ def _pad_qkv(q, k, v, block_sizes):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _flash_core(q, k, v, causal, sm_scale, block_sizes, q_offset, interpret,
-                window, softcap):
+def _pad_segs(q_seg, kv_seg, q_len_p, kv_len_p):
+    """Pad segment ids to the kernel shapes with DISTINCT sentinels (-1 for
+    q, -2 for kv) so padded rows/cols never match anything real (or each
+    other)."""
+    if q_seg is None:
+        return None, None
+    b, q_len = q_seg.shape
+    kv_len = kv_seg.shape[1]
+    qs = jnp.pad(
+        q_seg.astype(jnp.int32), ((0, 0), (0, q_len_p - q_len)),
+        constant_values=-1,
+    )
+    ks = jnp.pad(
+        kv_seg.astype(jnp.int32), ((0, 0), (0, kv_len_p - kv_len)),
+        constant_values=-2,
+    )
+    return qs, ks
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _flash_core(q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes,
+                q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
     o = flash_attention_forward(
         qp, kp, vp,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=False,
         interpret=interpret, window=window, softcap=softcap,
+        q_seg=qs, kv_seg=ks,
     )
     return o[:, :, :q_len, :head_dim]
 
 
-def _flash_core_fwd(q, k, v, causal, sm_scale, block_sizes, q_offset,
-                    interpret, window, softcap):
+def _flash_core_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes,
+                    q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
     o_p, lse_p = flash_attention_forward(
         qp, kp, vp,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
         interpret=interpret, window=window, softcap=softcap,
+        q_seg=qs, kv_seg=ks,
     )
     o = o_p[:, :, :q_len, :head_dim]
-    return o, (q, k, v, o_p, lse_p)
+    return o, (q, k, v, q_seg, kv_seg, o_p, lse_p)
 
 
 def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
                     window, softcap, residuals, g):
-    q, k, v, o_p, lse_p = residuals
+    q, k, v, q_seg, kv_seg, o_p, lse_p = residuals
     batch, num_q_heads, q_len, head_dim = q.shape
     num_kv_heads, kv_len = k.shape[1], k.shape[2]
     q_per_kv = num_q_heads // num_kv_heads
@@ -125,11 +148,12 @@ def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         (batch, num_q_heads, q_len_p, NUM_LANES),
     )
 
+    qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
     dq, dk, dv = flash_attention_backward(
         qp, kp, vp, o_p, lse_rep, do_p,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=kv_len, interpret=interpret,
-        window=window, softcap=softcap,
+        window=window, softcap=softcap, q_seg=qs, kv_seg=ks,
     )
     dq = dq[:, :, :q_len, :head_dim]
     dk = dk[:, :, :kv_len, :head_dim]
@@ -140,7 +164,7 @@ def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         dk = dk.sum(axis=2).astype(k.dtype)
         dv = dv.reshape(batch, num_kv_heads, q_per_kv, kv_len, head_dim)
         dv = dv.sum(axis=2).astype(v.dtype)
-    return dq, dk, dv
+    return dq, dk, dv, None, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -152,38 +176,42 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 # flash_attention_backward).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _flash_core_res(q, k, v, causal, sm_scale, block_sizes, q_offset,
-                    interpret, window, softcap):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _flash_core_res(q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes,
+                    q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
     o_p, lse_p = flash_attention_forward(
         qp, kp, vp,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
         interpret=interpret, window=window, softcap=softcap,
+        q_seg=qs, kv_seg=ks,
     )
     return o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len]
 
 
-def _flash_core_res_fwd(q, k, v, causal, sm_scale, block_sizes, q_offset,
-                        interpret, window, softcap):
+def _flash_core_res_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale,
+                        block_sizes, q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
+    qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
     o_p, lse_p = flash_attention_forward(
         qp, kp, vp,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
         interpret=interpret, window=window, softcap=softcap,
+        q_seg=qs, kv_seg=ks,
     )
     out = (o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len])
-    return out, (q, k, v, o_p, lse_p)
+    return out, (q, k, v, q_seg, kv_seg, o_p, lse_p)
 
 
 def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
                         window, softcap, residuals, gs):
     g, g_lse = gs
-    q, k, v, o_p, lse_p = residuals
+    q, k, v, q_seg, kv_seg, o_p, lse_p = residuals
     batch, num_q_heads, q_len, head_dim = q.shape
     num_kv_heads, kv_len = k.shape[1], k.shape[2]
     q_per_kv = num_q_heads // num_kv_heads
@@ -198,11 +226,12 @@ def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         (batch, num_q_heads, q_len_p, NUM_LANES),
     )
 
+    qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
     dq, dk, dv = flash_attention_backward(
         qp, kp, vp, o_p, lse_rep, do_p,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=kv_len, interpret=interpret,
-        dlse=dlse_p, window=window, softcap=softcap,
+        dlse=dlse_p, window=window, softcap=softcap, q_seg=qs, kv_seg=ks,
     )
     dq = dq[:, :, :q_len, :head_dim]
     dk = dk[:, :, :kv_len, :head_dim]
@@ -212,7 +241,7 @@ def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         dk = dk.sum(axis=2).astype(k.dtype)
         dv = dv.reshape(batch, num_kv_heads, q_per_kv, kv_len, head_dim)
         dv = dv.sum(axis=2).astype(v.dtype)
-    return dq, dk, dv
+    return dq, dk, dv, None, None
 
 
 _flash_core_res.defvjp(_flash_core_res_fwd, _flash_core_res_bwd)
@@ -226,15 +255,16 @@ _flash_core_res.defvjp(_flash_core_res_fwd, _flash_core_res_bwd)
     ),
 )
 def _flash_entry(q, k, v, causal, sm_scale, block_sizes, q_offset,
-                 save_residuals, interpret, window=None, softcap=None):
+                 save_residuals, interpret, window=None, softcap=None,
+                 q_seg=None, kv_seg=None):
     if not save_residuals:
         return _flash_core(
-            q, k, v, causal, sm_scale, block_sizes, q_offset, interpret,
-            window, softcap,
+            q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes, q_offset,
+            interpret, window, softcap,
         )
     return _flash_core_res(
-        q, k, v, causal, sm_scale, block_sizes, q_offset, interpret,
-        window, softcap,
+        q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes, q_offset,
+        interpret, window, softcap,
     )
 
 
@@ -251,6 +281,7 @@ def flash_attention(
     interpret: Optional[bool] = None,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    segment_ids=None,
 ) -> jax.Array:
     """Fused multi-head / grouped-query flash attention (differentiable).
 
@@ -279,6 +310,11 @@ def flash_attention(
       softcap: logit soft-capping — scores become
         ``softcap * tanh(scores / softcap)`` after scaling, before masking
         (Gemma-2 convention). Differentiable.
+      segment_ids: ``SegmentIds(q=[batch, q_len], kv=[batch, kv_len])``
+        int32 ids (or a 2-tuple) for packed multi-document attention:
+        positions with differing ids never attend each other. Composes
+        with ``causal``/``window``/``softcap``; gradients do not flow to
+        the ids.
 
     Returns:
       [batch, num_q_heads, q_len, head_dim] in q.dtype, or ``(o, lse)``.
@@ -310,6 +346,19 @@ def flash_attention(
         if softcap <= 0:
             raise ValueError(f"softcap must be > 0, got {softcap}")
         softcap = float(softcap)
+    q_seg = kv_seg = None
+    if segment_ids is not None:
+        q_seg, kv_seg = segment_ids  # SegmentIds NamedTuple or 2-tuple
+        if q_seg.shape != (q.shape[0], q.shape[2]):
+            raise ValueError(
+                f"q segment ids must be [batch, q_len] = "
+                f"{(q.shape[0], q.shape[2])}, got {q_seg.shape}"
+            )
+        if kv_seg.shape != (k.shape[0], k.shape[2]):
+            raise ValueError(
+                f"kv segment ids must be [batch, kv_len] = "
+                f"{(k.shape[0], k.shape[2])}, got {kv_seg.shape}"
+            )
 
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -322,5 +371,5 @@ def flash_attention(
 
     return _flash_entry(
         q, k, v, causal, float(sm_scale), block_sizes, q_offset,
-        save_residuals, interpret, window, softcap,
+        save_residuals, interpret, window, softcap, q_seg, kv_seg,
     )

@@ -44,7 +44,8 @@ def _precision(dtype):
 
 
 def _recompute_p(q, k, lse_col, *, sm_scale, causal, mask_kv_tail, kv_len,
-                 q_pos0, kv_pos0, precision, window=None, softcap=None):
+                 q_pos0, kv_pos0, precision, window=None, softcap=None,
+                 qseg_ref=None, kvseg_ref=None):
     """Recompute attention weights p = exp(sm_scale * q k^T - lse), masked.
 
     Returns ``(p, dcap)`` where ``dcap`` is the softcap chain-rule factor
@@ -63,7 +64,7 @@ def _recompute_p(q, k, lse_col, *, sm_scale, causal, mask_kv_tail, kv_len,
         s = softcap * t
         dcap = 1.0 - t * t
     p = jnp.exp(s - lse_col)
-    if causal or mask_kv_tail:
+    if causal or mask_kv_tail or qseg_ref is not None:
         row_ids = q_pos0 + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 0
         )
@@ -75,6 +76,11 @@ def _recompute_p(q, k, lse_col, *, sm_scale, causal, mask_kv_tail, kv_len,
             mask = col_ids <= row_ids
             if window is not None:
                 mask = jnp.logical_and(mask, col_ids > row_ids - window)
+        if qseg_ref is not None:
+            from tpu_flash.ops.flash.forward import _seg_mask
+
+            seg = _seg_mask(qseg_ref, kvseg_ref, 0, block_q, block_kv)
+            mask = seg if mask is None else jnp.logical_and(mask, seg)
         if mask_kv_tail:
             tail = col_ids < kv_len
             mask = tail if mask is None else jnp.logical_and(mask, tail)
@@ -95,19 +101,30 @@ def _flash_bwd_dkv_kernel(
     triangular: bool = False,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    have_seg: bool = False,
 ):
+    qseg_ref = kvseg_ref = None
     if triangular:
-        (kvmap_ref, qmap_ref, isfirst_ref, islast_ref, q_ref, k_ref, v_ref,
-         do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scratch,
-         dv_scratch) = args
+        if have_seg:
+            (kvmap_ref, qmap_ref, isfirst_ref, islast_ref, q_ref, k_ref,
+             v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref, dk_ref,
+             dv_ref, dk_scratch, dv_scratch) = args
+        else:
+            (kvmap_ref, qmap_ref, isfirst_ref, islast_ref, q_ref, k_ref,
+             v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scratch,
+             dv_scratch) = args
         c = pl.program_id(2)
         kv_idx = kvmap_ref[c]
         q_idx = qmap_ref[c]
         init_now = isfirst_ref[c] == 1
         is_last = islast_ref[c] == 1
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-         dk_scratch, dv_scratch) = args
+        if have_seg:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
+             kvseg_ref, dk_ref, dv_ref, dk_scratch, dv_scratch) = args
+        else:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+             dk_scratch, dv_scratch) = args
         kv_idx = pl.program_id(2)
         q_idx = pl.program_id(3)
         init_now = q_idx == 0
@@ -150,6 +167,7 @@ def _flash_bwd_dkv_kernel(
             kv_len=kv_len, q_pos0=q_offset + q_idx * block_q,
             kv_pos0=kv_idx * block_kv, precision=precision,
             window=window, softcap=softcap,
+            qseg_ref=qseg_ref, kvseg_ref=kvseg_ref,
         )
 
         # dv += p^T @ do    (contract over the q dimension, no transpose op)
@@ -191,18 +209,28 @@ def _flash_bwd_dq_kernel(
     triangular: bool = False,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    have_seg: bool = False,
 ):
+    qseg_ref = kvseg_ref = None
     if triangular:
-        (qmap_ref, kvmap_ref, islast_ref, q_ref, k_ref, v_ref, do_ref,
-         lse_ref, di_ref, dq_ref, dq_scratch) = args
+        if have_seg:
+            (qmap_ref, kvmap_ref, islast_ref, q_ref, k_ref, v_ref, do_ref,
+             lse_ref, di_ref, qseg_ref, kvseg_ref, dq_ref, dq_scratch) = args
+        else:
+            (qmap_ref, kvmap_ref, islast_ref, q_ref, k_ref, v_ref, do_ref,
+             lse_ref, di_ref, dq_ref, dq_scratch) = args
         c = pl.program_id(2)
         q_idx = qmap_ref[c]
         kv_idx = kvmap_ref[c]
         is_last = islast_ref[c] == 1
         should_run = True  # only active cells are enumerated
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
-         dq_scratch) = args
+        if have_seg:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
+             kvseg_ref, dq_ref, dq_scratch) = args
+        else:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+             dq_scratch) = args
         q_idx = pl.program_id(2)
         kv_idx = pl.program_id(3)
         if causal:
@@ -254,6 +282,7 @@ def _flash_bwd_dq_kernel(
             kv_len=kv_len, q_pos0=q_offset + q_idx * block_q,
             kv_pos0=kv_idx * block_kv, precision=precision,
             window=window, softcap=softcap,
+            qseg_ref=qseg_ref, kvseg_ref=kvseg_ref,
         )
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), TRANS_B,
@@ -332,6 +361,8 @@ def flash_attention_backward(
     dlse: Optional[jax.Array] = None,  # [b, hq, q_len_p] lse cotangent
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    q_seg: Optional[jax.Array] = None,  # [b, q_len_p] int32 (pre-padded)
+    kv_seg: Optional[jax.Array] = None,  # [b, kv_len_p] int32
 ):
     """Compute (dq, dk, dv) on pre-padded inputs.
 
@@ -355,6 +386,17 @@ def flash_attention_backward(
     if dlse is not None:
         di = di - dlse.astype(jnp.float32)
     di_rep = jnp.broadcast_to(di[..., None], (*di.shape, NUM_LANES))
+
+    have_seg = q_seg is not None
+    if have_seg:
+        # Hardware layouts shared by both backward kernels (block-size
+        # independent; only the BlockSpecs differ).
+        qseg_l = jax.lax.broadcast_in_dim(
+            q_seg.astype(jnp.int32), (batch, q_len, NUM_LANES), (0, 1)
+        )
+        kvseg_s = jax.lax.broadcast_in_dim(
+            kv_seg.astype(jnp.int32), (batch, 8, kv_len_padded), (0, 2)
+        )
 
     # ---- dKV kernel ----
     block_q = min(block_sizes.block_q_dkv, q_len)
@@ -417,6 +459,7 @@ def flash_attention_backward(
         triangular=triangular,
         window=window,
         softcap=softcap,
+        have_seg=have_seg,
     )
     dkv_out_shape = [
         jax.ShapeDtypeStruct(
@@ -445,12 +488,27 @@ def flash_attention_backward(
             (1, 1, block_q, NUM_LANES),
             lambda b, h, c, km, qm, fi, il: (b, h, qm[c], 0),
         )
+        tri_in_specs = [
+            tq_spec, tkv_spec, tkv_spec, tq_spec, tres_spec, tres_spec,
+        ]
+        tri_inputs = (kvmap, qmap, isfirst, islast, q, k, v, do, lse_rep,
+                      di_rep)
+        if have_seg:
+            tri_in_specs += [
+                pl.BlockSpec(
+                    (1, block_q, NUM_LANES),
+                    lambda b, h, c, km, qm, fi, il: (b, qm[c], 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, block_kv),
+                    lambda b, h, c, km, qm, fi, il: (b, 0, km[c]),
+                ),
+            ]
+            tri_inputs = tri_inputs + (qseg_l, kvseg_s)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(batch, num_q_heads, n_cells),
-            in_specs=[
-                tq_spec, tkv_spec, tkv_spec, tq_spec, tres_spec, tres_spec,
-            ],
+            in_specs=tri_in_specs,
             out_specs=[
                 pl.BlockSpec(
                     (1, 1, block_kv, head_dim),
@@ -468,12 +526,26 @@ def flash_attention_backward(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(kvmap, qmap, isfirst, islast, q, k, v, do, lse_rep, di_rep)
+        )(*tri_inputs)
     else:
+        rect_in_specs = [q_spec, kv_spec, kv_spec, q_spec, res_spec,
+                         res_spec]
+        rect_inputs = (q, k, v, do, lse_rep, di_rep)
+        if have_seg:
+            rect_in_specs += [
+                pl.BlockSpec(
+                    (1, block_q, NUM_LANES),
+                    lambda b, h, kv, q_i: (b, q_block_index(q_i, kv), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, block_kv), lambda b, h, kv, q_i: (b, 0, kv)
+                ),
+            ]
+            rect_inputs = rect_inputs + (qseg_l, kvseg_s)
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid=(batch, num_q_heads, num_kv_blocks, num_q_blocks),
-            in_specs=[q_spec, kv_spec, kv_spec, q_spec, res_spec, res_spec],
+            in_specs=rect_in_specs,
             out_specs=[
                 pl.BlockSpec(
                     (1, 1, block_kv, head_dim),
@@ -489,7 +561,7 @@ def flash_attention_backward(
                 ),
             ),
             interpret=interpret,
-        )(q, k, v, do, lse_rep, di_rep)
+        )(*rect_inputs)
 
     # ---- dQ kernel ----
     block_q_dq = min(block_sizes.block_q_dq, q_len)
@@ -543,6 +615,7 @@ def flash_attention_backward(
         triangular=triangular,
         window=window,
         softcap=softcap,
+        have_seg=have_seg,
     )
     dq_scratch_shapes = [pltpu.VMEM((block_q_dq, head_dim), jnp.float32)]
     if triangular:
@@ -565,12 +638,26 @@ def flash_attention_backward(
             (1, 1, block_q_dq, NUM_LANES),
             lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
         )
+        tri_in_specs = [
+            tq_spec, tkv_spec, tkv_spec, tq_spec, tres_spec, tres_spec,
+        ]
+        tri_inputs = (qmap, kvmap, islast, q, k, v, do, lse_rep, di_rep)
+        if have_seg:
+            tri_in_specs += [
+                pl.BlockSpec(
+                    (1, block_q_dq, NUM_LANES),
+                    lambda b, h, c, qm, km, il: (b, qm[c], 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, block_kv_dq),
+                    lambda b, h, c, qm, km, il: (b, 0, km[c]),
+                ),
+            ]
+            tri_inputs = tri_inputs + (qseg_l, kvseg_s)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(batch, num_q_heads, n_cells),
-            in_specs=[
-                tq_spec, tkv_spec, tkv_spec, tq_spec, tres_spec, tres_spec,
-            ],
+            in_specs=tri_in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, block_q_dq, head_dim),
                 lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
@@ -585,15 +672,29 @@ def flash_attention_backward(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(qmap, kvmap, islast, q, k, v, do, lse_rep, di_rep)
+        )(*tri_inputs)
     else:
+        rect_in_specs = [
+            q_spec_dq, kv_spec_dq, kv_spec_dq, q_spec_dq, res_spec_dq,
+            res_spec_dq,
+        ]
+        rect_inputs = (q, k, v, do, lse_rep, di_rep)
+        if have_seg:
+            rect_in_specs += [
+                pl.BlockSpec(
+                    (1, block_q_dq, NUM_LANES),
+                    lambda b, h, q_i, kv: (b, q_i, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, block_kv_dq),
+                    lambda b, h, q_i, kv: (b, 0, kv_block_index(q_i, kv)),
+                ),
+            ]
+            rect_inputs = rect_inputs + (qseg_l, kvseg_s)
         dq = pl.pallas_call(
             dq_kernel,
             grid=(batch, num_q_heads, num_q_blocks_dq, num_kv_blocks_dq),
-            in_specs=[
-                q_spec_dq, kv_spec_dq, kv_spec_dq, q_spec_dq, res_spec_dq,
-                res_spec_dq,
-            ],
+            in_specs=rect_in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, block_q_dq, head_dim),
                 lambda b, h, q_i, kv: (b, h, q_i, 0),
@@ -606,6 +707,6 @@ def flash_attention_backward(
                 ),
             ),
             interpret=interpret,
-        )(q, k, v, do, lse_rep, di_rep)
+        )(*rect_inputs)
 
     return dq, dk, dv

@@ -41,10 +41,25 @@ NUM_LANES = 128
 TRANS_B_DIM_NUMBERS = (((1,), (1,)), ((), ()))  # q @ k.T
 
 
+def _seg_mask(qseg_ref, kvseg_ref, start, block_q, block_kv):
+    """[block_q, block_kv] equality mask from lane-replicated q ids
+    ([block_q, NUM_LANES]) and sublane-replicated kv ids ([8, kv_block])."""
+    kv_ids = kvseg_ref[0, :1, start : start + block_kv]  # [1, block_kv]
+    q_ids = qseg_ref[0]  # [block_q, NUM_LANES]
+    if block_kv > NUM_LANES:
+        assert block_kv % NUM_LANES == 0, (block_kv, NUM_LANES)
+        q_ids = jnp.tile(q_ids, (1, block_kv // NUM_LANES))
+    elif block_kv < NUM_LANES:
+        q_ids = q_ids[:, :block_kv]
+    return q_ids == kv_ids
+
+
 def _flash_fwd_kernel(
     q_ref,  # [1, 1, block_q, head_dim]
     k_ref,  # [1, 1, block_kv_major, head_dim]
     v_ref,  # [1, 1, block_kv_major, head_dim]
+    qseg_ref,  # [1, block_q, NUM_LANES] int32 or None
+    kvseg_ref,  # [1, 8, block_kv_major] int32 or None
     o_ref,  # [1, 1, block_q, head_dim]
     lse_ref,  # [1, 1, block_q, NUM_LANES] or None
     m_scratch,  # VMEM [block_q, NUM_LANES] f32
@@ -126,7 +141,7 @@ def _flash_fwd_kernel(
                 s = softcap * jnp.tanh(s * (1.0 / softcap))
 
             kv_base = kv_idx * block_kv_major + start
-            if causal or mask_kv_tail:
+            if causal or mask_kv_tail or qseg_ref is not None:
                 # Loop-invariant index matrices + per-tile scalar thresholds:
                 # the iotas are grid-cell independent (hoistable), so the
                 # per-tile mask costs ~2 VPU passes (compare + select).
@@ -146,6 +161,11 @@ def _flash_fwd_kernel(
                         mask = jnp.logical_and(
                             mask, (col - row) > thr - window
                         )
+                if qseg_ref is not None:
+                    seg = _seg_mask(
+                        qseg_ref, kvseg_ref, start, block_q, block_kv
+                    )
+                    mask = seg if mask is None else jnp.logical_and(mask, seg)
                 if mask_kv_tail:
                     tail = col < kv_len - kv_base
                     mask = tail if mask is None else jnp.logical_and(mask, tail)
@@ -201,6 +221,8 @@ def _flash_fwd_tri_kernel(
     q_ref,
     k_ref,
     v_ref,
+    qseg_ref,  # [1, block_q, NUM_LANES] int32 or None
+    kvseg_ref,  # [1, 8, block_kv_major] int32 or None
     o_ref,
     lse_ref,
     m_scratch,
@@ -264,6 +286,10 @@ def _flash_fwd_tri_kernel(
         mask = (col - row) <= thr
         if window is not None:
             mask = jnp.logical_and(mask, (col - row) > thr - window)
+        if qseg_ref is not None:
+            mask = jnp.logical_and(
+                mask, _seg_mask(qseg_ref, kvseg_ref, start, block_q, block_kv)
+            )
         if mask_kv_tail:
             mask = jnp.logical_and(mask, col < kv_len - kv_base)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -312,6 +338,8 @@ def flash_attention_forward(
     triangular: bool = False,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    q_seg: Optional[jax.Array] = None,  # [batch, q_len] int32 (pre-padded)
+    kv_seg: Optional[jax.Array] = None,  # [batch, kv_len_padded] int32
 ):
     """Launch the forward kernel on pre-padded inputs.
 
@@ -373,6 +401,28 @@ def flash_attention_forward(
             lambda b, h, q, kv: (b, h // q_per_kv, kv_block_index(q, kv), 0),
         ),
     ]
+    have_seg = q_seg is not None
+    extra_inputs = ()
+    if have_seg:
+        # Lane-replicated q ids and sublane-replicated kv ids: the hardware
+        # layouts the (block_q x block_kv) equality mask builds from with
+        # one tile/broadcast each (the splash-attention segment-id scheme).
+        qseg_l = jax.lax.broadcast_in_dim(
+            q_seg.astype(jnp.int32), (batch, q_len, NUM_LANES), (0, 1)
+        )
+        kvseg_s = jax.lax.broadcast_in_dim(
+            kv_seg.astype(jnp.int32), (batch, 8, kv_len_padded), (0, 2)
+        )
+        in_specs += [
+            pl.BlockSpec(
+                (1, block_q, NUM_LANES), lambda b, h, q, kv: (b, q, 0)
+            ),
+            pl.BlockSpec(
+                (1, 8, block_kv_major),
+                lambda b, h, q, kv: (b, 0, kv_block_index(q, kv)),
+            ),
+        ]
+        extra_inputs = (qseg_l, kvseg_s)
     out_shapes = [
         jax.ShapeDtypeStruct(q.shape, q.dtype),
     ]
@@ -405,12 +455,24 @@ def flash_attention_forward(
         window=window,
         softcap=softcap,
     )
-    if save_residuals:
+    # Splice Nones for the optional refs absent from the positional list.
+    if save_residuals and have_seg:
         kernel = base_kernel
+    elif save_residuals:
+        def kernel(q_r, k_r, v_r, o_r, lse_r, m_s, l_s, acc_s):
+            return base_kernel(
+                q_r, k_r, v_r, None, None, o_r, lse_r, m_s, l_s, acc_s
+            )
+    elif have_seg:
+        def kernel(q_r, k_r, v_r, qs_r, ks_r, o_r, m_s, l_s, acc_s):
+            return base_kernel(
+                q_r, k_r, v_r, qs_r, ks_r, o_r, None, m_s, l_s, acc_s
+            )
     else:
-        # No lse output ref in the positional list; splice in None.
         def kernel(q_r, k_r, v_r, o_r, m_s, l_s, acc_s):
-            return base_kernel(q_r, k_r, v_r, o_r, None, m_s, l_s, acc_s)
+            return base_kernel(
+                q_r, k_r, v_r, None, None, o_r, None, m_s, l_s, acc_s
+            )
 
     scratch_shapes = [
         pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # m
@@ -427,6 +489,7 @@ def flash_attention_forward(
             num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
             q_per_kv=q_per_kv, save_residuals=save_residuals,
             interpret=interpret, window=window, softcap=softcap,
+            q_seg=q_seg, kv_seg=kv_seg,
         )
 
     # 2 matmuls (QK^T and PV), 2*M*N*K flops each.
@@ -453,7 +516,7 @@ def flash_attention_forward(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, *extra_inputs)
 
     o = outs[0]
     if save_residuals:
@@ -501,7 +564,7 @@ def build_tri_cells(
 def _forward_triangular(
     q, k, v, *, sm_scale, block_q, block_kv_major, block_kv, q_offset,
     kv_len, num_q_blocks, num_kv_blocks, q_per_kv, save_residuals,
-    interpret, window=None, softcap=None,
+    interpret, window=None, softcap=None, q_seg=None, kv_seg=None,
 ):
     """Causal forward over the active-cell enumeration (triangular grid)."""
     batch, num_q_heads, q_len, head_dim = q.shape
@@ -527,6 +590,26 @@ def _forward_triangular(
             lambda b, h, c, qm, km, il: (b, h // q_per_kv, km[c], 0),
         ),
     ]
+    have_seg = q_seg is not None
+    extra_inputs = ()
+    if have_seg:
+        qseg_l = jax.lax.broadcast_in_dim(
+            q_seg.astype(jnp.int32), (batch, q_len, NUM_LANES), (0, 1)
+        )
+        kvseg_s = jax.lax.broadcast_in_dim(
+            kv_seg.astype(jnp.int32), (batch, 8, kv_len_padded), (0, 2)
+        )
+        in_specs += [
+            pl.BlockSpec(
+                (1, block_q, NUM_LANES),
+                lambda b, h, c, qm, km, il: (b, qm[c], 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, block_kv_major),
+                lambda b, h, c, qm, km, il: (b, 0, km[c]),
+            ),
+        ]
+        extra_inputs = (qseg_l, kvseg_s)
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     out_specs = [
         pl.BlockSpec(
@@ -557,12 +640,26 @@ def _forward_triangular(
         window=window,
         softcap=softcap,
     )
-    if save_residuals:
+    if save_residuals and have_seg:
         kernel = base_kernel
+    elif save_residuals:
+        def kernel(qm, km, il, q_r, k_r, v_r, o_r, lse_r, m_s, l_s, acc_s):
+            return base_kernel(
+                qm, km, il, q_r, k_r, v_r, None, None, o_r, lse_r,
+                m_s, l_s, acc_s,
+            )
+    elif have_seg:
+        def kernel(qm, km, il, q_r, k_r, v_r, qs_r, ks_r, o_r, m_s, l_s,
+                   acc_s):
+            return base_kernel(
+                qm, km, il, q_r, k_r, v_r, qs_r, ks_r, o_r, None,
+                m_s, l_s, acc_s,
+            )
     else:
         def kernel(qm, km, il, q_r, k_r, v_r, o_r, m_s, l_s, acc_s):
             return base_kernel(
-                qm, km, il, q_r, k_r, v_r, o_r, None, m_s, l_s, acc_s
+                qm, km, il, q_r, k_r, v_r, None, None, o_r, None,
+                m_s, l_s, acc_s,
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -597,7 +694,7 @@ def _forward_triangular(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(qmap, kvmap, islast, q, k, v)
+    )(qmap, kvmap, islast, q, k, v, *extra_inputs)
 
     o = outs[0]
     if save_residuals:

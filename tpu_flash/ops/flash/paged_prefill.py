@@ -94,6 +94,8 @@ def _paged_prefill_kernel(
     num_hist_blocks: int,
     num_chunk_blocks: int,
     scales_on: bool,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     rows = q_ref.shape[1]  # q_per_kv * block_q
     block_q = rows // q_per_kv
@@ -236,8 +238,24 @@ def _paged_prefill_kernel(
             q, k_tile, TRANS_B_DIM_NUMBERS,
             preferred_element_type=jnp.float32, precision=precision,
         )
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
-        s = jnp.where(col + kv_idx * bk < offs, s, DEFAULT_MASK_VALUE)
+        valid = col + kv_idx * bk < offs
+        if window is not None:
+            # Row r of the stacked tile is chunk position
+            # q_idx*block_q + (r % block_q), i.e. absolute position
+            # offs + that; history col j (= kv_idx*bk + col) is in-window
+            # iff j > abs_pos - window.
+            row_in_blk = jax.lax.broadcasted_iota(
+                jnp.int32, (q_per_kv, block_q, bk), 1
+            ).reshape(rows, bk)
+            valid = jnp.logical_and(
+                valid,
+                col + kv_idx * bk
+                > offs + q_idx * block_q + row_in_blk - window,
+            )
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
         make_copy(
             v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
             v_scale_sem, b, h, kv_idx, slot,
@@ -249,20 +267,35 @@ def _paged_prefill_kernel(
 
     c_idx = kv_idx - num_hist_blocks  # chunk block index when >= 0
 
-    @pl.when(jnp.logical_and(kv_idx >= num_hist_blocks, c_idx <= q_idx))
+    chunk_live = jnp.logical_and(kv_idx >= num_hist_blocks, c_idx <= q_idx)
+    if window is not None:
+        # Skip chunk tiles entirely below every row's window.
+        chunk_live = jnp.logical_and(
+            chunk_live,
+            (q_idx - c_idx) * block_q - (block_q - 1) < window,
+        )
+
+    @pl.when(chunk_live)
     def _chunk_block():
         k_tile = ck_ref[0]
         s = jax.lax.dot_general(
             q, k_tile, TRANS_B_DIM_NUMBERS,
             preferred_element_type=jnp.float32, precision=precision,
         )
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         # Row r of the stacked tile is query position
         # q_idx * block_q + (r % block_q) of head r // block_q.
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_q), 1)
         row_in_blk = jax.lax.broadcasted_iota(
             jnp.int32, (q_per_kv, block_q, block_q), 1
         ).reshape(rows, block_q)
-        mask = (col - row_in_blk) <= (q_idx - c_idx) * block_q
+        rel = (col - row_in_blk) - (q_idx - c_idx) * block_q
+        mask = rel <= 0
+        if window is not None:
+            # Chunk col and query share the offs base; the window bound is
+            # on their chunk-position difference.
+            mask = jnp.logical_and(mask, rel > -window)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         softmax_update(s, cv_ref[0])
 
@@ -291,6 +324,8 @@ def paged_prefill_attention(
     block_q: int = 512,
     pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Chunk attention over [paged history | dense chunk].
 
@@ -299,9 +334,18 @@ def paged_prefill_attention(
     tokens (dequantized exactly as the decode kernel reads them) plus the
     chunk itself. ``hist_cap`` (static) bounds the history sweep; rows
     read only ceil(q_offsets[b]/block) history blocks.
+
+    ``window`` / ``softcap``: sliding-window band mask over absolute
+    positions and tanh logit capping (see flash_attention). Below-window
+    history pages are still streamed (the DMA walk is window-oblivious)
+    but their tiles are masked; below-window chunk tiles are skipped.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if softcap is not None and softcap <= 0:
+        raise ValueError(f"softcap must be > 0, got {softcap}")
     batch, num_q_heads, q_len, head_dim = q.shape
     num_kv_heads = chunk_k.shape[1]
     q_per_kv = num_q_heads // num_kv_heads
@@ -448,6 +492,8 @@ def paged_prefill_attention(
             num_hist_blocks=num_hist_blocks,
             num_chunk_blocks=num_chunk_blocks,
             scales_on=scales_on,
+            window=int(window) if window is not None else None,
+            softcap=float(softcap) if softcap is not None else None,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -68,6 +68,8 @@ def _ragged_prefill_kernel(
     sm_scale: float,
     hist_cap: int,
     num_kv_blocks: int,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     block_q = q_ref.shape[1]
     block_kv = k_ref.shape[1]
@@ -84,12 +86,29 @@ def _ragged_prefill_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     # A tile contributes iff it overlaps the row's live history
-    # (kv_base < offs) or the causally-visible part of the chunk region.
+    # (kv_base < offs) or the causally-visible part of the chunk region —
+    # and, with a sliding window, reaches past the window's lower edge.
+    # Absolute positions: history column j sits at j; chunk column c at
+    # offs + (c - hist_cap); query row i at offs + i.
     max_q_pos = (q_idx + 1) * block_q - 1
+    in_hist = kv_base < offs
     in_chunk = jnp.logical_and(
         kv_base + block_kv > hist_cap, kv_base <= hist_cap + max_q_pos
     )
-    should_run = jnp.logical_or(kv_base < offs, in_chunk)
+    if window is not None:
+        min_q_pos = q_idx * block_q
+        # History tile: its last column must be >= the first row's window
+        # start (offs + min_q_pos - window + 1).
+        in_hist = jnp.logical_and(
+            in_hist,
+            kv_base + block_kv - 1 >= offs + min_q_pos - window + 1,
+        )
+        # Chunk tile: its last chunk column must be > min_q_pos - window.
+        in_chunk = jnp.logical_and(
+            in_chunk,
+            kv_base + block_kv - 1 - hist_cap > min_q_pos - window,
+        )
+    should_run = jnp.logical_or(in_hist, in_chunk)
 
     precision = (
         jax.lax.Precision.HIGHEST
@@ -107,6 +126,8 @@ def _ragged_prefill_kernel(
             q, k, TRANS_B_DIM_NUMBERS,
             preferred_element_type=jnp.float32, precision=precision,
         )
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
         col_glob = col + kv_base
@@ -115,6 +136,17 @@ def _ragged_prefill_kernel(
         vis_chunk = jnp.logical_and(
             col_glob >= hist_cap, col_glob - hist_cap <= row_glob
         )
+        if window is not None:
+            # Window lower edge in absolute positions (query row_glob sits
+            # at offs + row_glob): history col j visible iff
+            # j > offs + row_glob - window; chunk col c iff
+            # (c - hist_cap) > row_glob - window.
+            vis_hist = jnp.logical_and(
+                vis_hist, col_glob > offs + row_glob - window
+            )
+            vis_chunk = jnp.logical_and(
+                vis_chunk, col_glob - hist_cap > row_glob - window
+            )
         s = jnp.where(
             jnp.logical_or(vis_hist, vis_chunk), s, DEFAULT_MASK_VALUE
         )
@@ -171,6 +203,8 @@ def flash_attention_ragged(
     sm_scale: Optional[float] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Mixed-stage chunk attention over [history | chunk] KV buffers.
 
@@ -179,9 +213,18 @@ def flash_attention_ragged(
     q_offsets[b] history tokens plus the chunk itself; history columns in
     [q_offsets[b], hist_cap) are ignored (padding/garbage allowed, but
     must be finite).
+
+    ``window``: Mistral-style sliding window over absolute positions (the
+    chunk's query i of row b sits at position q_offsets[b] + i); tiles
+    entirely below a row's window are neither fetched nor computed.
+    ``softcap``: Gemma-2-style tanh logit capping.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if softcap is not None and softcap <= 0:
+        raise ValueError(f"softcap must be > 0, got {softcap}")
     batch, num_q_heads, q_len, head_dim = q.shape
     _, num_kv_heads, kv_len, _ = k.shape
     if kv_len != hist_cap + q_len:
@@ -233,12 +276,43 @@ def flash_attention_ragged(
         num_kv_blocks - 1,
         (hist_cap + (qi + 1) * block_q - 1) // block_kv,
     )  # [nq]
-    dead = jnp.logical_and(
-        kvi[None, :] * block_kv >= offs_bh[:, None],
-        (kvi[None, :] + 1) * block_kv <= hist_cap,
-    )  # [bh, nkv]
-    idx = jnp.where(dead, jnp.int32(first_chunk_blk), kvi[None, :])
-    kvmap = jnp.minimum(idx[:, None, :], last_q[None, :, None])
+    if window is None:
+        dead = jnp.logical_and(
+            kvi[None, :] * block_kv >= offs_bh[:, None],
+            (kvi[None, :] + 1) * block_kv <= hist_cap,
+        )  # [bh, nkv]
+        idx = jnp.where(dead, jnp.int32(first_chunk_blk), kvi[None, :])
+        kvmap = jnp.minimum(idx[:, None, :], last_q[None, :, None])
+    else:
+        # Windowed map: mark the LIVE tiles per (row, q-block, kv-block)
+        # exactly as the kernel's predicate does, then remap every dead
+        # tile to the next live tile at a higher index (reverse cummin) so
+        # runs of dead tiles alias the tile fetched right after them and
+        # their DMAs are elided. Tiles with no live successor clamp to the
+        # diagonal (always live: a query sees at least itself).
+        kv_base = kvi[None, None, :] * block_kv  # [1, 1, nkv]
+        kv_last = kv_base + block_kv - 1
+        offs3 = offs_bh[:, None, None]
+        min_qp = (qi * block_q)[None, :, None]
+        max_qp = ((qi + 1) * block_q - 1)[None, :, None]
+        live_hist = jnp.logical_and(
+            kv_base < offs3,
+            kv_last >= offs3 + min_qp - window + 1,
+        )
+        live_chunk = (
+            (kv_last + 1 > hist_cap)
+            & (kv_base <= hist_cap + max_qp)
+            & (kv_last - hist_cap > min_qp - window)
+        )
+        live = jnp.logical_or(live_hist, live_chunk)  # [bh, nq, nkv]
+        big = jnp.int32(num_kv_blocks)
+        nxt = jax.lax.cummin(
+            jnp.where(live, kvi[None, None, :], big), axis=2, reverse=True
+        )
+        kvmap = jnp.minimum(
+            jnp.where(nxt >= big, last_q[None, :, None], nxt),
+            last_q[None, :, None],
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -289,6 +363,8 @@ def flash_attention_ragged(
             sm_scale=sm_scale,
             hist_cap=hist_cap,
             num_kv_blocks=num_kv_blocks,
+            window=int(window) if window is not None else None,
+            softcap=float(softcap) if softcap is not None else None,
         ),
         grid_spec=grid_spec,
         out_shape=[
