@@ -7,7 +7,10 @@ BASELINE model shapes, a keep-N training checkpoint manager, KV-cache
 snapshot/restore for the decode engine, and an HF-Llama weight importer.
 """
 
-from tpu_flash.checkpoint.convert import params_from_hf_llama
+from tpu_flash.checkpoint.convert import (
+    model_config_from_hf,
+    params_from_hf_llama,
+)
 from tpu_flash.checkpoint.store import (
     TrainCheckpointManager,
     restore_dp_engine,
@@ -20,6 +23,7 @@ from tpu_flash.checkpoint.store import (
 
 __all__ = [
     "TrainCheckpointManager",
+    "model_config_from_hf",
     "params_from_hf_llama",
     "restore_dp_engine",
     "restore_engine",

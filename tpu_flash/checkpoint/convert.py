@@ -110,3 +110,59 @@ def _validate_shapes(params: Dict[str, Any], config: ModelConfig) -> None:
                     f"layers[{i}].{name}: got {layer[name].shape}, "
                     f"expected {shape}"
                 )
+
+
+def model_config_from_hf(hf_config: Mapping[str, Any], *,
+                         name: str = "hf-import",
+                         dtype: str = "bfloat16") -> ModelConfig:
+    """Map an HF ``config.json`` dict (Llama / Mistral / Gemma-2 family)
+    onto a :class:`ModelConfig`, including the attention-variant fields:
+    ``sliding_window`` -> sliding_window, ``attn_logit_softcapping`` ->
+    attn_softcap, and ``rope_scaling`` ({"rope_type"/"type", "factor",
+    "original_max_position_embeddings"}) -> rope_scaling fields."""
+    hidden = hf_config["hidden_size"]
+    n_q = hf_config["num_attention_heads"]
+    n_kv = hf_config.get("num_key_value_heads", n_q)
+    head_dim = hf_config.get("head_dim", hidden // n_q)
+
+    rope_scaling = None
+    rope_factor = 1.0
+    rope_orig = hf_config.get("max_position_embeddings", 4096)
+    rs = hf_config.get("rope_scaling") or {}
+    if rs:
+        kind = rs.get("rope_type", rs.get("type", "linear"))
+        mapping = {
+            "linear": "linear",
+            "dynamic": "ntk",
+            "ntk": "ntk",
+            "yarn": "yarn",
+            # llama3's segmented scheme is YaRN-shaped (per-band
+            # interpolation with a ramp); map to yarn as the closest fit.
+            "llama3": "yarn",
+        }
+        if kind not in mapping:
+            raise ValueError(f"unsupported HF rope_scaling type {kind!r}")
+        rope_scaling = mapping[kind]
+        rope_factor = float(rs.get("factor", 1.0))
+        rope_orig = int(
+            rs.get("original_max_position_embeddings", rope_orig)
+        )
+
+    return ModelConfig(
+        name=name,
+        vocab_size=hf_config["vocab_size"],
+        hidden_size=hidden,
+        num_layers=hf_config["num_hidden_layers"],
+        num_q_heads=n_q,
+        num_kv_heads=n_kv,
+        head_dim=head_dim,
+        intermediate_size=hf_config["intermediate_size"],
+        rope_theta=float(hf_config.get("rope_theta", 10000.0)),
+        rms_eps=float(hf_config.get("rms_norm_eps", 1e-5)),
+        dtype=dtype,
+        sliding_window=hf_config.get("sliding_window"),
+        attn_softcap=hf_config.get("attn_logit_softcapping"),
+        rope_scaling=rope_scaling,
+        rope_scaling_factor=rope_factor,
+        rope_orig_context=rope_orig,
+    )

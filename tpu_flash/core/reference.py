@@ -46,6 +46,7 @@ def reference_attention(
     q_offset: int = 0,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Exact multi-head attention: softmax(scale * Q K^T + mask) V.
 
@@ -66,6 +67,10 @@ def reference_attention(
       softcap: logit soft-capping — scores become
         ``softcap * tanh(scores / softcap)`` after scaling, before masking
         (Gemma-2 convention).
+      sinks: [num_heads] per-head attention-sink logits (StreamingLLM /
+        gpt-oss convention): each head's softmax denominator gains
+        ``exp(sinks[h])`` — a virtual position with no value — damping
+        attention mass when nothing matches.
 
     Returns:
       [batch, num_heads, q_len, head_dim] in q.dtype.
@@ -105,7 +110,17 @@ def reference_attention(
     if mask is not None:
         scores = jnp.where(mask, scores, DEFAULT_MASK_VALUE)
 
-    weights = jax.nn.softmax(scores, axis=-1)
+    if sinks is None:
+        weights = jax.nn.softmax(scores, axis=-1)
+    else:
+        # Softmax over [scores | sink]: the sink is a per-head virtual
+        # logit with no value row, so it only inflates the denominator.
+        sink_col = jnp.broadcast_to(
+            sinks.astype(jnp.float32)[None, :, None, None],
+            (*scores.shape[:3], 1),
+        )
+        full = jnp.concatenate([scores, sink_col], axis=-1)
+        weights = jax.nn.softmax(full, axis=-1)[..., :-1]
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", weights, v, precision=jax.lax.Precision.HIGHEST
     )
@@ -122,6 +137,7 @@ def reference_gqa_attention(
     q_offset: int = 0,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Exact grouped-query attention.
 
@@ -139,7 +155,7 @@ def reference_gqa_attention(
     v = jnp.repeat(v, rep, axis=1)
     return reference_attention(
         q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset,
-        window=window, softcap=softcap,
+        window=window, softcap=softcap, sinks=sinks,
     )
 
 
@@ -152,6 +168,7 @@ def reference_decode_attention(
     sm_scale: Optional[float] = None,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Exact single-token GQA decode against a (ragged) dense KV cache.
 
@@ -186,7 +203,15 @@ def reference_decode_attention(
     if window is not None:
         valid = jnp.logical_and(valid, pos > lengths[:, None, None] - 1 - window)
     scores = jnp.where(valid, scores, DEFAULT_MASK_VALUE)
-    weights = jax.nn.softmax(scores, axis=-1)
+    if sinks is None:
+        weights = jax.nn.softmax(scores, axis=-1)
+    else:
+        sink_col = jnp.broadcast_to(
+            sinks.astype(jnp.float32)[None, :, None],
+            (*scores.shape[:2], 1),
+        )
+        full = jnp.concatenate([scores, sink_col], axis=-1)
+        weights = jax.nn.softmax(full, axis=-1)[..., :-1]
     out = jnp.einsum(
         "bhk,bhkd->bhd", weights, v, precision=jax.lax.Precision.HIGHEST
     )

@@ -447,6 +447,7 @@ class InferenceEngine:
                     q, k, v, kp, vp, starts_b, table_rows,
                     hist_cap=hist_len, interpret=self.interpret,
                     window=self._window, softcap=self._softcap,
+                    sinks=params["layers"][li_cell[0]].get("sinks"),
                 )
 
         logits = self.model.forward(
@@ -575,6 +576,7 @@ class InferenceEngine:
                     q, k, v, kp, vp, starts, table_rows,
                     hist_cap=hist_cap, interpret=self.interpret,
                     window=self._window, softcap=self._softcap,
+                    sinks=params["layers"][li_cell[0]].get("sinks"),
                 )
 
         else:
@@ -584,6 +586,7 @@ class InferenceEngine:
                     q, k, v, starts, hist_cap=hist_cap,
                     interpret=self.interpret,
                     window=self._window, softcap=self._softcap,
+                    sinks=params["layers"][li_cell[0]].get("sinks"),
                 )
 
         logits = self.model.forward(
@@ -730,7 +733,7 @@ class InferenceEngine:
             attn = paged_attention(
                 q, k_view, v_view, attn_lengths, page_tables,
                 interpret=self.interpret, window=cfg.sliding_window,
-                softcap=cfg.attn_softcap,
+                softcap=cfg.attn_softcap, sinks=layer.get("sinks"),
             )  # [mb, hq, d]
             attn = attn.reshape(x.shape[0], -1)
             proj = attn @ layer["wo"]
@@ -934,6 +937,7 @@ class InferenceEngine:
                     q, k, v, kp, vp, lengths_b, table_rows,
                     hist_cap=hist_full, interpret=self.interpret,
                     window=self._window, softcap=self._softcap,
+                    sinks=params["layers"][li_cell[0]].get("sinks"),
                 )
 
         else:
@@ -964,7 +968,16 @@ class InferenceEngine:
                         key_pos > positions[:, None, :, None] - self._window,
                     )
                 s_ = jnp.where(allow, s_, -1e30)
-                w = jax.nn.softmax(s_, axis=-1)
+                sinks_l = params["layers"][li_cell[0]].get("sinks")
+                if sinks_l is not None:
+                    sink_col = jnp.broadcast_to(
+                        sinks_l.astype(jnp.float32)[None, :, None, None],
+                        (*s_.shape[:3], 1),
+                    )
+                    full_ = jnp.concatenate([s_, sink_col], axis=-1)
+                    w = jax.nn.softmax(full_, axis=-1)[..., :-1]
+                else:
+                    w = jax.nn.softmax(s_, axis=-1)
                 return jnp.einsum("bhqk,bhkd->bhqd", w, vf).astype(q.dtype)
 
         logits = self.model.forward(

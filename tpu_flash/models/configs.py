@@ -31,6 +31,18 @@ class ModelConfig:
     sliding_window: "int | None" = None
     # Gemma-2-style attention logit soft-capping (tanh), None to disable.
     attn_softcap: "float | None" = None
+    # StreamingLLM / gpt-oss-style learnable per-head attention-sink
+    # logits (a valueless softmax column); adds a per-layer "sinks"
+    # [num_q_heads] parameter.
+    attn_sinks: bool = False
+    # RoPE context extension: None (off), "linear" (position
+    # interpolation), "ntk" (NTK-aware theta rescale), or "yarn"
+    # (per-frequency interpolation ramp + attention temperature).
+    rope_scaling: "str | None" = None
+    rope_scaling_factor: float = 1.0
+    # Original training context, used by the YaRN ramp to decide which
+    # frequency bands to interpolate.
+    rope_orig_context: int = 4096
 
     @property
     def attention(self) -> AttentionConfig:

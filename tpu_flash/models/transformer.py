@@ -35,6 +35,48 @@ def rope_frequencies(head_dim: int, theta: float) -> jax.Array:
     )
 
 
+def scaled_rope_frequencies(cfg) -> "tuple[jax.Array, float]":
+    """(freqs, score_mult) for the config's RoPE context-extension scheme.
+
+    - "linear": position interpolation — every frequency divided by the
+      factor (positions effectively compressed into the trained range).
+    - "ntk": NTK-aware base rescale — theta' = theta * s^(d/(d-2)), which
+      interpolates low frequencies while keeping high ones near-original.
+    - "yarn": per-band interpolation — dimensions that complete many
+      rotations within the original context (high frequency, local
+      information) keep their frequency; slow bands interpolate; a ramp
+      blends between. Attention scores additionally scale by
+      t^2 with t = 0.1*ln(s) + 1 (the YaRN temperature), folded into q
+      post-rope so no kernel needs an sm_scale override.
+    """
+    base = rope_frequencies(cfg.head_dim, cfg.rope_theta)
+    s = float(cfg.rope_scaling_factor)
+    kind = cfg.rope_scaling
+    if kind is None or s == 1.0:
+        return base, 1.0
+    if kind == "linear":
+        return base / s, 1.0
+    if kind == "ntk":
+        d = cfg.head_dim
+        theta2 = cfg.rope_theta * s ** (d / (d - 2))
+        return rope_frequencies(d, theta2), 1.0
+    if kind == "yarn":
+        import math
+
+        wavelengths = 2.0 * math.pi / base
+        rotations = cfg.rope_orig_context / wavelengths
+        beta_fast, beta_slow = 32.0, 1.0
+        ramp = jnp.clip(
+            (rotations - beta_slow) / (beta_fast - beta_slow), 0.0, 1.0
+        )
+        freqs = (1.0 - ramp) * (base / s) + ramp * base
+        t = 0.1 * math.log(s) + 1.0
+        return freqs, t * t
+    raise ValueError(
+        f"unknown rope_scaling {kind!r}; expected linear|ntk|yarn"
+    )
+
+
 def apply_rope(
     x: jax.Array,  # [batch, heads, seq, head_dim]
     positions: jax.Array,  # [batch, seq] or [seq]
@@ -59,7 +101,7 @@ class FlashTransformer:
     def __init__(self, config: ModelConfig):
         self.config = config
         self.dtype = jnp.dtype(config.dtype)
-        self.freqs = rope_frequencies(config.head_dim, config.rope_theta)
+        self.freqs, self._q_mult = scaled_rope_frequencies(config)
 
     # -- init ---------------------------------------------------------------
 
@@ -77,22 +119,25 @@ class FlashTransformer:
 
         layers = []
         for _ in range(cfg.num_layers):
-            layers.append(
-                {
-                    "attn_norm": jnp.ones((h,), self.dtype),
-                    "wq": dense(next(keys), h, (h, qd)),
-                    "wk": dense(next(keys), h, (h, kvd)),
-                    "wv": dense(next(keys), h, (h, kvd)),
-                    "wo": dense(next(keys), qd, (qd, h)),
-                    "mlp_norm": jnp.ones((h,), self.dtype),
-                    "w_gate": dense(next(keys), h, (h, cfg.intermediate_size)),
-                    "w_up": dense(next(keys), h, (h, cfg.intermediate_size)),
-                    "w_down": dense(
-                        next(keys), cfg.intermediate_size,
-                        (cfg.intermediate_size, h),
-                    ),
-                }
-            )
+            layer = {
+                "attn_norm": jnp.ones((h,), self.dtype),
+                "wq": dense(next(keys), h, (h, qd)),
+                "wk": dense(next(keys), h, (h, kvd)),
+                "wv": dense(next(keys), h, (h, kvd)),
+                "wo": dense(next(keys), qd, (qd, h)),
+                "mlp_norm": jnp.ones((h,), self.dtype),
+                "w_gate": dense(next(keys), h, (h, cfg.intermediate_size)),
+                "w_up": dense(next(keys), h, (h, cfg.intermediate_size)),
+                "w_down": dense(
+                    next(keys), cfg.intermediate_size,
+                    (cfg.intermediate_size, h),
+                ),
+            }
+            if cfg.attn_sinks:
+                # Learnable per-head sink logits (zero-init: exp(0) = 1
+                # unit of denominator mass per head).
+                layer["sinks"] = jnp.zeros((cfg.num_q_heads,), jnp.float32)
+            layers.append(layer)
         return {
             "embed": dense(next(keys), 1, (cfg.vocab_size, h)),
             "layers": layers,
@@ -117,6 +162,9 @@ class FlashTransformer:
         v = (x @ layer["wv"]).reshape(b, s, hkv, d)
         q = apply_rope(q.transpose(0, 2, 1, 3), positions, self.freqs)
         k = apply_rope(k.transpose(0, 2, 1, 3), positions, self.freqs)
+        if self._q_mult != 1.0:
+            # YaRN temperature: scores scale by t^2 == scaling q by t^2.
+            q = q * self._q_mult
         return q, k, v.transpose(0, 2, 1, 3)
 
     def _mlp(
@@ -221,6 +269,7 @@ class FlashTransformer:
                     q, k, v, causal=True, q_offset=q_offset,
                     interpret=interpret, window=cfg.sliding_window,
                     softcap=cfg.attn_softcap, segment_ids=seg_attn,
+                    sinks=layer.get("sinks"),
                 )
             b, h, s, d = attn.shape
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
@@ -282,4 +331,6 @@ class FlashTransformer:
         v = (x @ layer["wv"]).reshape(b, hkv, d)
         q = apply_rope(q, positions[:, None], self.freqs)[:, :, 0]
         k = apply_rope(k, positions[:, None], self.freqs)[:, :, 0]
+        if self._q_mult != 1.0:
+            q = q * self._q_mult
         return q, k, v

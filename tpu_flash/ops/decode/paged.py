@@ -140,6 +140,7 @@ def _paged_attn_kernel(
     skip_scale_mul: bool = False,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sink_ref=None,  # VMEM [1, q_per_kv_p, NUM_LANES] per-head sink or None
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -362,9 +363,21 @@ def _paged_attn_kernel(
 
         @pl.when(i == num_active - 1)
         def _epilogue():
-            l = l_scratch[:, :1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+            if sink_ref is None:
+                l = l_scratch[:, :1]
+                l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+                o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+            else:
+                # Attention sink: a per-head valueless softmax column —
+                # fold exp(sink) into the denominator (stable in m2 units).
+                m = m_scratch[...]
+                sk = sink_ref[0]  # [q_per_kv_p, NUM_LANES]
+                m2 = jnp.maximum(m, sk)
+                scale_m = jnp.exp(m - m2)
+                l_tot = l_scratch[...] * scale_m + jnp.exp(sk - m2)
+                o_ref[0, 0] = (
+                    acc_scratch[...] * (scale_m[:, :1] / l_tot[:, :1])
+                ).astype(o_ref.dtype)
 
 
 def paged_attention(
@@ -380,6 +393,7 @@ def paged_attention(
     int8_mxu: bool = True,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
     _debug_skip_scale_dma: bool = False,  # perf diagnostics; WRONG numerics
     _debug_skip_dequant_mul: bool = False,
 ) -> jax.Array:
@@ -414,6 +428,8 @@ def paged_attention(
         with the window rather than the context length.
       softcap: tanh logit soft-capping (Gemma-2 convention), applied to
         fully-dequantized scores before masking.
+      sinks: [num_q_heads] per-head attention-sink logits (StreamingLLM /
+        gpt-oss): each head's softmax denominator gains ``exp(sinks[h])``.
 
     Returns:
       [batch, num_q_heads, head_dim] attention output in q.dtype.
@@ -498,7 +514,16 @@ def paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),  # k scales
             pl.BlockSpec(memory_space=pl.ANY),  # v pages
             pl.BlockSpec(memory_space=pl.ANY),  # v scales
-        ],
+        ]
+        + (
+            [
+                pl.BlockSpec(
+                    (1, q_per_kv_p, 128), lambda b, h, i, *_: (h, 0, 0)
+                )
+            ]
+            if sinks is not None
+            else []
+        ),
         out_specs=pl.BlockSpec(
             (1, 1, q_per_kv_p, head_dim), lambda b, h, i, *_: (b, h, 0, 0)
         ),
@@ -539,6 +564,27 @@ def paged_attention(
         k_scales = jnp.zeros((1, 1, 1), jnp.float32)
         v_scales = jnp.zeros((1, 1, 1), jnp.float32)
 
+    call_args = (lengths, page_indices, q4, k_vals, k_scales, v_vals,
+                 v_scales)
+    if sinks is not None:
+        # Per-row (q head within the KV-head group) sink logits,
+        # lane-replicated: [hkv, q_per_kv_p, 128].
+        s2 = sinks.astype(jnp.float32).reshape(num_kv_heads, q_per_kv)
+        if q_per_kv_p != q_per_kv:
+            s2 = jnp.pad(s2, ((0, 0), (0, q_per_kv_p - q_per_kv)))
+        sinks_l = jnp.broadcast_to(
+            s2[..., None], (num_kv_heads, q_per_kv_p, 128)
+        )
+        call_args = call_args + (sinks_l,)
+        base_kernel = kernel
+
+        def kernel(lengths_r, pidx_r, q_r, kv_r, ks_r, vv_r, vs_r, sink_in,
+                   o_r, *scratch):
+            return base_kernel(
+                lengths_r, pidx_r, q_r, kv_r, ks_r, vv_r, vs_r, o_r,
+                *scratch, sink_ref=sink_in,
+            )
+
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -547,7 +593,7 @@ def paged_attention(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, page_indices, q4, k_vals, k_scales, v_vals, v_scales)
+    )(*call_args)
 
     out = out[:, :, :q_per_kv, :]
     return out.reshape(batch, num_q_heads, head_dim)

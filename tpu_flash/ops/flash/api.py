@@ -100,9 +100,21 @@ def _pad_segs(q_seg, kv_seg, q_len_p, kv_len_p):
     return qs, ks
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _flash_core(q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes,
-                q_offset, interpret, window, softcap):
+def _sink_grad(sinks, lse, di_eff):
+    """dL/dsinks[h] = sum_{b,q} p_sink * (dlse - di) with
+    p_sink = exp(sinks[h] - lse[b,h,q]) and di_eff = di - dlse — the sink
+    is a valueless softmax column, so its gradient needs no kernel pass."""
+    p_sink = jnp.exp(
+        sinks.astype(jnp.float32)[None, :, None] - lse.astype(jnp.float32)
+    )
+    return (-(p_sink * di_eff).sum(axis=(0, 2))).astype(sinks.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
+)
+def _flash_core(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
+                block_sizes, q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
     qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
@@ -111,13 +123,13 @@ def _flash_core(q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=False,
         interpret=interpret, window=window, softcap=softcap,
-        q_seg=qs, kv_seg=ks,
+        q_seg=qs, kv_seg=ks, sinks=sinks,
     )
     return o[:, :, :q_len, :head_dim]
 
 
-def _flash_core_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes,
-                    q_offset, interpret, window, softcap):
+def _flash_core_fwd(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
+                    block_sizes, q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
     qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
@@ -126,15 +138,15 @@ def _flash_core_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
         interpret=interpret, window=window, softcap=softcap,
-        q_seg=qs, kv_seg=ks,
+        q_seg=qs, kv_seg=ks, sinks=sinks,
     )
     o = o_p[:, :, :q_len, :head_dim]
-    return o, (q, k, v, q_seg, kv_seg, o_p, lse_p)
+    return o, (q, k, v, q_seg, kv_seg, sinks, o_p, lse_p)
 
 
 def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
                     window, softcap, residuals, g):
-    q, k, v, q_seg, kv_seg, o_p, lse_p = residuals
+    q, k, v, q_seg, kv_seg, sinks, o_p, lse_p = residuals
     batch, num_q_heads, q_len, head_dim = q.shape
     num_kv_heads, kv_len = k.shape[1], k.shape[2]
     q_per_kv = num_q_heads // num_kv_heads
@@ -164,7 +176,12 @@ def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         dk = dk.sum(axis=2).astype(k.dtype)
         dv = dv.reshape(batch, num_kv_heads, q_per_kv, kv_len, head_dim)
         dv = dv.sum(axis=2).astype(v.dtype)
-    return dq, dk, dv, None, None
+    dsink = None
+    if sinks is not None:
+        o_u = o_p[:, :, :q_len, :head_dim].astype(jnp.float32)
+        di_u = jnp.sum(o_u * g.astype(jnp.float32), axis=-1)
+        dsink = _sink_grad(sinks, lse_p[:, :, :q_len], di_u)
+    return dq, dk, dv, None, None, dsink
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -176,9 +193,11 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 # flash_attention_backward).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _flash_core_res(q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes,
-                    q_offset, interpret, window, softcap):
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
+)
+def _flash_core_res(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
+                    block_sizes, q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
     qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
@@ -187,12 +206,12 @@ def _flash_core_res(q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
         interpret=interpret, window=window, softcap=softcap,
-        q_seg=qs, kv_seg=ks,
+        q_seg=qs, kv_seg=ks, sinks=sinks,
     )
     return o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len]
 
 
-def _flash_core_res_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale,
+def _flash_core_res_fwd(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
                         block_sizes, q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
@@ -202,16 +221,16 @@ def _flash_core_res_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
         interpret=interpret, window=window, softcap=softcap,
-        q_seg=qs, kv_seg=ks,
+        q_seg=qs, kv_seg=ks, sinks=sinks,
     )
     out = (o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len])
-    return out, (q, k, v, q_seg, kv_seg, o_p, lse_p)
+    return out, (q, k, v, q_seg, kv_seg, sinks, o_p, lse_p)
 
 
 def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
                         window, softcap, residuals, gs):
     g, g_lse = gs
-    q, k, v, q_seg, kv_seg, o_p, lse_p = residuals
+    q, k, v, q_seg, kv_seg, sinks, o_p, lse_p = residuals
     batch, num_q_heads, q_len, head_dim = q.shape
     num_kv_heads, kv_len = k.shape[1], k.shape[2]
     q_per_kv = num_q_heads // num_kv_heads
@@ -241,7 +260,13 @@ def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         dk = dk.sum(axis=2).astype(k.dtype)
         dv = dv.reshape(batch, num_kv_heads, q_per_kv, kv_len, head_dim)
         dv = dv.sum(axis=2).astype(v.dtype)
-    return dq, dk, dv, None, None
+    dsink = None
+    if sinks is not None:
+        o_u = o_p[:, :, :q_len, :head_dim].astype(jnp.float32)
+        di_u = jnp.sum(o_u * g.astype(jnp.float32), axis=-1)
+        di_eff = di_u - g_lse.astype(jnp.float32)
+        dsink = _sink_grad(sinks, lse_p[:, :, :q_len], di_eff)
+    return dq, dk, dv, None, None, dsink
 
 
 _flash_core_res.defvjp(_flash_core_res_fwd, _flash_core_res_bwd)
@@ -256,15 +281,15 @@ _flash_core_res.defvjp(_flash_core_res_fwd, _flash_core_res_bwd)
 )
 def _flash_entry(q, k, v, causal, sm_scale, block_sizes, q_offset,
                  save_residuals, interpret, window=None, softcap=None,
-                 q_seg=None, kv_seg=None):
+                 q_seg=None, kv_seg=None, sinks=None):
     if not save_residuals:
         return _flash_core(
-            q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes, q_offset,
-            interpret, window, softcap,
+            q, k, v, q_seg, kv_seg, sinks, causal, sm_scale, block_sizes,
+            q_offset, interpret, window, softcap,
         )
     return _flash_core_res(
-        q, k, v, q_seg, kv_seg, causal, sm_scale, block_sizes, q_offset,
-        interpret, window, softcap,
+        q, k, v, q_seg, kv_seg, sinks, causal, sm_scale, block_sizes,
+        q_offset, interpret, window, softcap,
     )
 
 
@@ -282,6 +307,7 @@ def flash_attention(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     segment_ids=None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Fused multi-head / grouped-query flash attention (differentiable).
 
@@ -315,6 +341,10 @@ def flash_attention(
         positions with differing ids never attend each other. Composes
         with ``causal``/``window``/``softcap``; gradients do not flow to
         the ids.
+      sinks: [num_q_heads] per-head attention-sink logits (StreamingLLM /
+        gpt-oss convention): each head's softmax denominator gains
+        ``exp(sinks[h])``, a virtual position with no value row.
+        Differentiable (dsinks computed analytically from the residuals).
 
     Returns:
       [batch, num_q_heads, q_len, head_dim] in q.dtype, or ``(o, lse)``.
@@ -359,6 +389,11 @@ def flash_attention(
                 f"kv segment ids must be [batch, kv_len] = "
                 f"{(k.shape[0], k.shape[2])}, got {kv_seg.shape}"
             )
+    if sinks is not None and sinks.shape != (q.shape[1],):
+        raise ValueError(
+            f"sinks must be [num_q_heads] = ({q.shape[1]},), got "
+            f"{sinks.shape}"
+        )
 
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -371,5 +406,5 @@ def flash_attention(
 
     return _flash_entry(
         q, k, v, causal, float(sm_scale), block_sizes, q_offset,
-        save_residuals, interpret, window, softcap, q_seg, kv_seg,
+        save_residuals, interpret, window, softcap, q_seg, kv_seg, sinks,
     )

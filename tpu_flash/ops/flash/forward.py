@@ -54,12 +54,39 @@ def _seg_mask(qseg_ref, kvseg_ref, start, block_q, block_kv):
     return q_ids == kv_ids
 
 
+def _finalize(o_ref, lse_ref, m_scratch, l_scratch, acc_scratch, sink_ref):
+    """Deferred-normalization epilogue, optionally folding a per-head
+    attention-sink logit into the softmax denominator: the sink is a
+    virtual position with no value row, so only ``l`` (and lse) change."""
+    if sink_ref is None:
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            m = m_scratch[...]
+            lse_ref[0, 0] = jnp.where(
+                m == -jnp.inf, -jnp.inf, m + jnp.log(l_scratch[...])
+            ).astype(lse_ref.dtype)
+        return
+    m = m_scratch[...]
+    sk = sink_ref[0][None, :]  # [1, NUM_LANES] lane-replicated logit
+    m2 = jnp.maximum(m, sk)
+    scale_m = jnp.exp(m - m2)  # 0 for rows that saw nothing (m = -inf)
+    l_tot = l_scratch[...] * scale_m + jnp.exp(sk - m2)
+    o_ref[0, 0] = (
+        acc_scratch[...] * (scale_m[:, :1] / l_tot[:, :1])
+    ).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[0, 0] = (m2 + jnp.log(l_tot)).astype(lse_ref.dtype)
+
+
 def _flash_fwd_kernel(
     q_ref,  # [1, 1, block_q, head_dim]
     k_ref,  # [1, 1, block_kv_major, head_dim]
     v_ref,  # [1, 1, block_kv_major, head_dim]
     qseg_ref,  # [1, block_q, NUM_LANES] int32 or None
     kvseg_ref,  # [1, 8, block_kv_major] int32 or None
+    sink_ref,  # [1, NUM_LANES] f32 per-head sink logit or None
     o_ref,  # [1, 1, block_q, head_dim]
     lse_ref,  # [1, 1, block_q, NUM_LANES] or None
     m_scratch,  # VMEM [block_q, NUM_LANES] f32
@@ -202,14 +229,8 @@ def _flash_fwd_kernel(
 
     @pl.when(kv_idx == last_kv)
     def _epilogue():
-        l = l_scratch[:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
-        if lse_ref is not None:
-            m = m_scratch[...]
-            lse_ref[0, 0] = jnp.where(
-                m == -jnp.inf, -jnp.inf, m + jnp.log(l_scratch[...])
-            ).astype(lse_ref.dtype)
+        _finalize(o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
+                  sink_ref)
 
 
 def _flash_fwd_tri_kernel(
@@ -223,6 +244,7 @@ def _flash_fwd_tri_kernel(
     v_ref,
     qseg_ref,  # [1, block_q, NUM_LANES] int32 or None
     kvseg_ref,  # [1, 8, block_kv_major] int32 or None
+    sink_ref,  # [1, NUM_LANES] f32 or None
     o_ref,
     lse_ref,
     m_scratch,
@@ -313,14 +335,8 @@ def _flash_fwd_tri_kernel(
 
     @pl.when(islast_ref[c] == 1)
     def _epilogue():
-        l = l_scratch[:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
-        if lse_ref is not None:
-            m = m_scratch[...]
-            lse_ref[0, 0] = jnp.where(
-                m == -jnp.inf, -jnp.inf, m + jnp.log(l_scratch[...])
-            ).astype(lse_ref.dtype)
+        _finalize(o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
+                  sink_ref)
 
 
 def flash_attention_forward(
@@ -340,6 +356,7 @@ def flash_attention_forward(
     softcap: Optional[float] = None,
     q_seg: Optional[jax.Array] = None,  # [batch, q_len] int32 (pre-padded)
     kv_seg: Optional[jax.Array] = None,  # [batch, kv_len_padded] int32
+    sinks: Optional[jax.Array] = None,  # [num_q_heads] f32 sink logits
 ):
     """Launch the forward kernel on pre-padded inputs.
 
@@ -423,6 +440,15 @@ def flash_attention_forward(
             ),
         ]
         extra_inputs = (qseg_l, kvseg_s)
+    have_sink = sinks is not None
+    if have_sink:
+        sinks_l = jax.lax.broadcast_in_dim(
+            sinks.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, q, kv: (h, 0))
+        )
+        extra_inputs = extra_inputs + (sinks_l,)
     out_shapes = [
         jax.ShapeDtypeStruct(q.shape, q.dtype),
     ]
@@ -456,23 +482,18 @@ def flash_attention_forward(
         softcap=softcap,
     )
     # Splice Nones for the optional refs absent from the positional list.
-    if save_residuals and have_seg:
-        kernel = base_kernel
-    elif save_residuals:
-        def kernel(q_r, k_r, v_r, o_r, lse_r, m_s, l_s, acc_s):
-            return base_kernel(
-                q_r, k_r, v_r, None, None, o_r, lse_r, m_s, l_s, acc_s
-            )
-    elif have_seg:
-        def kernel(q_r, k_r, v_r, qs_r, ks_r, o_r, m_s, l_s, acc_s):
-            return base_kernel(
-                q_r, k_r, v_r, qs_r, ks_r, o_r, None, m_s, l_s, acc_s
-            )
-    else:
-        def kernel(q_r, k_r, v_r, o_r, m_s, l_s, acc_s):
-            return base_kernel(
-                q_r, k_r, v_r, None, None, o_r, None, m_s, l_s, acc_s
-            )
+    def kernel(*refs):
+        it = iter(refs)
+        q_r, k_r, v_r = next(it), next(it), next(it)
+        qs_r = next(it) if have_seg else None
+        ks_r = next(it) if have_seg else None
+        sk_r = next(it) if have_sink else None
+        o_r = next(it)
+        lse_r = next(it) if save_residuals else None
+        m_s, l_s, acc_s = next(it), next(it), next(it)
+        return base_kernel(
+            q_r, k_r, v_r, qs_r, ks_r, sk_r, o_r, lse_r, m_s, l_s, acc_s
+        )
 
     scratch_shapes = [
         pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # m
@@ -489,7 +510,7 @@ def flash_attention_forward(
             num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
             q_per_kv=q_per_kv, save_residuals=save_residuals,
             interpret=interpret, window=window, softcap=softcap,
-            q_seg=q_seg, kv_seg=kv_seg,
+            q_seg=q_seg, kv_seg=kv_seg, sinks=sinks,
         )
 
     # 2 matmuls (QK^T and PV), 2*M*N*K flops each.
@@ -565,6 +586,7 @@ def _forward_triangular(
     q, k, v, *, sm_scale, block_q, block_kv_major, block_kv, q_offset,
     kv_len, num_q_blocks, num_kv_blocks, q_per_kv, save_residuals,
     interpret, window=None, softcap=None, q_seg=None, kv_seg=None,
+    sinks=None,
 ):
     """Causal forward over the active-cell enumeration (triangular grid)."""
     batch, num_q_heads, q_len, head_dim = q.shape
@@ -610,6 +632,15 @@ def _forward_triangular(
             ),
         ]
         extra_inputs = (qseg_l, kvseg_s)
+    have_sink = sinks is not None
+    if have_sink:
+        sinks_l = jax.lax.broadcast_in_dim(
+            sinks.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, c, qm, km, il: (h, 0))
+        )
+        extra_inputs = extra_inputs + (sinks_l,)
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     out_specs = [
         pl.BlockSpec(
@@ -640,27 +671,20 @@ def _forward_triangular(
         window=window,
         softcap=softcap,
     )
-    if save_residuals and have_seg:
-        kernel = base_kernel
-    elif save_residuals:
-        def kernel(qm, km, il, q_r, k_r, v_r, o_r, lse_r, m_s, l_s, acc_s):
-            return base_kernel(
-                qm, km, il, q_r, k_r, v_r, None, None, o_r, lse_r,
-                m_s, l_s, acc_s,
-            )
-    elif have_seg:
-        def kernel(qm, km, il, q_r, k_r, v_r, qs_r, ks_r, o_r, m_s, l_s,
-                   acc_s):
-            return base_kernel(
-                qm, km, il, q_r, k_r, v_r, qs_r, ks_r, o_r, None,
-                m_s, l_s, acc_s,
-            )
-    else:
-        def kernel(qm, km, il, q_r, k_r, v_r, o_r, m_s, l_s, acc_s):
-            return base_kernel(
-                qm, km, il, q_r, k_r, v_r, None, None, o_r, None,
-                m_s, l_s, acc_s,
-            )
+    def kernel(*refs):
+        it = iter(refs)
+        qm, km, il = next(it), next(it), next(it)
+        q_r, k_r, v_r = next(it), next(it), next(it)
+        qs_r = next(it) if have_seg else None
+        ks_r = next(it) if have_seg else None
+        sk_r = next(it) if have_sink else None
+        o_r = next(it)
+        lse_r = next(it) if save_residuals else None
+        m_s, l_s, acc_s = next(it), next(it), next(it)
+        return base_kernel(
+            qm, km, il, q_r, k_r, v_r, qs_r, ks_r, sk_r, o_r, lse_r,
+            m_s, l_s, acc_s,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -96,6 +96,7 @@ def _paged_prefill_kernel(
     scales_on: bool,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sink_ref=None,  # [1, q_per_kv, NUM_LANES] per-head sink logits or None
 ):
     rows = q_ref.shape[1]  # q_per_kv * block_q
     block_q = rows // q_per_kv
@@ -301,9 +302,24 @@ def _paged_prefill_kernel(
 
     @pl.when(kv_idx == num_hist_blocks + q_idx)
     def _epilogue():
-        l = l_scratch[:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if sink_ref is None:
+            l = l_scratch[:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        else:
+            # Per-head sink: row r of the stacked tile belongs to q head
+            # r // block_q of this KV head — broadcast the [q_per_kv]
+            # logits over each head's block_q rows.
+            m = m_scratch[...]
+            sk = jnp.broadcast_to(
+                sink_ref[0][:, None, :], (q_per_kv, block_q, NUM_LANES)
+            ).reshape(rows, NUM_LANES)
+            m2 = jnp.maximum(m, sk)
+            scale_m = jnp.exp(m - m2)
+            l_tot = l_scratch[...] * scale_m + jnp.exp(sk - m2)
+            o_ref[0] = (
+                acc_scratch[...] * (scale_m[:, :1] / l_tot[:, :1])
+            ).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -326,6 +342,7 @@ def paged_prefill_attention(
     interpret: Optional[bool] = None,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,  # [num_q_heads] sink logits
 ) -> jax.Array:
     """Chunk attention over [paged history | dense chunk].
 
@@ -454,7 +471,17 @@ def paged_prefill_attention(
             pl.BlockSpec(memory_space=pltpu.ANY),  # k scales
             pl.BlockSpec(memory_space=pltpu.ANY),  # v pages
             pl.BlockSpec(memory_space=pltpu.ANY),  # v scales
-        ],
+        ]
+        + (
+            [
+                pl.BlockSpec(
+                    (1, q_per_kv, NUM_LANES),
+                    lambda bh, qi, kv, offs, bm, kh, tb, cm: (kh[bh], 0, 0),
+                )
+            ]
+            if sinks is not None
+            else []
+        ),
         out_specs=[
             pl.BlockSpec(
                 (1, rows, head_dim),
@@ -480,21 +507,40 @@ def paged_prefill_attention(
         k_scales = jnp.zeros((1, 1, 1, 1), jnp.float32)
         v_scales = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
+    kernel = functools.partial(
+        _paged_prefill_kernel,
+        sm_scale=sm_scale,
+        kv_quant=kv_quant,
+        q_per_kv=q_per_kv,
+        pages_per_block=ppb,
+        pages_per_seq=pages_per_seq,
+        page_size=page_size,
+        num_hist_blocks=num_hist_blocks,
+        num_chunk_blocks=num_chunk_blocks,
+        scales_on=scales_on,
+        window=int(window) if window is not None else None,
+        softcap=float(softcap) if softcap is not None else None,
+    )
+    call_inputs = (qf, ckf, cvf, k_vals, k_scales, v_vals, v_scales)
+    if sinks is not None:
+        sinks_l = jnp.broadcast_to(
+            sinks.astype(jnp.float32).reshape(num_kv_heads, q_per_kv)[
+                ..., None
+            ],
+            (num_kv_heads, q_per_kv, NUM_LANES),
+        )
+        call_inputs = call_inputs + (sinks_l,)
+        base_kernel = kernel
+
+        def kernel(offs_r, bm_r, kh_r, tb_r, cm_r, q_r, ck_r, cv_r, kp_r,
+                   ks_r, vp_r, vs_r, sink_in, o_r, *scratch):
+            return base_kernel(
+                offs_r, bm_r, kh_r, tb_r, cm_r, q_r, ck_r, cv_r, kp_r,
+                ks_r, vp_r, vs_r, o_r, *scratch, sink_ref=sink_in,
+            )
+
     (o,) = pl.pallas_call(
-        functools.partial(
-            _paged_prefill_kernel,
-            sm_scale=sm_scale,
-            kv_quant=kv_quant,
-            q_per_kv=q_per_kv,
-            pages_per_block=ppb,
-            pages_per_seq=pages_per_seq,
-            page_size=page_size,
-            num_hist_blocks=num_hist_blocks,
-            num_chunk_blocks=num_chunk_blocks,
-            scales_on=scales_on,
-            window=int(window) if window is not None else None,
-            softcap=float(softcap) if softcap is not None else None,
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(
@@ -507,7 +553,7 @@ def paged_prefill_attention(
         interpret=interpret,
     )(
         offs_bkv, bmap, khead, page_tables.astype(jnp.int32), cmap,
-        qf, ckf, cvf, k_vals, k_scales, v_vals, v_scales,
+        *call_inputs,
     )
     o = (
         o.reshape(batch, num_kv_heads, num_chunk_blocks, q_per_kv, block_q,

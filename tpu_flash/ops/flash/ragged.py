@@ -60,6 +60,7 @@ def _ragged_prefill_kernel(
     q_ref,  # [1, block_q, d]   (q flattened to [batch*hq, q_len, d])
     k_ref,  # [1, block_kv, d]  (k flattened to [batch*hkv, kv_len, d])
     v_ref,
+    sink_ref,  # [1, NUM_LANES] f32 per-row sink logit or None
     o_ref,
     m_scratch,  # VMEM [block_q, NUM_LANES] f32
     l_scratch,
@@ -175,9 +176,21 @@ def _ragged_prefill_kernel(
 
     @pl.when(kv_idx == last_kv)
     def _epilogue():
-        l = l_scratch[:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if sink_ref is None:
+            l = l_scratch[:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        else:
+            # Per-head attention sink: a valueless softmax column folded
+            # into the denominator (stable in max(m, sink) units).
+            m = m_scratch[...]
+            sk = sink_ref[0][None, :]
+            m2 = jnp.maximum(m, sk)
+            scale_m = jnp.exp(m - m2)
+            l_tot = l_scratch[...] * scale_m + jnp.exp(sk - m2)
+            o_ref[0] = (
+                acc_scratch[...] * (scale_m[:, :1] / l_tot[:, :1])
+            ).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -205,6 +218,7 @@ def flash_attention_ragged(
     interpret: Optional[bool] = None,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,  # [num_q_heads] sink logits
 ) -> jax.Array:
     """Mixed-stage chunk attention over [history | chunk] KV buffers.
 
@@ -314,27 +328,44 @@ def flash_attention_ragged(
             last_q[None, :, None],
         )
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, block_q, head_dim_p),
+            lambda bh, qi, kvi, offs, kvh, kvmap: (bh, qi, 0),
+        ),
+        pl.BlockSpec(
+            (1, block_kv, head_dim_p),
+            lambda bh, qi, kvi, offs, kvh, kvmap: (
+                kvh[bh], kvmap[bh, qi, kvi], 0,
+            ),
+        ),
+        pl.BlockSpec(
+            (1, block_kv, head_dim_p),
+            lambda bh, qi, kvi, offs, kvh, kvmap: (
+                kvh[bh], kvmap[bh, qi, kvi], 0,
+            ),
+        ),
+    ]
+    call_inputs = (qf, kf, vf)
+    if sinks is not None:
+        # Per-bh-row lane-replicated sink logits (the bh -> head mapping is
+        # precomputed host-side; index maps stay pure lookups).
+        sinks_bh = jnp.broadcast_to(
+            jnp.tile(sinks.astype(jnp.float32), batch)[:, None],
+            (bh_total, NUM_LANES),
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, NUM_LANES),
+                lambda bh, qi, kvi, offs, kvh, kvmap: (bh, 0),
+            )
+        )
+        call_inputs = call_inputs + (sinks_bh,)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bh_total, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, head_dim_p),
-                lambda bh, qi, kvi, offs, kvh, kvmap: (bh, qi, 0),
-            ),
-            pl.BlockSpec(
-                (1, block_kv, head_dim_p),
-                lambda bh, qi, kvi, offs, kvh, kvmap: (
-                    kvh[bh], kvmap[bh, qi, kvi], 0,
-                ),
-            ),
-            pl.BlockSpec(
-                (1, block_kv, head_dim_p),
-                lambda bh, qi, kvi, offs, kvh, kvmap: (
-                    kvh[bh], kvmap[bh, qi, kvi], 0,
-                ),
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, block_q, head_dim_p),
@@ -357,15 +388,26 @@ def flash_attention_ragged(
         ),
         transcendentals=batch * num_q_heads * q_len_p * kv_len_p,
     )
+    base_kernel = functools.partial(
+        _ragged_prefill_kernel,
+        sm_scale=sm_scale,
+        hist_cap=hist_cap,
+        num_kv_blocks=num_kv_blocks,
+        window=int(window) if window is not None else None,
+        softcap=float(softcap) if softcap is not None else None,
+    )
+    if sinks is not None:
+        kernel = base_kernel
+    else:
+        def kernel(offs_r, kvh_r, kvmap_r, q_r, k_r, v_r, o_r, m_s, l_s,
+                   acc_s):
+            return base_kernel(
+                offs_r, kvh_r, kvmap_r, q_r, k_r, v_r, None, o_r,
+                m_s, l_s, acc_s,
+            )
+
     (o,) = pl.pallas_call(
-        functools.partial(
-            _ragged_prefill_kernel,
-            sm_scale=sm_scale,
-            hist_cap=hist_cap,
-            num_kv_blocks=num_kv_blocks,
-            window=int(window) if window is not None else None,
-            softcap=float(softcap) if softcap is not None else None,
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bh_total, q_len_p, head_dim_p), q.dtype)
@@ -381,6 +423,6 @@ def flash_attention_ragged(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(offs_bh, kvh, kvmap, qf, kf, vf)
+    )(offs_bh, kvh, kvmap, *call_inputs)
     o = o.reshape(batch, num_q_heads, q_len_p, head_dim_p)
     return o[:, :, :q_len, :head_dim]

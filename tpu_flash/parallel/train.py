@@ -74,8 +74,8 @@ def param_specs(params) -> Any:
     hidden column-sharded on "model", their output projections row-sharded,
     everything else replicated."""
 
-    def layer_spec(_):
-        return {
+    def layer_spec(layer):
+        spec = {
             "attn_norm": P(),
             "wq": P(None, "model"),
             "wk": P(None, "model"),
@@ -86,6 +86,10 @@ def param_specs(params) -> Any:
             "w_up": P(None, "model"),
             "w_down": P("model", None),
         }
+        if "sinks" in layer:
+            # Per-q-head sink logits shard with the heads.
+            spec["sinks"] = P("model")
+        return spec
 
     return {
         "embed": P(),
@@ -130,6 +134,14 @@ def make_train_step(
             f"model axis ({n_model}) must divide q heads "
             f"({cfg.num_q_heads}) and kv heads ({cfg.num_kv_heads})"
         )
+    if getattr(cfg, "attn_sinks", False):
+        # The sharded train step builds attention via the ring kernel; the
+        # sink would need to fold exactly once into the final merge — not
+        # wired yet. Single-host training via model.loss_fn supports sinks.
+        raise NotImplementedError(
+            "attn_sinks is not supported in the sharded train step yet; "
+            "train with model.loss_fn or disable sinks"
+        )
 
     def local_loss(p, tokens_local):
         """Per-chip loss over the local (data, seq) block."""
@@ -148,6 +160,8 @@ def make_train_step(
             v = (xn @ layer["wv"]).reshape(b, s_local, hkv_l, cfg.head_dim)
             q = apply_rope(q.transpose(0, 2, 1, 3), positions, model.freqs)
             k = apply_rope(k.transpose(0, 2, 1, 3), positions, model.freqs)
+            if getattr(model, "_q_mult", 1.0) != 1.0:
+                q = q * model._q_mult  # YaRN temperature (see transformer)
             v = v.transpose(0, 2, 1, 3)
             attn = ring_attention_local(
                 q, k, v, seq_axis="seq", n_ring=n_seq, causal=True,
