@@ -211,3 +211,71 @@ class TestWindowedPagedPrefillPath:
         assert run(True) == run(False) == _oracle_generate(
             model, params, prompt, 4
         )
+
+
+class TestLayerWindowPattern:
+    """Gemma-style alternation: some layers local, some global."""
+
+    def test_layer_window_helper(self):
+        cfg = dataclasses.replace(
+            TINY_TEST, sliding_window=8, sliding_window_pattern=2
+        )
+        # pattern=2: layers 1, 3, ... (1-indexed multiples of 2) global.
+        assert cfg.layer_window(0) == 8
+        assert cfg.layer_window(1) is None
+        cfg6 = dataclasses.replace(
+            TINY_TEST, sliding_window=8, sliding_window_pattern=6
+        )
+        assert [cfg6.layer_window(i) for i in range(6)] == [
+            8, 8, 8, 8, 8, None
+        ]
+
+    def test_alternating_engine_matches_oracle(self):
+        """TINY_TEST has 2 layers: with pattern=2, layer 0 is windowed and
+        layer 1 global — decode and chunked prefill must both honor the
+        per-layer masks exactly."""
+        model, params = _make(sliding_window=10)
+        cfg = dataclasses.replace(
+            model.config, sliding_window_pattern=2
+        )
+        model = FlashTransformer(cfg)
+        prompt = [
+            int(x)
+            for x in jax.random.randint(jax.random.PRNGKey(3), (90,), 0, 200)
+        ]
+        engine = _engine(model, params, max_pages=32)
+        rid = engine.submit(prompt, max_new_tokens=5)
+        assert engine.run()[rid] == _oracle_generate(model, params, prompt, 5)
+
+    def test_pattern_differs_from_uniform(self):
+        """Sanity: the alternation actually changes outputs vs all-local."""
+        model_u, params = _make(sliding_window=6)
+        model_p = FlashTransformer(
+            dataclasses.replace(model_u.config, sliding_window_pattern=2)
+        )
+        prompt = [
+            int(x)
+            for x in jax.random.randint(jax.random.PRNGKey(4), (60,), 0, 200)
+        ]
+        lu = model_u.forward(
+            params, jnp.asarray([prompt], jnp.int32), interpret=True
+        )
+        lp = model_p.forward(
+            params, jnp.asarray([prompt], jnp.int32), interpret=True
+        )
+        assert float(jnp.max(jnp.abs(lu - lp))) > 1e-4
+
+    def test_hf_gemma2_pattern_mapping(self):
+        from tpu_flash.checkpoint import model_config_from_hf
+
+        hf = {
+            "model_type": "gemma2", "hidden_size": 2304,
+            "num_attention_heads": 8, "num_key_value_heads": 4,
+            "num_hidden_layers": 26, "intermediate_size": 9216,
+            "vocab_size": 256000, "head_dim": 256,
+            "sliding_window": 4096,
+        }
+        cfg = model_config_from_hf(hf)
+        assert cfg.sliding_window_pattern == 2
+        hf3 = dict(hf, model_type="gemma3", sliding_window_pattern=6)
+        assert model_config_from_hf(hf3).sliding_window_pattern == 6

@@ -161,6 +161,13 @@ def model_config_from_hf(hf_config: Mapping[str, Any], *,
         rms_eps=float(hf_config.get("rms_norm_eps", 1e-5)),
         dtype=dtype,
         sliding_window=hf_config.get("sliding_window"),
+        # Gemma-3 publishes the local/global alternation period directly;
+        # Gemma-2 alternates every other layer by convention.
+        sliding_window_pattern=hf_config.get(
+            "sliding_window_pattern",
+            2 if hf_config.get("model_type") == "gemma2"
+            and hf_config.get("sliding_window") else None,
+        ),
         attn_softcap=hf_config.get("attn_logit_softcapping"),
         rope_scaling=rope_scaling,
         rope_scaling_factor=rope_factor,

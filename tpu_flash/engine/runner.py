@@ -96,7 +96,18 @@ class InferenceEngine:
         # Sliding-window / softcap attention options, threaded through every
         # attention dispatch site (prefill, ragged, paged sweep, decode,
         # speculative verify) so windowed models serve on all paths.
-        self._window = cfg.sliding_window
+        # Per-layer windows (Gemma-style local/global alternation) ride in
+        # _windows; _window stays set only when every layer shares one
+        # window (it gates the window-clamped history gather, which needs
+        # a uniform attention offset across layers).
+        self._windows = tuple(
+            cfg.layer_window(li) for li in range(cfg.num_layers)
+        )
+        self._window = (
+            cfg.sliding_window
+            if cfg.sliding_window_pattern is None
+            else None
+        )
         self._softcap = cfg.attn_softcap
         self.interpret = (
             interpret
@@ -446,7 +457,8 @@ class InferenceEngine:
                 return paged_prefill_attention(
                     q, k, v, kp, vp, starts_b, table_rows,
                     hist_cap=hist_len, interpret=self.interpret,
-                    window=self._window, softcap=self._softcap,
+                    window=self._windows[li_cell[0]],
+                    softcap=self._softcap,
                     sinks=params["layers"][li_cell[0]].get("sinks"),
                 )
 
@@ -575,7 +587,8 @@ class InferenceEngine:
                 return paged_prefill_attention(
                     q, k, v, kp, vp, starts, table_rows,
                     hist_cap=hist_cap, interpret=self.interpret,
-                    window=self._window, softcap=self._softcap,
+                    window=self._windows[li_cell[0]],
+                    softcap=self._softcap,
                     sinks=params["layers"][li_cell[0]].get("sinks"),
                 )
 
@@ -585,7 +598,8 @@ class InferenceEngine:
                 return flash_attention_ragged(
                     q, k, v, starts, hist_cap=hist_cap,
                     interpret=self.interpret,
-                    window=self._window, softcap=self._softcap,
+                    window=self._windows[li_cell[0]],
+                    softcap=self._softcap,
                     sinks=params["layers"][li_cell[0]].get("sinks"),
                 )
 
@@ -732,7 +746,7 @@ class InferenceEngine:
 
             attn = paged_attention(
                 q, k_view, v_view, attn_lengths, page_tables,
-                interpret=self.interpret, window=cfg.sliding_window,
+                interpret=self.interpret, window=self._windows[li],
                 softcap=cfg.attn_softcap, sinks=layer.get("sinks"),
             )  # [mb, hq, d]
             attn = attn.reshape(x.shape[0], -1)
@@ -936,7 +950,8 @@ class InferenceEngine:
                 return paged_prefill_attention(
                     q, k, v, kp, vp, lengths_b, table_rows,
                     hist_cap=hist_full, interpret=self.interpret,
-                    window=self._window, softcap=self._softcap,
+                    window=self._windows[li_cell[0]],
+                    softcap=self._softcap,
                     sinks=params["layers"][li_cell[0]].get("sinks"),
                 )
 
@@ -962,10 +977,11 @@ class InferenceEngine:
                     s_ = self._softcap * jnp.tanh(s_ / self._softcap)
                 key_pos = jnp.arange(hist_full)[None, None, None, :]
                 allow = key_pos <= positions[:, None, :, None]
-                if self._window is not None:
+                win_l = self._windows[li_cell[0]]
+                if win_l is not None:
                     allow = jnp.logical_and(
                         allow,
-                        key_pos > positions[:, None, :, None] - self._window,
+                        key_pos > positions[:, None, :, None] - win_l,
                     )
                 s_ = jnp.where(allow, s_, -1e30)
                 sinks_l = params["layers"][li_cell[0]].get("sinks")

@@ -27,8 +27,24 @@ class ModelConfig:
     dtype: str = "bfloat16"
     # Sliding-window attention (Mistral convention: each position attends to
     # the previous `sliding_window` positions including itself) — None for
-    # full causal attention. Applied in every layer.
+    # full causal attention. Applied in every layer unless
+    # ``sliding_window_pattern`` is set.
     sliding_window: "int | None" = None
+    # Gemma-2/3-style alternation: every ``pattern``-th layer (layers with
+    # (i + 1) % pattern == 0) is GLOBAL full attention; the rest use the
+    # sliding window. pattern=2 alternates local/global (Gemma-2);
+    # pattern=6 is Gemma-3's 5-local:1-global.
+    sliding_window_pattern: "int | None" = None
+
+    def layer_window(self, layer_idx: int) -> "int | None":
+        """The sliding window for one layer under the configured pattern."""
+        if self.sliding_window is None:
+            return None
+        if self.sliding_window_pattern is None:
+            return self.sliding_window
+        if (layer_idx + 1) % self.sliding_window_pattern == 0:
+            return None  # global layer
+        return self.sliding_window
     # Gemma-2-style attention logit soft-capping (tanh), None to disable.
     attn_softcap: "float | None" = None
     # StreamingLLM / gpt-oss-style learnable per-head attention-sink

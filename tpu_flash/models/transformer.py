@@ -267,7 +267,7 @@ class FlashTransformer:
             else:
                 attn = flash_attention(
                     q, k, v, causal=True, q_offset=q_offset,
-                    interpret=interpret, window=cfg.sliding_window,
+                    interpret=interpret, window=cfg.layer_window(li),
                     softcap=cfg.attn_softcap, segment_ids=seg_attn,
                     sinks=layer.get("sinks"),
                 )
