@@ -191,3 +191,123 @@ class TestHFConfigImport:
         }
         with pytest.raises(ValueError, match="rope_scaling"):
             model_config_from_hf(hf)
+
+
+class TestLlama3SchemeAndQPAS:
+    def test_llama3_band_math(self):
+        import math as _m
+
+        cfg = _cfg(
+            rope_scaling="llama3", rope_scaling_factor=8.0,
+            rope_orig_context=8192, head_dim=128,
+            rope_low_freq_factor=1.0, rope_high_freq_factor=4.0,
+        )
+        freqs, mult = scaled_rope_frequencies(cfg)
+        base = rope_frequencies(cfg.head_dim, cfg.rope_theta)
+        wl = 2.0 * _m.pi / np.asarray(base)
+        low_wl = cfg.rope_orig_context / 1.0
+        high_wl = cfg.rope_orig_context / 4.0
+        f, b = np.asarray(freqs), np.asarray(base)
+        np.testing.assert_allclose(f[wl > low_wl], b[wl > low_wl] / 8.0,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(f[wl < high_wl], b[wl < high_wl],
+                                   rtol=1e-6)
+        mid = (wl >= high_wl) & (wl <= low_wl)
+        assert np.all(f[mid] > b[mid] / 8.0) and np.all(f[mid] < b[mid])
+        assert mult == 1.0  # llama3 has NO attention temperature
+
+    def test_query_pre_attn_scalar_folds_into_q(self):
+        import math as _m
+
+        cfg = _cfg(query_pre_attn_scalar=144.0)
+        _, mult = scaled_rope_frequencies(cfg)
+        assert abs(mult - _m.sqrt(cfg.head_dim / 144.0)) < 1e-9
+
+    def test_qpas_engine_matches_oracle(self):
+        from tpu_flash.core.config import CacheConfig, EngineConfig
+        from tpu_flash.engine.runner import InferenceEngine
+
+        cfg = _cfg(query_pre_attn_scalar=50.0)
+        model = FlashTransformer(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        engine = InferenceEngine(
+            model, params,
+            EngineConfig(
+                max_batch_size=2, max_seq_len=256, prefill_chunk=64,
+                cache=CacheConfig(
+                    page_size=8, num_pages=64, max_pages_per_seq=16,
+                ),
+            ),
+            interpret=True,
+        )
+        prompt = [3, 14, 15, 9, 2, 6]
+        rid = engine.submit(prompt, max_new_tokens=5)
+        oracle = TestScaledModelServing()._oracle(model, params, prompt, 5)
+        assert engine.run()[rid] == oracle
+
+    def test_hf_llama31_mapping(self):
+        from tpu_flash.checkpoint import model_config_from_hf
+
+        hf = {
+            "hidden_size": 4096, "num_attention_heads": 32,
+            "num_key_value_heads": 8, "num_hidden_layers": 32,
+            "intermediate_size": 14336, "vocab_size": 128256,
+            "rope_theta": 500000.0,
+            "max_position_embeddings": 131072,
+            "rope_scaling": {
+                "rope_type": "llama3", "factor": 8.0,
+                "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                "original_max_position_embeddings": 8192,
+            },
+        }
+        cfg = model_config_from_hf(hf)
+        assert cfg.rope_scaling == "llama3"
+        assert cfg.rope_orig_context == 8192  # NOT the extended 131072
+        assert cfg.rope_high_freq_factor == 4.0
+
+    def test_hf_yarn_requires_original_context(self):
+        from tpu_flash.checkpoint import model_config_from_hf
+
+        hf = {
+            "hidden_size": 64, "num_attention_heads": 4,
+            "num_hidden_layers": 2, "intermediate_size": 128,
+            "vocab_size": 256,
+            "rope_scaling": {"rope_type": "yarn", "factor": 4.0},
+        }
+        with pytest.raises(ValueError, match="original_max_position"):
+            model_config_from_hf(hf)
+
+    def test_hf_dynamic_ntk_rejected(self):
+        from tpu_flash.checkpoint import model_config_from_hf
+
+        hf = {
+            "hidden_size": 64, "num_attention_heads": 4,
+            "num_hidden_layers": 2, "intermediate_size": 128,
+            "vocab_size": 256,
+            "rope_scaling": {"type": "dynamic", "factor": 2.0},
+        }
+        with pytest.raises(ValueError, match="dynamic"):
+            model_config_from_hf(hf)
+
+    def test_hf_gemma2_qpas_mapped(self):
+        from tpu_flash.checkpoint import model_config_from_hf
+
+        hf = {
+            "model_type": "gemma2", "hidden_size": 4608,
+            "num_attention_heads": 32, "num_key_value_heads": 16,
+            "num_hidden_layers": 46, "intermediate_size": 36864,
+            "vocab_size": 256000, "head_dim": 128,
+            "query_pre_attn_scalar": 144,
+        }
+        assert model_config_from_hf(hf).query_pre_attn_scalar == 144
+
+    def test_sharded_train_rejects_window_and_softcap(self):
+        from tpu_flash.core.config import MeshConfig
+        from tpu_flash.parallel.mesh import build_mesh
+        from tpu_flash.parallel.train import make_train_step
+
+        mesh = build_mesh(MeshConfig(data=1, seq=1, model=2))
+        for kw in ({"sliding_window": 8}, {"attn_softcap": 10.0}):
+            model = FlashTransformer(_cfg(**kw))
+            with pytest.raises(NotImplementedError):
+                make_train_step(model, mesh)

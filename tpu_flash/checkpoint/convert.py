@@ -128,25 +128,35 @@ def model_config_from_hf(hf_config: Mapping[str, Any], *,
     rope_scaling = None
     rope_factor = 1.0
     rope_orig = hf_config.get("max_position_embeddings", 4096)
+    rope_low_f, rope_high_f = 1.0, 4.0
     rs = hf_config.get("rope_scaling") or {}
     if rs:
         kind = rs.get("rope_type", rs.get("type", "linear"))
         mapping = {
             "linear": "linear",
-            "dynamic": "ntk",
             "ntk": "ntk",
             "yarn": "yarn",
-            # llama3's segmented scheme is YaRN-shaped (per-band
-            # interpolation with a ramp); map to yarn as the closest fit.
-            "llama3": "yarn",
+            "llama3": "llama3",
+            # NOT mapped: "dynamic" (length-dependent NTK — applies no
+            # scaling at or below the original context, which the static
+            # schemes here cannot reproduce).
         }
         if kind not in mapping:
             raise ValueError(f"unsupported HF rope_scaling type {kind!r}")
         rope_scaling = mapping[kind]
         rope_factor = float(rs.get("factor", 1.0))
-        rope_orig = int(
-            rs.get("original_max_position_embeddings", rope_orig)
-        )
+        if kind in ("yarn", "llama3"):
+            if "original_max_position_embeddings" not in rs:
+                # Falling back to the (extended) max_position_embeddings
+                # would neuter the interpolation ramp silently.
+                raise ValueError(
+                    f"rope_scaling type {kind!r} requires "
+                    "original_max_position_embeddings in rope_scaling"
+                )
+            rope_orig = int(rs["original_max_position_embeddings"])
+        if kind == "llama3":
+            rope_low_f = float(rs.get("low_freq_factor", 1.0))
+            rope_high_f = float(rs.get("high_freq_factor", 4.0))
 
     return ModelConfig(
         name=name,
@@ -172,4 +182,7 @@ def model_config_from_hf(hf_config: Mapping[str, Any], *,
         rope_scaling=rope_scaling,
         rope_scaling_factor=rope_factor,
         rope_orig_context=rope_orig,
+        rope_low_freq_factor=rope_low_f,
+        rope_high_freq_factor=rope_high_f,
+        query_pre_attn_scalar=hf_config.get("query_pre_attn_scalar"),
     )

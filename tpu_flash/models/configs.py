@@ -52,13 +52,24 @@ class ModelConfig:
     # [num_q_heads] parameter.
     attn_sinks: bool = False
     # RoPE context extension: None (off), "linear" (position
-    # interpolation), "ntk" (NTK-aware theta rescale), or "yarn"
-    # (per-frequency interpolation ramp + attention temperature).
+    # interpolation), "ntk" (NTK-aware theta rescale), "yarn"
+    # (per-frequency interpolation ramp + attention temperature), or
+    # "llama3" (Llama-3.1's wavelength-threshold interpolation — no
+    # temperature).
     rope_scaling: "str | None" = None
     rope_scaling_factor: float = 1.0
-    # Original training context, used by the YaRN ramp to decide which
-    # frequency bands to interpolate.
+    # Original training context, used by the yarn/llama3 ramps to decide
+    # which frequency bands to interpolate.
     rope_orig_context: int = 4096
+    # llama3-scheme band thresholds (HF low_freq_factor/high_freq_factor):
+    # wavelengths longer than orig_ctx/low_freq_factor fully interpolate;
+    # shorter than orig_ctx/high_freq_factor stay unscaled.
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    # Softmax scale denominator override (Gemma-2's query_pre_attn_scalar):
+    # scores use 1/sqrt(query_pre_attn_scalar) instead of 1/sqrt(head_dim).
+    # Folded into q post-rope, so kernels keep their default scale.
+    query_pre_attn_scalar: "float | None" = None
 
     @property
     def attention(self) -> AttentionConfig:

@@ -48,21 +48,36 @@ def scaled_rope_frequencies(cfg) -> "tuple[jax.Array, float]":
       blends between. Attention scores additionally scale by
       t^2 with t = 0.1*ln(s) + 1 (the YaRN temperature), folded into q
       post-rope so no kernel needs an sm_scale override.
+    - "llama3": Llama-3.1's scheme — wavelengths past
+      orig_ctx / rope_low_freq_factor fully interpolate, those below
+      orig_ctx / rope_high_freq_factor stay unscaled, with a smooth
+      blend between; NO attention temperature (HF attention_scaling=1).
+
+    Also folds a Gemma-2-style ``query_pre_attn_scalar`` softmax-scale
+    override into the returned q multiplier (scores become
+    qk/sqrt(query_pre_attn_scalar) instead of qk/sqrt(head_dim)).
     """
+    import math
+
     base = rope_frequencies(cfg.head_dim, cfg.rope_theta)
     s = float(cfg.rope_scaling_factor)
     kind = cfg.rope_scaling
+
+    q_mult = 1.0
+    qpas = getattr(cfg, "query_pre_attn_scalar", None)
+    if qpas is not None:
+        # Kernels scale by 1/sqrt(d); convert to 1/sqrt(qpas).
+        q_mult *= math.sqrt(cfg.head_dim / qpas)
+
     if kind is None or s == 1.0:
-        return base, 1.0
+        return base, q_mult
     if kind == "linear":
-        return base / s, 1.0
+        return base / s, q_mult
     if kind == "ntk":
         d = cfg.head_dim
         theta2 = cfg.rope_theta * s ** (d / (d - 2))
-        return rope_frequencies(d, theta2), 1.0
+        return rope_frequencies(d, theta2), q_mult
     if kind == "yarn":
-        import math
-
         wavelengths = 2.0 * math.pi / base
         rotations = cfg.rope_orig_context / wavelengths
         beta_fast, beta_slow = 32.0, 1.0
@@ -71,9 +86,32 @@ def scaled_rope_frequencies(cfg) -> "tuple[jax.Array, float]":
         )
         freqs = (1.0 - ramp) * (base / s) + ramp * base
         t = 0.1 * math.log(s) + 1.0
-        return freqs, t * t
+        return freqs, q_mult * t * t
+    if kind == "llama3":
+        low_f = getattr(cfg, "rope_low_freq_factor", 1.0)
+        high_f = getattr(cfg, "rope_high_freq_factor", 4.0)
+        wavelengths = 2.0 * math.pi / base
+        low_wl = cfg.rope_orig_context / low_f
+        high_wl = cfg.rope_orig_context / high_f
+        # smooth in [0, 1]: 1 at high frequency (keep), 0 at low (divide).
+        smooth = jnp.clip(
+            (cfg.rope_orig_context / wavelengths - low_f)
+            / (high_f - low_f),
+            0.0,
+            1.0,
+        )
+        freqs = jnp.where(
+            wavelengths > low_wl,
+            base / s,
+            jnp.where(
+                wavelengths < high_wl,
+                base,
+                (1.0 - smooth) * base / s + smooth * base,
+            ),
+        )
+        return freqs, q_mult
     raise ValueError(
-        f"unknown rope_scaling {kind!r}; expected linear|ntk|yarn"
+        f"unknown rope_scaling {kind!r}; expected linear|ntk|yarn|llama3"
     )
 
 

@@ -368,13 +368,13 @@ def _paged_attn_kernel(
                 l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
                 o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
             else:
-                # Attention sink: a per-head valueless softmax column —
-                # fold exp(sink) into the denominator (stable in m2 units).
-                m = m_scratch[...]
-                sk = sink_ref[0]  # [q_per_kv_p, NUM_LANES]
-                m2 = jnp.maximum(m, sk)
-                scale_m = jnp.exp(m - m2)
-                l_tot = l_scratch[...] * scale_m + jnp.exp(sk - m2)
+                # Attention sink (shared epilogue math: ops/flash/forward).
+                from tpu_flash.ops.flash.forward import sink_denominator
+
+                scale_m, l_tot, _ = sink_denominator(
+                    m_scratch[...], l_scratch[...],
+                    sink_ref[0],  # [q_per_kv_p, NUM_LANES] per-row logits
+                )
                 o_ref[0, 0] = (
                     acc_scratch[...] * (scale_m[:, :1] / l_tot[:, :1])
                 ).astype(o_ref.dtype)

@@ -54,6 +54,26 @@ def _seg_mask(qseg_ref, kvseg_ref, start, block_q, block_kv):
     return q_ids == kv_ids
 
 
+def sink_denominator(m, l, sk):
+    """Shared attention-sink epilogue math (used by the dense, ragged,
+    paged-prefill, and decode kernels): fold a valueless sink logit into
+    the softmax denominator, stably in max(m, sink) units.
+
+    Args:
+      m, l: lane-replicated online-softmax state [rows, NUM_LANES].
+      sk: sink logits broadcastable against m (per-row or per-tile).
+    Returns:
+      (scale_m, l_tot, m2): normalize the accumulator with
+      ``acc * scale_m[:, :1] / l_tot[:, :1]``; ``m2 + log(l_tot)`` is the
+      sink-inclusive lse. scale_m is 0 for rows that saw nothing
+      (m = -inf), making their output exactly 0.
+    """
+    m2 = jnp.maximum(m, sk)
+    scale_m = jnp.exp(m - m2)
+    l_tot = l * scale_m + jnp.exp(sk - m2)
+    return scale_m, l_tot, m2
+
+
 def _finalize(o_ref, lse_ref, m_scratch, l_scratch, acc_scratch, sink_ref):
     """Deferred-normalization epilogue, optionally folding a per-head
     attention-sink logit into the softmax denominator: the sink is a
@@ -68,11 +88,10 @@ def _finalize(o_ref, lse_ref, m_scratch, l_scratch, acc_scratch, sink_ref):
                 m == -jnp.inf, -jnp.inf, m + jnp.log(l_scratch[...])
             ).astype(lse_ref.dtype)
         return
-    m = m_scratch[...]
     sk = sink_ref[0][None, :]  # [1, NUM_LANES] lane-replicated logit
-    m2 = jnp.maximum(m, sk)
-    scale_m = jnp.exp(m - m2)  # 0 for rows that saw nothing (m = -inf)
-    l_tot = l_scratch[...] * scale_m + jnp.exp(sk - m2)
+    scale_m, l_tot, m2 = sink_denominator(
+        m_scratch[...], l_scratch[...], sk
+    )
     o_ref[0, 0] = (
         acc_scratch[...] * (scale_m[:, :1] / l_tot[:, :1])
     ).astype(o_ref.dtype)

@@ -309,14 +309,16 @@ def _paged_prefill_kernel(
         else:
             # Per-head sink: row r of the stacked tile belongs to q head
             # r // block_q of this KV head — broadcast the [q_per_kv]
-            # logits over each head's block_q rows.
-            m = m_scratch[...]
+            # logits over each head's block_q rows (shared epilogue math:
+            # ops/flash/forward.py::sink_denominator).
+            from tpu_flash.ops.flash.forward import sink_denominator
+
             sk = jnp.broadcast_to(
                 sink_ref[0][:, None, :], (q_per_kv, block_q, NUM_LANES)
             ).reshape(rows, NUM_LANES)
-            m2 = jnp.maximum(m, sk)
-            scale_m = jnp.exp(m - m2)
-            l_tot = l_scratch[...] * scale_m + jnp.exp(sk - m2)
+            scale_m, l_tot, _ = sink_denominator(
+                m_scratch[...], l_scratch[...], sk
+            )
             o_ref[0] = (
                 acc_scratch[...] * (scale_m[:, :1] / l_tot[:, :1])
             ).astype(o_ref.dtype)

@@ -181,13 +181,12 @@ def _ragged_prefill_kernel(
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
         else:
-            # Per-head attention sink: a valueless softmax column folded
-            # into the denominator (stable in max(m, sink) units).
-            m = m_scratch[...]
-            sk = sink_ref[0][None, :]
-            m2 = jnp.maximum(m, sk)
-            scale_m = jnp.exp(m - m2)
-            l_tot = l_scratch[...] * scale_m + jnp.exp(sk - m2)
+            # Per-head attention sink (shared epilogue math: forward.py).
+            from tpu_flash.ops.flash.forward import sink_denominator
+
+            scale_m, l_tot, _ = sink_denominator(
+                m_scratch[...], l_scratch[...], sink_ref[0][None, :]
+            )
             o_ref[0] = (
                 acc_scratch[...] * (scale_m[:, :1] / l_tot[:, :1])
             ).astype(o_ref.dtype)

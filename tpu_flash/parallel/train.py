@@ -134,13 +134,23 @@ def make_train_step(
             f"model axis ({n_model}) must divide q heads "
             f"({cfg.num_q_heads}) and kv heads ({cfg.num_kv_heads})"
         )
-    if getattr(cfg, "attn_sinks", False):
-        # The sharded train step builds attention via the ring kernel; the
-        # sink would need to fold exactly once into the final merge — not
-        # wired yet. Single-host training via model.loss_fn supports sinks.
+    unsupported = [
+        name
+        for name, val in (
+            ("attn_sinks", getattr(cfg, "attn_sinks", False)),
+            ("sliding_window", getattr(cfg, "sliding_window", None)),
+            ("attn_softcap", getattr(cfg, "attn_softcap", None)),
+        )
+        if val
+    ]
+    if unsupported:
+        # The sharded train step builds attention via the ring kernel,
+        # which has no window/softcap/sink parameters yet — training would
+        # silently optimize a DIFFERENT function than model.loss_fn and
+        # every serving path. Fail loudly instead.
         raise NotImplementedError(
-            "attn_sinks is not supported in the sharded train step yet; "
-            "train with model.loss_fn or disable sinks"
+            f"{unsupported} not supported in the sharded (ring) train "
+            "step yet; train with model.loss_fn or disable these options"
         )
 
     def local_loss(p, tokens_local):
