@@ -373,16 +373,6 @@ class TestSinksEngine:
         assert spec.run()[rs] == expected
         assert spec.speculation_stats()["proposed"] > 0
 
-    def test_sharded_train_step_rejects_sinks(self):
-        from tpu_flash.core.config import MeshConfig
-        from tpu_flash.parallel.mesh import build_mesh
-        from tpu_flash.parallel.train import make_train_step
-
-        model, _ = self._make()
-        mesh = build_mesh(MeshConfig(data=1, seq=1, model=2))
-        with pytest.raises(NotImplementedError, match="sinks"):
-            make_train_step(model, mesh)
-
     def test_loss_fn_trains_sinks(self):
         model, params = self._make()
         tokens = jnp.asarray([[3, 14, 15, 27, 1, 8]], jnp.int32)

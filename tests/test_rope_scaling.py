@@ -301,13 +301,3 @@ class TestLlama3SchemeAndQPAS:
         }
         assert model_config_from_hf(hf).query_pre_attn_scalar == 144
 
-    def test_sharded_train_rejects_window_and_softcap(self):
-        from tpu_flash.core.config import MeshConfig
-        from tpu_flash.parallel.mesh import build_mesh
-        from tpu_flash.parallel.train import make_train_step
-
-        mesh = build_mesh(MeshConfig(data=1, seq=1, model=2))
-        for kw in ({"sliding_window": 8}, {"attn_softcap": 10.0}):
-            model = FlashTransformer(_cfg(**kw))
-            with pytest.raises(NotImplementedError):
-                make_train_step(model, mesh)

@@ -170,3 +170,50 @@ class TestOptaxTraining:
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 atol=1e-6,
             )
+
+
+@requires_8
+@pytest.mark.parametrize(
+    "variant",
+    [
+        dict(sliding_window=12),
+        dict(attn_softcap=8.0),
+        dict(attn_sinks=True),
+        dict(sliding_window=10, sliding_window_pattern=2,
+             attn_softcap=6.0, attn_sinks=True),
+    ],
+    ids=["window", "softcap", "sinks", "gemma-like"],
+)
+def test_attention_variants_match_single_device(variant):
+    """The sharded (ring) train step must optimize the SAME function as
+    model.loss_fn when the model uses sliding windows (decomposed over
+    ring blocks by chip distance), softcap, or attention sinks (folded
+    once at the final normalization)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, **variant)
+    model = FlashTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    if cfg.attn_sinks:
+        for li, layer in enumerate(params["layers"]):
+            layer["sinks"] = (
+                jax.random.normal(jax.random.PRNGKey(li),
+                                  (cfg.num_q_heads,)) * 1.5
+            )
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (8, 32), 0, cfg.vocab_size, jnp.int32
+    )
+    lr = 1e-2
+    exp_p, exp_loss = _single_device_step(model, params, tokens, lr)
+
+    mesh = build_mesh(MeshConfig(data=2, model=2, seq=2))
+    shard_params, build = make_train_step(
+        model, mesh, learning_rate=lr, interpret=True
+    )
+    step = build(params)
+    new_p, loss = step(shard_params(params), tokens)
+    np.testing.assert_allclose(float(loss), float(exp_loss), rtol=2e-4)
+    for g, e in zip(jax.tree.leaves(new_p), jax.tree.leaves(exp_p)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(e), atol=2e-4, rtol=2e-3
+        )

@@ -92,6 +92,25 @@ def finalize(state: SoftmaxState, dtype=None) -> jax.Array:
     return out.astype(dtype) if dtype is not None else out
 
 
+def finalize_with_sinks(
+    state: SoftmaxState, sinks: jax.Array, dtype=None
+) -> jax.Array:
+    """Finalize with per-head attention-sink logits folded into the
+    denominator exactly once (the sink is a valueless softmax column, so
+    it must NOT be added per partial block — only here, after all merges).
+
+    Args:
+      state: merged state with m/l of shape [batch, heads, q, 1].
+      sinks: [heads] logits.
+    """
+    sk = sinks.astype(jnp.float32)[None, :, None, None]
+    m2 = jnp.maximum(state.m, sk)
+    scale = jnp.where(state.m == -jnp.inf, 0.0, jnp.exp(state.m - m2))
+    l_tot = state.l * scale + jnp.exp(sk - m2)
+    out = state.acc * (scale / l_tot)
+    return out.astype(dtype) if dtype is not None else out
+
+
 def merge_over_axis(state: SoftmaxState, axis_name: str) -> SoftmaxState:
     """Cross-chip merge of partial states inside shard_map/pmap.
 

@@ -28,14 +28,23 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpu_flash.core.softmax import SoftmaxState, finalize, merge_softmax_states
+from tpu_flash.core.softmax import (
+    SoftmaxState,
+    finalize,
+    finalize_with_sinks,
+    merge_softmax_states,
+)
 from tpu_flash.ops.flash.api import flash_attention
 
 
-def _block_state(q, k, v, *, causal, sm_scale, interpret):
-    """Partial-attention state of one KV block (static causal flag)."""
+def _block_state(q, k, v, *, causal, sm_scale, interpret, window=None,
+                 q_offset=0, softcap=None):
+    """Partial-attention state of one KV block (static causal flag; the
+    banded sub-diagonal blocks of a windowed ring run causal at a static
+    q_offset so the band mask lands on the right absolute positions)."""
     o, lse = flash_attention(
-        q, k, v, causal=causal, sm_scale=sm_scale,
+        q, k, v, causal=causal, sm_scale=sm_scale, window=window,
+        q_offset=q_offset, softcap=softcap,
         save_residuals=True, interpret=interpret,
     )
     m = lse[..., None]
@@ -65,6 +74,9 @@ def ring_attention(
     data_axis: str = "data",
     model_axis: Optional[str] = "model",
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ):
     """Exact attention with Q/K/V sharded along the sequence dimension.
 
@@ -86,6 +98,7 @@ def ring_attention(
             q_blk, k_blk, v_blk,
             seq_axis=seq_axis, n_ring=n_ring, causal=causal,
             sm_scale=sm_scale, interpret=interpret,
+            window=window, softcap=softcap, sinks=sinks,
         )
 
     fn = shard_map(
@@ -108,43 +121,99 @@ def ring_attention_local(
     causal: bool,
     sm_scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ):
     """Per-shard ring attention body — callable inside an enclosing
     shard_map (e.g. the TP+SP training step), where q/k/v are the local
-    sequence blocks of this chip."""
+    sequence blocks of this chip.
+
+    ``window``/``softcap``: per the flash kernel. A sliding window
+    decomposes over ring blocks by the chip distance d = my - src: the
+    diagonal runs causal+window; blocks fully inside the window run
+    dense; blocks straddling the window's lower edge run BANDED (causal
+    at static q_offset = d * block so the band mask lands on absolute
+    positions); blocks entirely below the window are skipped — windowed
+    long context does O(window) work per chip, not O(context).
+
+    ``sinks`` ([local q heads]): folded into the denominator exactly once
+    at the final normalization — NOT per block (each block's lse must
+    stay sink-free or the sink mass would be counted n_ring times)."""
     if sm_scale is None:
         sm_scale = q_blk.shape[-1] ** -0.5
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
     if n_ring == 1:
         return flash_attention(
             q_blk, k_blk, v_blk, causal=causal, sm_scale=sm_scale,
-            interpret=interpret,
+            interpret=interpret, window=window, softcap=softcap,
+            sinks=sinks,
         )
     my = jax.lax.axis_index(seq_axis)
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+    blk_len = q_blk.shape[2]
+
+    # Branch per chip-distance d = my - src, deduped: most distances
+    # collapse to "dense", "empty", or the diagonal; only the <= 2
+    # window-straddling distances compile their own banded kernel.
+    def _dense():
+        return _block_state(
+            q_blk_c[0], q_blk_c[1], q_blk_c[2], causal=False,
+            sm_scale=sm_scale, interpret=interpret, softcap=softcap,
+        )
+
+    def _kind_for(d: int):
+        if not causal:
+            return ("dense",)
+        if d == 0:
+            return ("diag",)
+        if window is None or window >= d * blk_len + blk_len:
+            return ("dense",)
+        if window <= d * blk_len - blk_len + 1:
+            return ("empty",)
+        return ("band", d)
+
+    def _branch(kind):
+        if kind == ("diag",):
+            return lambda: _block_state(
+                q_blk_c[0], q_blk_c[1], q_blk_c[2], causal=True,
+                sm_scale=sm_scale, interpret=interpret, window=window,
+                softcap=softcap,
+            )
+        if kind == ("dense",):
+            return _dense
+        if kind == ("empty",):
+            return lambda: _empty_like_state(q_blk_c[0])
+        d = kind[1]
+        return lambda: _block_state(
+            q_blk_c[0], q_blk_c[1], q_blk_c[2], causal=True,
+            sm_scale=sm_scale, interpret=interpret, window=window,
+            q_offset=d * blk_len, softcap=softcap,
+        )
+
+    kinds = [_kind_for(d) for d in range(n_ring)] + [("empty",)]
+    unique = []
+    table = []
+    for kd in kinds:
+        if kd not in unique:
+            unique.append(kd)
+        table.append(unique.index(kd))
+    branch_table = jnp.asarray(table, jnp.int32)  # delta (or skip) → branch
+    q_blk_c = [q_blk, None, None]  # mutable cell: branches read k/v per step
 
     def step(carry, step_idx):
         state, k_cur, v_cur = carry
         src = jax.lax.rem(my - step_idx + n_ring, n_ring)
         if causal:
-            # Block relation: src == my → diagonal (causal); src < my →
-            # fully below diagonal (dense); src > my → skip.
-            kind = jnp.where(src == my, 1, jnp.where(src < my, 0, 2))
+            # src > my (future block): index n_ring → the skip branch.
+            delta = jnp.where(src > my, n_ring, my - src)
         else:
-            kind = jnp.zeros((), jnp.int32)
-
+            delta = jnp.zeros((), jnp.int32)
+        q_blk_c[1] = k_cur
+        q_blk_c[2] = v_cur
         blk = jax.lax.switch(
-            kind,
-            [
-                lambda: _block_state(
-                    q_blk, k_cur, v_cur, causal=False,
-                    sm_scale=sm_scale, interpret=interpret,
-                ),
-                lambda: _block_state(
-                    q_blk, k_cur, v_cur, causal=True,
-                    sm_scale=sm_scale, interpret=interpret,
-                ),
-                lambda: _empty_like_state(q_blk),
-            ],
+            branch_table[delta], [_branch(kd) for kd in unique]
         )
         state = merge_softmax_states(state, blk)
         # Rotate KV to the next chip; XLA overlaps this ppermute with
@@ -157,4 +226,6 @@ def ring_attention_local(
     (state, _, _), _ = jax.lax.scan(
         step, init, jnp.arange(n_ring), length=n_ring
     )
+    if sinks is not None:
+        return finalize_with_sinks(state, sinks, q_blk.dtype)
     return finalize(state, q_blk.dtype)

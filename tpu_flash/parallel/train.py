@@ -134,24 +134,6 @@ def make_train_step(
             f"model axis ({n_model}) must divide q heads "
             f"({cfg.num_q_heads}) and kv heads ({cfg.num_kv_heads})"
         )
-    unsupported = [
-        name
-        for name, val in (
-            ("attn_sinks", getattr(cfg, "attn_sinks", False)),
-            ("sliding_window", getattr(cfg, "sliding_window", None)),
-            ("attn_softcap", getattr(cfg, "attn_softcap", None)),
-        )
-        if val
-    ]
-    if unsupported:
-        # The sharded train step builds attention via the ring kernel,
-        # which has no window/softcap/sink parameters yet — training would
-        # silently optimize a DIFFERENT function than model.loss_fn and
-        # every serving path. Fail loudly instead.
-        raise NotImplementedError(
-            f"{unsupported} not supported in the sharded (ring) train "
-            "step yet; train with model.loss_fn or disable these options"
-        )
 
     def local_loss(p, tokens_local):
         """Per-chip loss over the local (data, seq) block."""
@@ -161,7 +143,7 @@ def make_train_step(
         positions = pos0 + jnp.arange(s_local)
 
         x = p["embed"][tokens_local].astype(model.dtype)
-        for layer in p["layers"]:
+        for li, layer in enumerate(p["layers"]):
             xn = _enter_tp(_rms_norm(x, layer["attn_norm"], cfg.rms_eps))
             hq_l = cfg.num_q_heads // n_model
             hkv_l = cfg.num_kv_heads // n_model
@@ -176,6 +158,13 @@ def make_train_step(
             attn = ring_attention_local(
                 q, k, v, seq_axis="seq", n_ring=n_seq, causal=True,
                 interpret=interpret,
+                # Attention variants decompose over the ring (window by
+                # chip distance, sinks folded once at finalize), so the
+                # sharded step optimizes the SAME function as
+                # model.loss_fn and every serving path.
+                window=cfg.layer_window(li),
+                softcap=cfg.attn_softcap,
+                sinks=layer.get("sinks"),
             )
             attn = attn.transpose(0, 2, 1, 3).reshape(
                 b, s_local, hq_l * cfg.head_dim
