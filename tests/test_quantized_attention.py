@@ -144,3 +144,54 @@ class TestScaleAlgebra:
         lhs = p @ (v * sv)
         rhs = (p * sv.T) @ v
         np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
+
+
+class TestQuantizedWindowSoftcap:
+    @pytest.mark.parametrize("window", [1, 100, 200])
+    def test_window_matches_dequantized_oracle(self, window):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(20), 1, 2, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        out = flash_attention_quantized(
+            qi, causal=True, block_sizes=BS, out_dtype=jnp.float32,
+            interpret=True, window=window,
+        )
+        qd, kd, vd = dequantize_attention_inputs(qi)
+        expected = reference_gqa_attention(
+            qd, kd, vd, causal=True, window=window
+        )
+        np.testing.assert_allclose(out, expected, atol=2e-2, rtol=2e-2)
+
+    def test_window_triangular_matches_rectangular(self):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(21), 1, 2, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        rect = BlockSizes(block_q=128, block_kv_major=128, block_kv=128)
+        tri = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                         triangular=True)
+        o1 = flash_attention_quantized(
+            qi, causal=True, block_sizes=rect, window=150
+        )
+        o2 = flash_attention_quantized(
+            qi, causal=True, block_sizes=tri, window=150
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o1, np.float32), np.asarray(o2, np.float32)
+        )
+
+    def test_softcap_and_window(self):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(22), 1, 4, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        out = flash_attention_quantized(
+            qi, causal=True, block_sizes=BS, out_dtype=jnp.float32,
+            interpret=True, window=120, softcap=15.0,
+        )
+        qd, kd, vd = dequantize_attention_inputs(qi)
+        expected = reference_gqa_attention(
+            qd, kd, vd, causal=True, window=120, softcap=15.0
+        )
+        np.testing.assert_allclose(out, expected, atol=2e-2, rtol=2e-2)
+
+    def test_window_requires_causal(self):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(23), 1, 2, 2, 128, 128, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        with pytest.raises(ValueError, match="causal"):
+            flash_attention_quantized(qi, causal=False, window=32)

@@ -107,6 +107,8 @@ def _quant_fwd_kernel(
     mask_kv_tail: bool,
     is_int8: bool,
     triangular: bool = False,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     if triangular:
         (qmap_ref, kvmap_ref, islast_ref, q_ref, qs_ref, k_ref, ks_ref,
@@ -122,7 +124,14 @@ def _quant_fwd_kernel(
     block_q = q_ref.shape[2]
     block_kv_major = k_ref.shape[2]
 
-    @pl.when(kv_idx == 0)
+    if window is None:
+        first_kv = 0
+    else:
+        first_kv = jnp.maximum(
+            (q_idx * block_q - window + 1) // block_kv_major, 0
+        )
+
+    @pl.when(kv_idx == first_kv)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -130,6 +139,12 @@ def _quant_fwd_kernel(
 
     if causal and not triangular:
         should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv_major
+        if window is not None:
+            should_run = jnp.logical_and(
+                should_run,
+                (kv_idx + 1) * block_kv_major - 1
+                >= q_idx * block_q - window + 1,
+            )
     else:
         should_run = True  # triangular: only active cells are enumerated
 
@@ -158,6 +173,8 @@ def _quant_fwd_kernel(
             # Rank-1 dequant rescale: rows by (s_q * sm_scale), cols by s_k.
             k_scale = ks_ref[0, 0, :, start : start + block_kv]  # [1, bkv]
             s = s_raw * q_scale * k_scale
+            if softcap is not None:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
 
             kv_base = kv_idx * block_kv_major + start
             if causal or mask_kv_tail:
@@ -169,7 +186,12 @@ def _quant_fwd_kernel(
                     row = jax.lax.broadcasted_iota(
                         jnp.int32, (block_q, block_kv), 0
                     )
-                    mask = (col - row) <= (q_idx * block_q - kv_base)
+                    thr = q_idx * block_q - kv_base
+                    mask = (col - row) <= thr
+                    if window is not None:
+                        mask = jnp.logical_and(
+                            mask, (col - row) > thr - window
+                        )
                 if mask_kv_tail:
                     tail = col < kv_len - kv_base
                     mask = tail if mask is None else jnp.logical_and(mask, tail)
@@ -219,6 +241,8 @@ def flash_attention_quantized(
     out_dtype=jnp.bfloat16,
     kv_len: Optional[int] = None,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Fused attention over quantized Q/K/V (INT8 or FP8-e4m3 payloads).
 
@@ -243,6 +267,15 @@ def flash_attention_quantized(
             f"{kv_len_stored}]"
         )
     q_per_kv = num_q_heads // num_kv_heads
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if window >= q_len:
+            window = None  # covers every position: plain causal
+    if softcap is not None and softcap <= 0:
+        raise ValueError(f"softcap must be > 0, got {softcap}")
     if sm_scale is None:
         sm_scale = head_dim**-0.5
     if block_sizes is None:
@@ -271,9 +304,17 @@ def flash_attention_quantized(
     if causal:
 
         def kv_block_index(q, kv):
-            return jnp.minimum(
+            kv = jnp.minimum(
                 kv, ((q + 1) * block_q - 1) // block_kv_major
             )
+            if window is not None:
+                kv = jnp.maximum(
+                    kv,
+                    jnp.maximum(
+                        (q * block_q - window + 1) // block_kv_major, 0
+                    ),
+                )
+            return kv
 
     else:
 
@@ -318,6 +359,8 @@ def flash_attention_quantized(
         mask_kv_tail=kv_len < kv_len_stored,
         is_int8=dtype_name == "int8",
         triangular=triangular,
+        window=int(window) if window is not None else None,
+        softcap=float(softcap) if softcap is not None else None,
     )
 
     cost = pl.CostEstimate(
@@ -344,7 +387,8 @@ def flash_attention_quantized(
         from tpu_flash.ops.flash.forward import build_tri_cells
 
         qmap, kvmap, islast = build_tri_cells(
-            num_q_blocks, num_kv_blocks, block_q, block_kv_major, 0
+            num_q_blocks, num_kv_blocks, block_q, block_kv_major, 0,
+            window=window,
         )
         n_cells = qmap.shape[0]
         tri_in_specs = [
