@@ -219,6 +219,24 @@ class TestPagedPrefillWindowSoftcap:
         ref = _oracle_ws(q, ck, cv, kh, vh, offs, softcap=20.0)
         np.testing.assert_allclose(out, ref, **F32_TOL)
 
+    @pytest.mark.parametrize("window", [16, 48, 130])
+    def test_window_aware_walk_stress(self, window):
+        """Stresses the window-aware DMA walk: per-group first/next-cell
+        bookkeeping with windows below one page block, deep chunk blocks
+        that see no history at all, zero-history rows, and mid-page
+        offsets (groups with disjoint block windows share the
+        double-buffer slot parity chain)."""
+        q, ck, cv, kp, vp, tables, kh, vh = _setup(
+            jax.random.PRNGKey(26), 4, 2, 4, 192, 512, 64, 32
+        )
+        offs = jnp.asarray([512, 37, 0, 480], jnp.int32)
+        out = paged_prefill_attention(
+            q, ck, cv, kp, vp, offs, tables, hist_cap=512, block_q=64,
+            window=window,
+        )
+        ref = _oracle_ws(q, ck, cv, kh, vh, offs, window=window)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
     def test_window_and_softcap(self):
         q, ck, cv, kp, vp, tables, kh, vh = _setup(
             jax.random.PRNGKey(25), 2, 2, 4, 64, 256, 64, 64

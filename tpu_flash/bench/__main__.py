@@ -356,6 +356,42 @@ def config7_windowed_decode(iters: int):
     return rows
 
 
+def config8_windowed_prefill(iters: int):
+    """Sliding-window chunked prefill over a deep paged cache: the
+    window-aware DMA walk streams only in-window history pages, so a
+    512-token chunk over 32K history should cost ~the 4K window's
+    traffic. Reports windowed us/chunk and the speedup over the
+    full-history sweep on the same cache."""
+    from tpu_flash.bench.suite import bench_paged_prefill_chunk
+
+    rows = []
+    hist, win, chunk = 32768, 4096, 512
+    for kv_quant, label in ((None, "bf16"), ("int8", "int8")):
+        secs_w, gbps_w = bench_paged_prefill_chunk(
+            hist=hist, chunk=chunk, window=win, kv_quant=kv_quant,
+            iters=iters,
+        )
+        secs_f, _ = bench_paged_prefill_chunk(
+            hist=hist, chunk=chunk, kv_quant=kv_quant, iters=iters,
+        )
+        name = (f"windowed paged prefill chunk{chunk} "
+                f"{hist // 1024}K hist win{win}")
+        rows.append(
+            {
+                "config": 8,
+                "name": f"{name} {label}-kv",
+                "metric": "us_per_chunk",
+                "value": secs_w * 1e6,
+                "attended_hbm_gbps": gbps_w,
+                "full_hist_us_per_chunk": secs_f * 1e6,
+                "window_speedup": secs_f / secs_w if secs_w else None,
+            }
+        )
+        _log(f"  {rows[-1]['name']}: {secs_w * 1e6:.0f} us windowed vs "
+             f"{secs_f * 1e6:.0f} full ({secs_f / secs_w:.2f}x)")
+    return rows
+
+
 CONFIGS = {
     1: lambda iters: config1_parity(),
     2: config2_prefill,
@@ -365,6 +401,7 @@ CONFIGS = {
     # "e": engine-level serving throughput (slow; opt-in)
     6: config4_engine,
     7: config7_windowed_decode,
+    8: config8_windowed_prefill,
 }
 
 

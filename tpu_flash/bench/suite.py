@@ -232,6 +232,100 @@ def bench_decode_tokens_per_s(
     return batch / secs, secs, kv_bytes / secs / 1e9
 
 
+def bench_paged_prefill_chunk(
+    batch: int = 1,
+    num_q_heads: int = 32,
+    num_kv_heads: int = 8,
+    head_dim: int = 128,
+    hist: int = 8192,
+    chunk: int = 512,
+    page_size: int = 128,
+    kv_quant: Optional[str] = None,
+    fp_dtype=jnp.bfloat16,
+    window: Optional[int] = None,
+    iters: int = 32,
+):
+    """One engine prefill-chunk attention over the paged cache (the
+    in-kernel paged sweep, ops/flash/paged_prefill.py). ``window``
+    exercises the window-aware DMA walk: below-window history pages are
+    neither streamed nor visited, so chunk cost tracks the window, not
+    the history. Returns (seconds_per_chunk, attended_kv_gbps)."""
+    from tpu_flash.ops.flash import paged_prefill_attention
+    from tpu_flash.ops.quant import quantize_pages
+
+    pages_per_seq = hist // page_size
+    num_pages = batch * pages_per_seq + 1
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    k_pages = jax.random.normal(
+        ks[0], (num_kv_heads, num_pages, page_size, head_dim), jnp.float32
+    )
+    v_pages = jax.random.normal(
+        ks[1], (num_kv_heads, num_pages, page_size, head_dim), jnp.float32
+    )
+    if kv_quant:
+        k_pages = quantize_pages(k_pages, kv_quant)
+        v_pages = quantize_pages(v_pages, kv_quant)
+    else:
+        k_pages = k_pages.astype(fp_dtype)
+        v_pages = v_pages.astype(fp_dtype)
+    tables = (
+        jnp.arange(batch * pages_per_seq, dtype=jnp.int32)
+        .reshape(batch, pages_per_seq)
+    )
+    q = jax.random.normal(
+        ks[2], (batch, num_q_heads, chunk, head_dim), fp_dtype
+    )
+    ck = jax.random.normal(
+        ks[3], (batch, num_kv_heads, chunk, head_dim), fp_dtype
+    )
+    cv = jax.random.normal(
+        ks[4], (batch, num_kv_heads, chunk, head_dim), fp_dtype
+    )
+    offs = jnp.full((batch,), hist, jnp.int32)
+
+    if kv_quant:
+        packing = k_pages.packing
+        parts = (
+            k_pages.values, k_pages.scales, v_pages.values, v_pages.scales,
+        )
+
+        def step(x, ck, cv, offs, tables, kv_, ksc_, vv_, vsc_):
+            from tpu_flash.ops.quant import QuantizedTensor
+
+            kq_ = QuantizedTensor(kv_, ksc_, kv_quant, packing)
+            vq_ = QuantizedTensor(vv_, vsc_, kv_quant, packing)
+            o = paged_prefill_attention(
+                x, ck, cv, kq_, vq_, offs, tables, hist_cap=hist,
+                window=window,
+            )
+            return o.astype(x.dtype)
+
+    else:
+        parts = (k_pages, v_pages)
+
+        def step(x, ck, cv, offs, tables, k_, v_):
+            o = paged_prefill_attention(
+                x, ck, cv, k_, v_, offs, tables, hist_cap=hist,
+                window=window,
+            )
+            return o.astype(x.dtype)
+
+    secs = _time_chained(
+        step, q, ck, cv, offs, tables, *parts, inner=max(4, iters // 2)
+    )
+
+    payload_itemsize = 1 if kv_quant else jnp.dtype(fp_dtype).itemsize
+    attended = min(window, hist) if window else hist
+    kv_bytes = (
+        2 * batch * num_kv_heads * attended * head_dim * payload_itemsize
+    )
+    if kv_quant == "int4":
+        kv_bytes /= 2
+    if kv_quant:
+        kv_bytes += 2 * batch * num_kv_heads * attended * 4  # scales
+    return secs, kv_bytes / secs / 1e9
+
+
 def bench_engine_tokens_per_s(
     num_layers: int = 4,
     hidden: int = 1024,

@@ -34,6 +34,17 @@ Toolchain constraints honored (BENCHLOG 2026-08-17): 3-D grid with
 (batch, kv-head) fused, pure-lookup index maps, all-"arbitrary" dimension
 semantics (prefetched-scalar-dependent masking + "parallel" semantics
 sends the Mosaic compile into a >10 min slow path).
+
+**Window-aware DMA walk.** With ``window`` set, each (row, chunk-block)
+group only needs history blocks [first, last) where ``first`` covers the
+oldest in-window position of the group's oldest query — so the kv grid
+dimension indexes into that per-group window (``abk = first + kv_idx``)
+and the static history grid shrinks to ``ceil((window-1)/bk) + 2``
+blocks: below-window pages are neither streamed nor visited. The walk
+bookkeeping (DMA-cell ordinal for slot parity, next-cell lookahead for
+the double-buffer prefetch) is precomputed OUTSIDE the kernel as cheap
+vectorized jnp over the dynamic ``q_offsets`` and rides in as scalar
+prefetch — no per-cell fori_loop scans in the kernel.
 """
 
 from __future__ import annotations
@@ -62,6 +73,10 @@ def _paged_prefill_kernel(
     khead_ref,  # [BKV] kv-head index within the pages array
     tables_ref,  # [B, pages_per_seq] page table
     cmap_ref,  # [n_kv_steps] chunk-walk map (consumed by index maps only)
+    first_ref,  # [BKV * ncb] first needed history block per group
+    nblk_ref,  # [BKV * ncb] active history block count per group
+    cum_ref,  # [BKV * ncb] exclusive cumsum of nblk (DMA-cell ordinal)
+    next_ref,  # [BKV * ncb] next group with nblk > 0 (sentinel = G)
     # inputs
     q_ref,  # [1, q_per_kv * block_q, d] stacked per-head chunk-block tiles
     ck_ref,  # [1, block_q, d] chunk K tile
@@ -109,6 +124,11 @@ def _paged_prefill_kernel(
     offs = offs_ref[bh]
     b = bmap_ref[bh]
     h = khead_ref[bh]
+    num_groups = bh_total * num_chunk_blocks
+    g = bh * num_chunk_blocks + q_idx
+    first = first_ref[g]
+    nblk = nblk_ref[g]
+    abk = first + kv_idx  # actual history block this kv step covers
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -140,10 +160,6 @@ def _paged_prefill_kernel(
             v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
             v_scale_sem, bb, hh, block_idx, slot,
         ).start()
-
-    def n_active(row):
-        # History blocks row `row` actually reads (0 when offs == 0).
-        return pl.cdiv(offs_ref[row], bk)
 
     def dequant(raw, scale_row):
         # raw [ppb, page_rows, payload_d] -> [bk, d] in q dtype, matching
@@ -178,59 +194,39 @@ def _paged_prefill_kernel(
 
     is_hist = kv_idx < num_hist_blocks
 
-    @pl.when(jnp.logical_and(is_hist, kv_idx * bk < offs))
+    @pl.when(jnp.logical_and(is_hist, kv_idx < nblk))
     def _hist_block():
         # --- double-buffer pipeline (decode-kernel slot-parity scheme) ---
         # DMA cells = active history cells, walked in grid order
-        # (bh, q_idx, kv_idx). Slot parity is the count of DMA cells
-        # before this one, recomputed statelessly.
-        def count_rows_before(_row, acc):
-            return acc + jnp.where(
-                _row < bh, n_active(_row) * num_chunk_blocks, 0
-            )
-
-        cells_before = (
-            jax.lax.fori_loop(0, bh_total, count_rows_before, 0)
-            + q_idx * n_active(bh)
-            + kv_idx
-        )
+        # (bh, q_idx, kv_idx within [0, nblk)). Slot parity is the ordinal
+        # of this cell in that walk — precomputed host/device-side as
+        # cum (exclusive cumsum of per-group counts).
+        cells_before = cum_ref[g] + kv_idx
         slot = jax.lax.rem(cells_before, 2)
 
         @pl.when(cells_before == 0)
         def _prime_first():
-            start_both(b, h, kv_idx, 0)
+            start_both(b, h, abk, 0)
 
-        # Next DMA cell after (bh, q_idx, kv_idx): the following active
-        # history block of this row/q-block, else this row's next q block
-        # (restarting at history block 0), else the first active history
-        # block of the next row with any history.
-        na = n_active(bh)
-        roll_q = kv_idx + 1 >= na
-        nkv = jnp.where(roll_q, 0, kv_idx + 1)
-        nqi = jnp.where(roll_q, q_idx + 1, q_idx)
-        roll_row = nqi >= num_chunk_blocks
+        # Next DMA cell after this one: the group's next active history
+        # block, else the first active block of the next group with any
+        # history (precomputed next_ref; sentinel num_groups = none).
+        have_next = kv_idx + 1 < nblk
+        ng = next_ref[g]
+        ng_safe = jnp.minimum(ng, num_groups - 1)
+        nbh = jnp.where(have_next, bh, ng_safe // num_chunk_blocks)
+        nblk_idx = jnp.where(have_next, abk + 1, first_ref[ng_safe])
 
-        def next_row_with_hist(_row, acc):
-            take = jnp.logical_and(
-                acc == bh_total,
-                jnp.logical_and(_row > bh, n_active(_row) > 0),
-            )
-            return jnp.where(take, _row, acc)
-
-        nrow = jax.lax.fori_loop(0, bh_total, next_row_with_hist, bh_total)
-        nbh = jnp.where(roll_row, nrow, bh)
-        nqi = jnp.where(roll_row, 0, nqi)
-
-        @pl.when(nbh < bh_total)
+        @pl.when(jnp.logical_or(have_next, ng < num_groups))
         def _prefetch_next():
             start_both(
-                bmap_ref[nbh], khead_ref[nbh], nkv, 1 - slot
+                bmap_ref[nbh], khead_ref[nbh], nblk_idx, 1 - slot
             )
 
         # --- wait + compute ---
         make_copy(
             k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
-            k_scale_sem, b, h, kv_idx, slot,
+            k_scale_sem, b, h, abk, slot,
         ).wait()
         k_tile = dequant(
             k_buf[slot], k_scale_buf[slot] if scales_on else None
@@ -242,24 +238,24 @@ def _paged_prefill_kernel(
         if softcap is not None:
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
-        valid = col + kv_idx * bk < offs
+        valid = col + abk * bk < offs
         if window is not None:
             # Row r of the stacked tile is chunk position
             # q_idx*block_q + (r % block_q), i.e. absolute position
-            # offs + that; history col j (= kv_idx*bk + col) is in-window
+            # offs + that; history col j (= abk*bk + col) is in-window
             # iff j > abs_pos - window.
             row_in_blk = jax.lax.broadcasted_iota(
                 jnp.int32, (q_per_kv, block_q, bk), 1
             ).reshape(rows, bk)
             valid = jnp.logical_and(
                 valid,
-                col + kv_idx * bk
+                col + abk * bk
                 > offs + q_idx * block_q + row_in_blk - window,
             )
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
         make_copy(
             v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
-            v_scale_sem, b, h, kv_idx, slot,
+            v_scale_sem, b, h, abk, slot,
         ).wait()
         v_tile = dequant(
             v_buf[slot], v_scale_buf[slot] if scales_on else None
@@ -355,9 +351,12 @@ def paged_prefill_attention(
     read only ceil(q_offsets[b]/block) history blocks.
 
     ``window`` / ``softcap``: sliding-window band mask over absolute
-    positions and tanh logit capping (see flash_attention). Below-window
-    history pages are still streamed (the DMA walk is window-oblivious)
-    but their tiles are masked; below-window chunk tiles are skipped.
+    positions and tanh logit capping (see flash_attention). The page walk
+    is window-aware: history pages entirely below every in-chunk query's
+    window are neither streamed nor visited (the kv grid shrinks to
+    ``ceil((window-1)/block) + 2`` history steps), so prefill page
+    traffic scales with the window, matching the decode kernel's
+    below-window block skip.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -441,33 +440,76 @@ def paged_prefill_attention(
     scales_on = kv_quant is not None
     bk = ppb * page_size
 
+    # Window-aware history sweep: with a sliding window only
+    # ceil((window-1)/bk) + 2 history blocks can ever be live for one
+    # (row, chunk-block) group, so the static kv grid shrinks to that
+    # and each group walks its own block window [first, first + nblk).
+    if window is not None:
+        hist_grid_blocks = min(num_hist_blocks, (window - 1) // bk + 2)
+    else:
+        hist_grid_blocks = num_hist_blocks
+
+    # Per-group DMA-walk metadata (scalar prefetch; module docstring).
+    # Groups are flattened (row, chunk-block) in grid order.
+    ncb = num_chunk_blocks
+    num_groups = bkv_total * ncb
+    last = (offs_bkv + bk - 1) // bk  # [bkv] blocks of real history
+    if window is not None:
+        qi_pos = jnp.arange(ncb, dtype=jnp.int32) * block_q
+        lo = jnp.maximum(
+            offs_bkv[:, None] + qi_pos[None, :] - window + 1, 0
+        )
+        first2d = jnp.minimum(lo // bk, last[:, None])
+    else:
+        first2d = jnp.zeros((bkv_total, ncb), jnp.int32)
+    nblk_flat = (last[:, None] - first2d).reshape(num_groups)
+    first_flat = first2d.reshape(num_groups).astype(jnp.int32)
+    nblk_flat = nblk_flat.astype(jnp.int32)
+    cum_flat = jnp.cumsum(nblk_flat) - nblk_flat
+    gidx = jnp.arange(num_groups, dtype=jnp.int32)
+    cand = jnp.where(nblk_flat > 0, gidx, num_groups)
+    sufmin = jax.lax.cummin(cand[::-1])[::-1]  # min cand[g:]
+    next_flat = jnp.concatenate(
+        [sufmin[1:], jnp.full((1,), num_groups, jnp.int32)]
+    )
+
     # Chunk-tile walk for the kv grid dim: park on chunk block 0 through
     # the history steps (fetch elided after the first), then walk
     # 0,1,2,... — precomputed host-side so the index map stays a pure
     # prefetch lookup (compile-cliff findings, module docstring).
     cmap = jnp.asarray(
         np.maximum(
-            np.arange(num_hist_blocks + num_chunk_blocks, dtype=np.int32)
-            - num_hist_blocks,
+            np.arange(hist_grid_blocks + num_chunk_blocks, dtype=np.int32)
+            - hist_grid_blocks,
             0,
         )
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(bkv_total, num_chunk_blocks, num_hist_blocks + num_chunk_blocks),
+        num_scalar_prefetch=9,
+        grid=(
+            bkv_total,
+            num_chunk_blocks,
+            hist_grid_blocks + num_chunk_blocks,
+        ),
         in_specs=[
             pl.BlockSpec(
                 (1, rows, head_dim),
-                lambda bh, qi, kv, offs, bm, kh, tb, cm: (bh, qi, 0),
+                lambda bh, qi, kv, offs, bm, kh, tb, cm, fs, nb, cu, nx: (
+                    bh, qi, 0,
+                ),
             ),
             pl.BlockSpec(
                 (1, block_q, head_dim),
-                lambda bh, qi, kv, offs, bm, kh, tb, cm: (bh, cm[kv], 0),
+                lambda bh, qi, kv, offs, bm, kh, tb, cm, fs, nb, cu, nx: (
+                    bh, cm[kv], 0,
+                ),
             ),
             pl.BlockSpec(
                 (1, block_q, head_dim),
-                lambda bh, qi, kv, offs, bm, kh, tb, cm: (bh, cm[kv], 0),
+                lambda bh, qi, kv, offs, bm, kh, tb, cm, fs, nb, cu, nx: (
+                    bh, cm[kv], 0,
+                ),
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # k pages
             pl.BlockSpec(memory_space=pltpu.ANY),  # k scales
@@ -478,7 +520,9 @@ def paged_prefill_attention(
             [
                 pl.BlockSpec(
                     (1, q_per_kv, NUM_LANES),
-                    lambda bh, qi, kv, offs, bm, kh, tb, cm: (kh[bh], 0, 0),
+                    lambda bh, qi, kv, offs, bm, kh, tb, cm, fs, nb, cu, nx: (
+                        kh[bh], 0, 0,
+                    ),
                 )
             ]
             if sinks is not None
@@ -487,7 +531,9 @@ def paged_prefill_attention(
         out_specs=[
             pl.BlockSpec(
                 (1, rows, head_dim),
-                lambda bh, qi, kv, offs, bm, kh, tb, cm: (bh, qi, 0),
+                lambda bh, qi, kv, offs, bm, kh, tb, cm, fs, nb, cu, nx: (
+                    bh, qi, 0,
+                ),
             ),
         ],
         scratch_shapes=[
@@ -517,7 +563,7 @@ def paged_prefill_attention(
         pages_per_block=ppb,
         pages_per_seq=pages_per_seq,
         page_size=page_size,
-        num_hist_blocks=num_hist_blocks,
+        num_hist_blocks=hist_grid_blocks,
         num_chunk_blocks=num_chunk_blocks,
         scales_on=scales_on,
         window=int(window) if window is not None else None,
@@ -534,11 +580,13 @@ def paged_prefill_attention(
         call_inputs = call_inputs + (sinks_l,)
         base_kernel = kernel
 
-        def kernel(offs_r, bm_r, kh_r, tb_r, cm_r, q_r, ck_r, cv_r, kp_r,
-                   ks_r, vp_r, vs_r, sink_in, o_r, *scratch):
+        def kernel(offs_r, bm_r, kh_r, tb_r, cm_r, fs_r, nb_r, cu_r, nx_r,
+                   q_r, ck_r, cv_r, kp_r, ks_r, vp_r, vs_r, sink_in, o_r,
+                   *scratch):
             return base_kernel(
-                offs_r, bm_r, kh_r, tb_r, cm_r, q_r, ck_r, cv_r, kp_r,
-                ks_r, vp_r, vs_r, o_r, *scratch, sink_ref=sink_in,
+                offs_r, bm_r, kh_r, tb_r, cm_r, fs_r, nb_r, cu_r, nx_r,
+                q_r, ck_r, cv_r, kp_r, ks_r, vp_r, vs_r, o_r, *scratch,
+                sink_ref=sink_in,
             )
 
     (o,) = pl.pallas_call(
@@ -555,6 +603,7 @@ def paged_prefill_attention(
         interpret=interpret,
     )(
         offs_bkv, bmap, khead, page_tables.astype(jnp.int32), cmap,
+        first_flat, nblk_flat, cum_flat, next_flat,
         *call_inputs,
     )
     o = (
