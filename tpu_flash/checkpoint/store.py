@@ -155,7 +155,7 @@ def snapshot_engine(path, engine) -> None:
     sched = engine.scheduler
 
     def req_dict(req):
-        return {
+        d = {
             "req_id": req.req_id,
             "prompt_len": req.prompt_len,
             "max_new_tokens": req.max_new_tokens,
@@ -170,7 +170,17 @@ def snapshot_engine(path, engine) -> None:
             ],
             "stop_tokens": list(req.stop_tokens),
             "stopped": req.stopped,
+            "n_branches": req.n_branches,
+            "parent_id": req.parent_id,
+            "child_ids": list(req.child_ids),
         }
+        # A WAITING parallel-sampling parent still carries its un-admitted
+        # child Requests; serialize them inline so restore can rebuild the
+        # group atomically.
+        pending = getattr(req, "_children_reqs", None)
+        if req.state.name == "WAITING" and pending:
+            d["pending_children"] = [req_dict(c) for c in pending]
+        return d
 
     requests = {str(rid): req_dict(r) for rid, r in sched.active.items()}
     # Requests still queued (not yet admitted) must survive the snapshot
@@ -302,6 +312,13 @@ def restore_engine(path, engine) -> None:
         req.stop_tokens = tuple(rd.get("stop_tokens", ()))
         req.stopped = rd.get("stopped", False)
         req._prompt = list(rd["prompt"])
+        req.n_branches = rd.get("n_branches", 1)
+        req.parent_id = rd.get("parent_id")
+        req.child_ids = tuple(rd.get("child_ids", ()))
+        if rd.get("pending_children"):
+            req._children_reqs = [
+                build_req(c) for c in rd["pending_children"]
+            ]
         return req
 
     for rid, rd in meta["requests"].items():
@@ -311,6 +328,10 @@ def restore_engine(path, engine) -> None:
             sched.slots[req.batch_slot] = req.req_id
     for rd in meta.get("waiting", []):
         sched.waiting.append(build_req(rd))
+    # Rebuild the branch map (submit-time bookkeeping on the engine).
+    for req in list(sched.active.values()) + list(sched.waiting):
+        if req.child_ids or req.n_branches > 1:
+            engine._branch_ids[req.req_id] = [req.req_id, *req.child_ids]
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +353,9 @@ def snapshot_dp_engine(path, dp_engine) -> None:
         "replicas": dp_engine.replicas,
         "tp": dp_engine.tp,
         "route": {str(k): list(v) for k, v in dp_engine._route.items()},
+        "branch_ids": {
+            str(k): list(v) for k, v in dp_engine._branch_ids.items()
+        },
         "next_id": dp_engine._next_id,
         "rr": dp_engine._rr,
     }
@@ -352,6 +376,9 @@ def restore_dp_engine(path, dp_engine) -> None:
         restore_engine(path / f"replica_{i}", eng)
     dp_engine._route = {
         int(k): tuple(v) for k, v in meta["route"].items()
+    }
+    dp_engine._branch_ids = {
+        int(k): list(v) for k, v in meta.get("branch_ids", {}).items()
     }
     dp_engine._next_id = meta["next_id"]
     dp_engine._rr = meta.get("rr", 0)

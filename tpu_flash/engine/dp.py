@@ -77,6 +77,7 @@ class DataParallelEngine:
                 )
             )
         self._route: Dict[int, Tuple[int, int]] = {}  # rid -> (rep, local)
+        self._branch_ids: Dict[int, List[int]] = {}  # rid -> [rid, kids...]
         self._next_id = 0
         self._rr = 0  # round-robin tiebreak
         # One thread per replica: each InferenceEngine.step() blocks on its
@@ -99,6 +100,7 @@ class DataParallelEngine:
         max_new_tokens: int,
         sampling: SamplingParams = GREEDY,
         stop_tokens: Optional[List[int]] = None,
+        n: int = 1,
     ) -> int:
         loads = [self._load(e) for e in self.engines]
         best = min(loads)
@@ -111,12 +113,27 @@ class DataParallelEngine:
         self._rr = (rep + 1) % self.replicas
         local = self.engines[rep].submit(
             prompt, max_new_tokens, sampling=sampling,
-            stop_tokens=stop_tokens,
+            stop_tokens=stop_tokens, n=n,
         )
         rid = self._next_id
         self._next_id += 1
         self._route[rid] = (rep, local)
+        # Parallel-sampling branches (n>1) route to the same replica; each
+        # branch gets its own fleet-level id so outputs/logprobs surface
+        # all n completions.
+        branch_rids = [rid]
+        for child_local in self.engines[rep].branches(local)[1:]:
+            crid = self._next_id
+            self._next_id += 1
+            self._route[crid] = (rep, child_local)
+            branch_rids.append(crid)
+        self._branch_ids[rid] = branch_rids
         return rid
+
+    def branches(self, rid: int) -> List[int]:
+        """Fleet-level completion ids of a request (itself + parallel-
+        sampling branches)."""
+        return list(self._branch_ids.get(rid, [rid]))
 
     def has_work(self) -> bool:
         return any(e.scheduler.has_work() for e in self.engines)

@@ -43,7 +43,7 @@ from tpu_flash.engine.health import (
 )
 from tpu_flash.engine.metrics import EngineMetrics
 from tpu_flash.engine.sampling import GREEDY, SamplingParams, sample_tokens
-from tpu_flash.engine.scheduler import Request, Scheduler
+from tpu_flash.engine.scheduler import Request, RequestState, Scheduler
 from tpu_flash.models.transformer import FlashTransformer, _rms_norm
 
 
@@ -171,6 +171,12 @@ class InferenceEngine:
         self._sample_fn = jax.jit(sample_tokens)
         self.outputs: Dict[int, List[int]] = {}
         self.logprobs: Dict[int, List[float]] = {}  # per emitted token
+        # Parallel sampling: request id -> [id, child ids...]; survives
+        # retirement so callers can map a submit() id to all completions.
+        self._branch_ids: Dict[int, List[int]] = {}
+        # Fork page-copy programs, keyed on the (pow2) number of pages
+        # copied in one dispatch.
+        self._fork_fns: Dict[int, object] = {}
         self.metrics = EngineMetrics()
         self.health_config = config.health or HealthConfig()
         self.health = HealthMonitor(self.health_config)
@@ -255,7 +261,34 @@ class InferenceEngine:
         max_new_tokens: int,
         sampling: SamplingParams = GREEDY,
         stop_tokens: Optional[List[int]] = None,
+        n: int = 1,
     ) -> int:
+        """Queue a request; returns its id. ``n > 1`` asks for n parallel
+        completions of the same prompt (OpenAI-style ``n``): the prompt
+        prefills ONCE, then forks into n decode branches sharing the
+        prompt's KV pages (branch ids via :meth:`branches`; each branch
+        has its own outputs/logprobs entry)."""
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        if n > 1 and max_new_tokens < 1:
+            raise ValueError("parallel sampling needs max_new_tokens >= 1")
+        if n > self.config.max_batch_size:
+            raise ValueError(
+                f"n={n} exceeds max_batch_size "
+                f"{self.config.max_batch_size}: the branch group needs n "
+                f"batch slots at once"
+            )
+        if n > 1:
+            # The group admits atomically; reject one that could never fit
+            # the page pool even when idle (it would wait forever).
+            ps = self.config.cache.page_size
+            total = -(-(len(prompt) + max_new_tokens) // ps)
+            own = total - len(prompt) // ps
+            if total + (n - 1) * own > self.config.cache.num_pages - 1:
+                raise ValueError(
+                    "parallel-sampling group needs more pages than the "
+                    "cache has"
+                )
         req_id = self._next_id
         self._next_id += 1
         req = Request(
@@ -264,12 +297,40 @@ class InferenceEngine:
             max_new_tokens=max_new_tokens,
             sampling=sampling,
             stop_tokens=tuple(stop_tokens or ()),
+            n_branches=n,
         )
         req._prompt = list(prompt)  # host-side stash
+        if n > 1:
+            children = []
+            for _ in range(n - 1):
+                cid = self._next_id
+                self._next_id += 1
+                ch = Request(
+                    req_id=cid,
+                    prompt_len=len(prompt),
+                    max_new_tokens=max_new_tokens,
+                    sampling=sampling,
+                    stop_tokens=tuple(stop_tokens or ()),
+                    parent_id=req_id,
+                )
+                ch._prompt = req._prompt  # branches never prefill; for
+                # snapshots + introspection only
+                children.append(ch)
+                self.outputs[cid] = []
+                self.logprobs[cid] = []
+            req.child_ids = tuple(ch.req_id for ch in children)
+            req._children_reqs = children
         self.scheduler.add_request(req)
         self.outputs[req_id] = []
         self.logprobs[req_id] = []
+        self._branch_ids[req_id] = [req_id, *req.child_ids]
         return req_id
+
+    def branches(self, req_id: int) -> List[int]:
+        """All completion ids of a request: itself plus any parallel-
+        sampling branch ids (submission order). Valid for live and
+        finished requests alike."""
+        return list(self._branch_ids.get(req_id, [req_id]))
 
     def run(self) -> Dict[int, List[int]]:
         """Drive the engine until all requests finish."""
@@ -713,6 +774,109 @@ class InferenceEngine:
             self.scheduler.report_decoded(req.req_id)
             if next_token in req.stop_tokens:
                 req.stopped = True  # stop token included, then end
+                self.active[slot] = False
+            if req.child_ids:
+                self._fork_branches(req, table, last_logits)
+
+    # -- parallel sampling (n>1 branches per prompt) -----------------------------
+
+    def _fork_copy_impl(self, cache, src, dst):
+        """Copy whole KV pages ``src[i] -> dst[i]`` across every layer and
+        head (pure update). Fork-time COW: branches share the prompt's
+        full pages read-only; only the partial tail page — which decode
+        appends into — is duplicated per branch."""
+        k_pages = cache.k_pages.at[:, :, dst].set(cache.k_pages[:, :, src])
+        v_pages = cache.v_pages.at[:, :, dst].set(cache.v_pages[:, :, src])
+        k_scales, v_scales = cache.k_scales, cache.v_scales
+        if cache.quantized:
+            k_scales = k_scales.at[:, :, dst].set(k_scales[:, :, src])
+            v_scales = v_scales.at[:, :, dst].set(v_scales[:, :, src])
+        import dataclasses as _dc
+
+        return (
+            _dc.replace(
+                cache,
+                k_pages=k_pages,
+                v_pages=v_pages,
+                k_scales=k_scales,
+                v_scales=v_scales,
+            ),
+        )
+
+    def _fork_branches(self, req: Request, table, last_logits) -> None:
+        """Turn the parent's FORK_WAIT children into RUNNING decode
+        branches: copy the prompt's partial tail page into each child's
+        own page, sample each child's first token from the parent's final
+        prefill logits, and install per-slot decode state. Children then
+        decode as ordinary independent sequences."""
+        sched = self.scheduler
+        children = [
+            sched.active[cid]
+            for cid in req.child_ids
+            if cid in sched.active
+        ]
+        if not children:
+            return
+        ps = self.config.cache.page_size
+        pps = self.config.cache.max_pages_per_seq
+        shared_n = req.prompt_len // ps
+        if req.prompt_len % ps:
+            src_page = table[shared_n]
+            src, dst = [], []
+            for ch in children:
+                src.append(src_page)
+                dst.append(sched.page_table(ch.req_id)[shared_n])
+            m = _pow2_bucket(len(src), lo=1)
+            src += [self.trash_page] * (m - len(src))
+            dst += [self.trash_page] * (m - len(dst))
+            if m not in self._fork_fns:
+                self._fork_fns[m] = self._jit_impl(
+                    self._fork_copy_impl, "crr", "c", donate=(0,)
+                )
+            (self.cache,) = self._fork_fns[m](
+                self.cache,
+                jnp.asarray(src, jnp.int32),
+                jnp.asarray(dst, jnp.int32),
+            )
+        # One batched draw: n independent samples from the same logits
+        # (categorical draws rows iid), same sampling params as the parent.
+        sp = req.sampling
+        nch = len(children)
+        self._rng, sk = jax.random.split(self._rng)
+        logits_n = jnp.broadcast_to(
+            last_logits, (nch,) + last_logits.shape
+        )
+        toks_dev = self._sample_fn(
+            logits_n, sk,
+            jnp.full((nch,), sp.temperature, jnp.float32),
+            jnp.full((nch,), sp.top_k, jnp.int32),
+            jnp.full((nch,), sp.top_p, jnp.float32),
+        )
+        toks = self._fetcher.fetch(toks_dev)
+        lps = self._fetcher.fetch(
+            jnp.take(jax.nn.log_softmax(last_logits), toks_dev)
+        )
+        for i, ch in enumerate(children):
+            slot = ch.batch_slot
+            ctable = sched.page_table(ch.req_id)
+            row = ctable + [self.trash_page] * (pps - len(ctable))
+            self.page_tables = self.page_tables.at[slot].set(
+                jnp.asarray(row, jnp.int32)
+            )
+            self.lengths = self.lengths.at[slot].set(req.prompt_len)
+            tok = int(toks[i])
+            self.last_tokens = self.last_tokens.at[slot].set(tok)
+            self.temps[slot] = sp.temperature
+            self.top_ks[slot] = sp.top_k
+            self.top_ps[slot] = sp.top_p
+            self.active[slot] = True
+            ch.state = RequestState.RUNNING
+            ch.prefilled = req.prompt_len
+            self.outputs[ch.req_id].append(tok)
+            self.logprobs[ch.req_id].append(float(lps[i]))
+            sched.report_decoded(ch.req_id)
+            if tok in ch.stop_tokens:
+                ch.stopped = True
                 self.active[slot] = False
 
     # -- decode ------------------------------------------------------------------

@@ -24,6 +24,7 @@ from tpu_flash.engine.sampling import GREEDY, SamplingParams
 class RequestState(enum.Enum):
     WAITING = "waiting"
     PREFILL = "prefill"
+    FORK_WAIT = "fork_wait"  # admitted branch awaiting its parent's prefill
     RUNNING = "running"
     FINISHED = "finished"
 
@@ -41,6 +42,14 @@ class Request:
     generated: int = 0
     stopped: bool = False  # hit a stop token before max_new_tokens
     batch_slot: int = -1
+    # Parallel sampling (n>1 completions per prompt): the parent prefills
+    # once; each child is a decode-only branch sharing the prompt's full
+    # pages (allocator refcounts) with its own copy of the partial tail
+    # page. Children sit in FORK_WAIT until the parent's final prefill
+    # chunk forks them (runner._finish_prefill_chunk).
+    n_branches: int = 1
+    parent_id: Optional[int] = None
+    child_ids: tuple = ()
 
     @property
     def context_len(self) -> int:
@@ -131,9 +140,14 @@ class Scheduler:
         #    prefill starts past it.
         while self.waiting:
             req = self.waiting[0]
-            slot = self._free_slot()
-            if slot < 0:
+            # Parallel sampling admits the whole group atomically: the
+            # parent plus its n-1 decode-only branches, each needing a
+            # batch slot (and pages: shared prompt pages + own tail).
+            children = list(getattr(req, "_children_reqs", ()))
+            free_slots = [i for i, s in enumerate(self.slots) if s is None]
+            if len(free_slots) < 1 + len(children):
                 break
+            slot = free_slots[0]
             shared_pages: List[int] = []
             matched = 0
             prompt = getattr(req, "_prompt", None)
@@ -170,6 +184,43 @@ class Scheduler:
                 if shared_pages:
                     self.allocator.release(req.req_id)  # unwind the share
                 break  # head-of-line blocking keeps admission fair
+            if children:
+                # Each child shares the prompt's FULL pages (immutable once
+                # prefilled; refcount++) and owns the rest — the partial
+                # tail page (copied at fork) plus its generation budget.
+                parent_pages = self.allocator.pages_of(req.req_id)
+                shared_n = req.prompt_len // self._page_size
+                child_shared = parent_pages[:shared_n]
+                own = pages - shared_n
+                ok = True
+                admitted = []
+                for ch in children:
+                    if child_shared and not self.allocator.share(
+                        ch.req_id, child_shared
+                    ):
+                        ok = False
+                        break
+                    got_c = self.allocator.alloc(ch.req_id, own)
+                    if got_c is None and self.prefix_index is not None:
+                        self.prefix_index.evict(
+                            own - self.allocator.num_free
+                        )
+                        got_c = self.allocator.alloc(ch.req_id, own)
+                    if got_c is None:
+                        self.allocator.release(ch.req_id)  # unwind share
+                        ok = False
+                        break
+                    admitted.append(ch)
+                if not ok:
+                    for ch in admitted:
+                        self.allocator.release(ch.req_id)
+                    self.allocator.release(req.req_id)
+                    break  # the whole group waits together
+                for i, ch in enumerate(children):
+                    ch.state = RequestState.FORK_WAIT
+                    ch.batch_slot = free_slots[1 + i]
+                    self.slots[ch.batch_slot] = ch.req_id
+                    self.active[ch.req_id] = ch
             self.waiting.popleft()
             req.state = RequestState.PREFILL
             req.prefilled = matched  # cached tokens skip prefill entirely
