@@ -6,9 +6,10 @@ Runs anywhere (CPU interpret mode without a TPU; real kernels on TPU):
 
 Demonstrates: model init (or HF import), continuous-batching engine with
 a quantized paged KV cache, prefix caching, sampling + stop tokens,
-speculative decoding, per-token logprobs, engine snapshot/resume, and
-scale-out (tensor-parallel and data-parallel serving) when multiple
-devices are present.
+parallel sampling (n completions per prompt), priorities, optimistic
+admission with preemption, speculative decoding, per-token logprobs,
+engine snapshot/resume, and scale-out (tensor-parallel and data-parallel
+serving) when multiple devices are present.
 """
 
 import tempfile
@@ -59,8 +60,16 @@ def main():
     )
     r3 = engine.submit([9, 8, 7, 9, 8, 7, 9, 8], max_new_tokens=12,
                        stop_tokens=[0])
+    # Parallel sampling: 3 completions, ONE prefill, shared prompt pages.
+    r5 = engine.submit(
+        system + [2, 2], max_new_tokens=8, n=3,
+        sampling=SamplingParams(temperature=1.0),
+        priority=1,  # admits ahead of same-arrival lower-priority work
+    )
     outputs = engine.run()
     print("outputs:", {r: outputs[r] for r in (r1, r2, r3)})
+    print("parallel samples:",
+          [outputs[b] for b in engine.branches(r5)])
     print("logprobs[r1]:", [round(x, 3) for x in engine.logprobs[r1]])
     print("prefix cache:", engine.prefix_stats())
     print("speculation:", engine.speculation_stats())
@@ -89,6 +98,23 @@ def main():
     rw = wengine.submit(system + [1, 2, 3], max_new_tokens=8)
     print("windowed outputs:", wengine.run()[rw])
     wengine.close()
+
+    # Optimistic admission: prompt pages at admission, per-step top-up;
+    # a deliberately tiny pool forces preemption — victims swap their KV
+    # through host memory and resume exactly where they left off.
+    tight = EngineConfig(
+        max_batch_size=4, max_seq_len=512, prefill_chunk=64,
+        cache=CacheConfig(page_size=16, num_pages=16,
+                          max_pages_per_seq=16, kv_dtype="bfloat16"),
+        admission="optimistic", preemption="swap", prefix_cache=False,
+    )
+    oengine = InferenceEngine(model, params, tight)
+    orids = [oengine.submit(system + [i], max_new_tokens=32)
+             for i in range(3)]
+    oouts = oengine.run()
+    print("optimistic outputs:", {r: oouts[r][:6] for r in orids})
+    print("preemptions:", oengine.scheduler.num_preemptions)
+    oengine.close()
 
     # Scale-out when devices allow: TP shards one engine over a "model"
     # axis; DP runs independent replicas (optionally TP inside each).

@@ -150,6 +150,10 @@ def snapshot_engine(path, engine) -> None:
     if cache.quantized:
         arrays["k_scales"] = np.asarray(cache.k_scales)
         arrays["v_scales"] = np.asarray(cache.v_scales)
+    # Swapped-out KV stashes (preemption="swap"): already host-side numpy.
+    for rid, stash in getattr(engine, "_swapped", {}).items():
+        for j, a in enumerate(stash["arrays"]):
+            arrays[f"swap_{rid}_{j}"] = _np_save(a)
     np.savez_compressed(path / _ENGINE_ARRAYS, **arrays)
 
     sched = engine.scheduler
@@ -173,6 +177,11 @@ def snapshot_engine(path, engine) -> None:
             "n_branches": req.n_branches,
             "parent_id": req.parent_id,
             "child_ids": list(req.child_ids),
+            "resume_token": req.resume_token,
+            "swap_npages": req.swap_npages,
+            "priority": req.priority,
+            "arrival": getattr(req, "_arrival", 0),
+            "admit_seq": getattr(req, "_admit_seq", 0),
         }
         # A WAITING parallel-sampling parent still carries its un-admitted
         # child Requests; serialize them inline so restore can rebuild the
@@ -199,6 +208,10 @@ def snapshot_engine(path, engine) -> None:
         "outputs": {str(k): v for k, v in engine.outputs.items()},
         "logprobs": {str(k): v for k, v in engine.logprobs.items()},
         "next_id": engine._next_id,
+        "swapped": {
+            str(rid): {"n": stash["n"], "k": len(stash["arrays"])}
+            for rid, stash in getattr(engine, "_swapped", {}).items()
+        },
     }
     (path / _ENGINE_META).write_text(json.dumps(meta))
 
@@ -315,6 +328,11 @@ def restore_engine(path, engine) -> None:
         req.n_branches = rd.get("n_branches", 1)
         req.parent_id = rd.get("parent_id")
         req.child_ids = tuple(rd.get("child_ids", ()))
+        req.resume_token = rd.get("resume_token")
+        req.swap_npages = rd.get("swap_npages", 0)
+        req.priority = rd.get("priority", 0)
+        req._arrival = rd.get("arrival", 0)
+        req._admit_seq = rd.get("admit_seq", 0)
         if rd.get("pending_children"):
             req._children_reqs = [
                 build_req(c) for c in rd["pending_children"]
@@ -332,6 +350,27 @@ def restore_engine(path, engine) -> None:
     for req in list(sched.active.values()) + list(sched.waiting):
         if req.child_ids or req.n_branches > 1:
             engine._branch_ids[req.req_id] = [req.req_id, *req.child_ids]
+    # Scheduler ordering counters resume past every restored request.
+    all_reqs = list(sched.active.values()) + list(sched.waiting)
+    if all_reqs:
+        sched._arrival_counter = 1 + max(
+            getattr(r, "_arrival", 0) for r in all_reqs
+        )
+        sched._admit_counter = 1 + max(
+            getattr(r, "_admit_seq", 0) for r in all_reqs
+        )
+    # Swapped-out KV stashes: page payloads cast back to the cache's
+    # payload dtype (bf16 was stored as f32); scale arrays stay f32.
+    engine._swapped = {}
+    pay_dtype = np.asarray(engine.cache.k_pages).dtype
+    for rid, info in meta.get("swapped", {}).items():
+        arrays = []
+        for j in range(info["k"]):
+            a = data[f"swap_{rid}_{j}"]
+            if j < 2:
+                a = a.astype(pay_dtype)
+            arrays.append(a)
+        engine._swapped[int(rid)] = {"n": info["n"], "arrays": arrays}
 
 
 # ---------------------------------------------------------------------------

@@ -163,6 +163,27 @@ class EngineConfig:
     # gather everywhere. Prefill falls back to gather when the chunk
     # stage is not page-aligned regardless.
     paged_prefill: object = "auto"  # "auto" | True | False
+    # Page-pool policy. "reserve" (default) preallocates a request's FULL
+    # context (prompt + generation budget) at admission, so decode can
+    # never run out of pages mid-flight. "optimistic" admits with prompt
+    # pages only and tops decode capacity up step by step (vLLM-style):
+    # the same pool serves more concurrent sequences (most stop early),
+    # at the cost of preempting the newest sequence when the pool
+    # overcommits.
+    admission: str = "reserve"  # "reserve" | "optimistic"
+    # What preemption does to the victim: "recompute" drops its pages and
+    # re-prefills prompt+generated on re-admission (no extra memory,
+    # costs prefill FLOPs); "swap" round-trips its KV pages through host
+    # memory (no recompute, costs D2H/H2D transfers).
+    preemption: str = "recompute"  # "recompute" | "swap"
+    # Mixed prefill+decode steps as ONE dispatch: decode slots ride the
+    # ragged prefill program as length-1 rows (same KV append + attention
+    # semantics), halving dispatches when both phases are active — the
+    # big lever when dispatch latency dominates (remote/relay-attached
+    # devices). The decode rows pad to the prefill chunk bucket, so each
+    # costs ~a chunk row of extra FLOPs: "auto" fuses only while decode
+    # rows <= prefill rows; True always; False never.
+    fused_mixed_step: object = "auto"  # "auto" | True | False
 
     def __post_init__(self):
         _check_pos("max_batch_size", self.max_batch_size)
@@ -172,6 +193,21 @@ class EngineConfig:
             raise ValueError(
                 f"paged_prefill must be 'auto', True or False, got "
                 f"{self.paged_prefill!r}"
+            )
+        if self.admission not in ("reserve", "optimistic"):
+            raise ValueError(
+                f"admission must be 'reserve' or 'optimistic', got "
+                f"{self.admission!r}"
+            )
+        if self.preemption not in ("recompute", "swap"):
+            raise ValueError(
+                f"preemption must be 'recompute' or 'swap', got "
+                f"{self.preemption!r}"
+            )
+        if self.fused_mixed_step not in ("auto", True, False):
+            raise ValueError(
+                f"fused_mixed_step must be 'auto', True or False, got "
+                f"{self.fused_mixed_step!r}"
             )
 
 

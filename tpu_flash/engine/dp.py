@@ -101,6 +101,7 @@ class DataParallelEngine:
         sampling: SamplingParams = GREEDY,
         stop_tokens: Optional[List[int]] = None,
         n: int = 1,
+        priority: int = 0,
     ) -> int:
         loads = [self._load(e) for e in self.engines]
         best = min(loads)
@@ -113,7 +114,7 @@ class DataParallelEngine:
         self._rr = (rep + 1) % self.replicas
         local = self.engines[rep].submit(
             prompt, max_new_tokens, sampling=sampling,
-            stop_tokens=stop_tokens, n=n,
+            stop_tokens=stop_tokens, n=n, priority=priority,
         )
         rid = self._next_id
         self._next_id += 1

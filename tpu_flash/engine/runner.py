@@ -177,6 +177,14 @@ class InferenceEngine:
         # Fork page-copy programs, keyed on the (pow2) number of pages
         # copied in one dispatch.
         self._fork_fns: Dict[int, object] = {}
+        # Preemption (optimistic admission): host-side stash of swapped-out
+        # KV pages (req_id -> numpy arrays), plus the scheduler hooks that
+        # execute the policy.
+        self._swapped: Dict[int, dict] = {}
+        self._swap_gather_fns: Dict[int, object] = {}
+        self._swap_scatter_fns: Dict[int, object] = {}
+        self.scheduler.preempt_hook = self._host_preempt_recompute
+        self.scheduler.swap_out_hook = self._host_swap_out
         self.metrics = EngineMetrics()
         self.health_config = config.health or HealthConfig()
         self.health = HealthMonitor(self.health_config)
@@ -262,12 +270,15 @@ class InferenceEngine:
         sampling: SamplingParams = GREEDY,
         stop_tokens: Optional[List[int]] = None,
         n: int = 1,
+        priority: int = 0,
     ) -> int:
         """Queue a request; returns its id. ``n > 1`` asks for n parallel
         completions of the same prompt (OpenAI-style ``n``): the prompt
         prefills ONCE, then forks into n decode branches sharing the
         prompt's KV pages (branch ids via :meth:`branches`; each branch
-        has its own outputs/logprobs entry)."""
+        has its own outputs/logprobs entry). Higher ``priority`` admits
+        first and is preferred as a survivor under optimistic-admission
+        preemption."""
         if n < 1:
             raise ValueError("n must be >= 1")
         if n > 1 and max_new_tokens < 1:
@@ -278,17 +289,18 @@ class InferenceEngine:
                 f"{self.config.max_batch_size}: the branch group needs n "
                 f"batch slots at once"
             )
-        if n > 1:
-            # The group admits atomically; reject one that could never fit
-            # the page pool even when idle (it would wait forever).
-            ps = self.config.cache.page_size
-            total = -(-(len(prompt) + max_new_tokens) // ps)
-            own = total - len(prompt) // ps
-            if total + (n - 1) * own > self.config.cache.num_pages - 1:
-                raise ValueError(
-                    "parallel-sampling group needs more pages than the "
-                    "cache has"
-                )
+        # Reject work that could never fit the page pool even when idle —
+        # it would wait (or, under optimistic admission, self-preempt)
+        # forever. num_pages-1: one page is the reserved trash page.
+        ps = self.config.cache.page_size
+        total = -(-(len(prompt) + max_new_tokens) // ps)
+        own = total - len(prompt) // ps
+        if total + (n - 1) * own > self.config.cache.num_pages - 1:
+            raise ValueError(
+                "request needs more KV pages than the cache has "
+                f"({total + (n - 1) * own} > "
+                f"{self.config.cache.num_pages - 1})"
+            )
         req_id = self._next_id
         self._next_id += 1
         req = Request(
@@ -298,6 +310,7 @@ class InferenceEngine:
             sampling=sampling,
             stop_tokens=tuple(stop_tokens or ()),
             n_branches=n,
+            priority=priority,
         )
         req._prompt = list(prompt)  # host-side stash
         if n > 1:
@@ -312,6 +325,7 @@ class InferenceEngine:
                     sampling=sampling,
                     stop_tokens=tuple(stop_tokens or ()),
                     parent_id=req_id,
+                    priority=priority,
                 )
                 ch._prompt = req._prompt  # branches never prefill; for
                 # snapshots + introspection only
@@ -363,22 +377,52 @@ class InferenceEngine:
     # -- engine step ----------------------------------------------------------
 
     def step(self) -> None:
+        # Most tokens one plan can commit per slot: burst decode or a
+        # fully-accepted draft + bonus. The scheduler tops page capacity
+        # up to this under optimistic admission.
+        self.scheduler.max_step_tokens = max(
+            self.max_decode_burst, self.speculation_k + 1
+        )
         plan = self.scheduler.step()
         t0 = time.perf_counter()
+        for rid in plan.swap_in:
+            req = self.scheduler.active.get(rid)
+            if req is not None and rid in self._swapped:
+                self._swap_restore(req)
+        for slot in plan.refresh_tables:
+            rid = self.scheduler.slots[slot]
+            if rid is None:
+                continue
+            self._install_table_row(slot, rid)
         with StepTimer(self.health):
             groups: Dict[int, list] = {}
             for chunk in plan.prefill:
                 groups.setdefault(chunk.start, []).append(chunk)
-            if len(groups) > 1:
-                # Mixed stages: ONE ragged dispatch for every chunk this
-                # step instead of one program call per stage.
-                self._run_prefill_ragged(plan.prefill)
-            else:
-                for group in groups.values():
-                    self._run_prefill_group(group)
             n_decoded = 0
-            if plan.decode_slots:
-                n_decoded = self._run_decode(plan.decode_slots)
+            fuse = self.config.fused_mixed_step
+            decode_live = [
+                s
+                for s in plan.decode_slots
+                if self.active[s] and self.scheduler.slots[s] is not None
+            ]
+            if fuse == "auto":
+                fuse = 0 < len(decode_live) <= len(plan.prefill)
+            if fuse and plan.prefill and decode_live:
+                # ONE dispatch for the whole step: decode slots ride the
+                # ragged prefill program as length-1 rows.
+                n_decoded = self._run_prefill_ragged(
+                    plan.prefill, decode_slots=decode_live
+                )
+            else:
+                if len(groups) > 1:
+                    # Mixed stages: ONE ragged dispatch for every chunk
+                    # this step instead of one program call per stage.
+                    self._run_prefill_ragged(plan.prefill)
+                else:
+                    for group in groups.values():
+                        self._run_prefill_group(group)
+                if plan.decode_slots:
+                    n_decoded = self._run_decode(plan.decode_slots)
         self.metrics.record_step(
             prefill_tokens=sum(c.length for c in plan.prefill),
             decode_tokens=n_decoded,
@@ -521,6 +565,7 @@ class InferenceEngine:
                     window=self._windows[li_cell[0]],
                     softcap=self._softcap,
                     sinks=params["layers"][li_cell[0]].get("sinks"),
+                    alibi=self.model.alibi_for(q.shape[1], self._tp_axis),
                 )
 
         logits = self.model.forward(
@@ -651,6 +696,7 @@ class InferenceEngine:
                     window=self._windows[li_cell[0]],
                     softcap=self._softcap,
                     sinks=params["layers"][li_cell[0]].get("sinks"),
+                    alibi=self.model.alibi_for(q.shape[1], self._tp_axis),
                 )
 
         else:
@@ -662,6 +708,7 @@ class InferenceEngine:
                     window=self._windows[li_cell[0]],
                     softcap=self._softcap,
                     sinks=params["layers"][li_cell[0]].get("sinks"),
+                    alibi=self.model.alibi_for(q.shape[1], self._tp_axis),
                 )
 
         logits = self.model.forward(
@@ -673,18 +720,41 @@ class InferenceEngine:
         finite = jnp.all(jnp.isfinite(logits))
         return cache_cell[0], last, finite
 
-    def _run_prefill_ragged(self, chunks) -> None:
+    def _run_prefill_ragged(self, chunks, decode_slots=()) -> int:
         """Fuse prefill chunks at MIXED stages into one program call.
 
         Histories pad to the power-of-two bucket of the deepest stage
         (bounding compiled variants); each row's live-history length rides
-        in as a runtime array, so one executable serves any stage mix."""
+        in as a runtime array, so one executable serves any stage mix.
+
+        ``decode_slots`` (config.fused_mixed_step) additionally folds the
+        step's decode work into the SAME dispatch: each decoding slot
+        rides as a length-1 row feeding its pending token at its current
+        KV position — identical append + attention semantics to the
+        decode step — and its next token samples from the row's last
+        logits afterwards. One dispatch per engine step instead of two;
+        speculation is skipped on fused steps (it shines in pure-decode
+        phases, which keep the burst/speculative path). Returns the
+        number of decode tokens committed."""
+        ditems = []
+        for s in decode_slots:
+            rid = self.scheduler.slots[s]
+            req = self.scheduler.active.get(rid)
+            if req is None or not self.active[s]:
+                continue
+            # Feed position: KV is written for all but the newest emitted
+            # token (same invariant the decode step maintains).
+            feed = req.prefilled + req.generated - 1
+            ditems.append((req, s, feed))
         bucket = _pow2_bucket(max(max(c.length for c in chunks), 8))
-        bb = _pow2_bucket(len(chunks), lo=1)
+        bb = _pow2_bucket(len(chunks) + len(ditems), lo=1)
         pps = self.config.cache.max_pages_per_seq
         ps = self.config.cache.page_size
+        max_start = max(
+            [c.start for c in chunks] + [it[2] for it in ditems]
+        )
         hist_cap = min(
-            _pow2_bucket(max(c.start for c in chunks),
+            _pow2_bucket(max_start,
                          lo=max(self.config.prefill_chunk, 8)),
             pps * ps,
         )
@@ -704,7 +774,15 @@ class InferenceEngine:
             table_rs.append(table + [self.trash_page] * (pps - len(table)))
             starts.append(c.start)
             n_valids.append(c.length)
-        for _ in range(bb - len(chunks)):
+        for req, _s, feed in ditems:
+            tok_rows.append(
+                [self.outputs[req.req_id][-1]] + [0] * (bucket - 1)
+            )
+            table = self.scheduler.page_table(req.req_id)
+            table_rs.append(table + [self.trash_page] * (pps - len(table)))
+            starts.append(feed)
+            n_valids.append(1)
+        for _ in range(bb - len(chunks) - len(ditems)):
             tok_rows.append([0] * bucket)
             table_rs.append([self.trash_page] * pps)
             starts.append(0)
@@ -719,7 +797,9 @@ class InferenceEngine:
         if self.health_config.check_numerics:
             watchdog_check(
                 self.health, self._fetcher.fetch(finite),
-                phase="prefill", request_ids=[c.req_id for c in chunks],
+                phase="prefill",
+                request_ids=[c.req_id for c in chunks]
+                + [it[0].req_id for it in ditems],
             )
         for i, c in enumerate(chunks):
             self._finish_prefill_chunk(
@@ -727,6 +807,46 @@ class InferenceEngine:
                 jnp.asarray(table_rs[i], jnp.int32), tables[i],
                 last_logits[i],
             )
+        if not ditems:
+            return 0
+        # Commit the fused decode rows: one batched sample with per-row
+        # parameters, then the same per-slot bookkeeping as the decode
+        # step.
+        dlog = last_logits[len(chunks) : len(chunks) + len(ditems)]
+        self._rng, sk = jax.random.split(self._rng)
+        toks_dev = self._sample_fn(
+            dlog, sk,
+            jnp.asarray(
+                [it[0].sampling.temperature for it in ditems], jnp.float32
+            ),
+            jnp.asarray(
+                [it[0].sampling.top_k for it in ditems], jnp.int32
+            ),
+            jnp.asarray(
+                [it[0].sampling.top_p for it in ditems], jnp.float32
+            ),
+        )
+        toks = self._fetcher.fetch(toks_dev)
+        logps = self._fetcher.fetch(
+            jnp.take_along_axis(
+                jax.nn.log_softmax(dlog, axis=-1), toks_dev[:, None],
+                axis=-1,
+            )[:, 0]
+        )
+        nd = 0
+        for i, (req, s, feed) in enumerate(ditems):
+            tok = int(toks[i])
+            self.outputs[req.req_id].append(tok)
+            self.logprobs[req.req_id].append(float(logps[i]))
+            self.last_tokens = self.last_tokens.at[s].set(tok)
+            self.lengths = self.lengths.at[s].set(feed + 1)
+            self.scheduler.report_decoded(req.req_id)
+            if tok in req.stop_tokens:
+                req.stopped = True
+            if req.done:
+                self.active[s] = False
+            nd += 1
+        return nd
 
     def _finish_prefill_chunk(self, req: Request, chunk, table_row, table,
                               last_logits) -> None:
@@ -748,6 +868,17 @@ class InferenceEngine:
         if self.prefix_index is not None:
             self.prefix_index.register(prompt[:new_len], table)
         if new_len >= req.prompt_len:
+            if req.resume_token is not None:
+                # Preempted-and-recomputed sequence: the prompt now holds
+                # everything whose KV was re-prefilled; decode resumes by
+                # feeding the already-emitted newest token (re-sampling it
+                # would fork the stream the client already saw).
+                self.last_tokens = self.last_tokens.at[slot].set(
+                    req.resume_token
+                )
+                self.active[slot] = True
+                req.resume_token = None
+                return
             # Final chunk: its last-position logits emit the first token,
             # sampled with the request's parameters.
             self._rng, sk = jax.random.split(self._rng)
@@ -777,6 +908,114 @@ class InferenceEngine:
                 self.active[slot] = False
             if req.child_ids:
                 self._fork_branches(req, table, last_logits)
+
+    # -- preemption (optimistic admission) ----------------------------------------
+
+    def _install_table_row(self, slot: int, rid: int) -> None:
+        pps = self.config.cache.max_pages_per_seq
+        table = self.scheduler.page_table(rid)
+        row = table + [self.trash_page] * (pps - len(table))
+        self.page_tables = self.page_tables.at[slot].set(
+            jnp.asarray(row, jnp.int32)
+        )
+
+    def _host_preempt_recompute(self, req: Request) -> None:
+        """Scheduler hook (preemption="recompute"): fold the generated
+        tokens into the prompt so re-admission re-prefills them, and mark
+        the newest token — already emitted, never re-sampled — as the
+        decode resume point. Budget accounting moves with the fold:
+        generated resets to 1 (the resume token), max_new_tokens drops by
+        the folded count, so remaining budget and the done-check are
+        unchanged."""
+        if req.batch_slot >= 0:
+            self.active[req.batch_slot] = False
+        outs = self.outputs.get(req.req_id, [])
+        g = req.generated
+        if g > 0 and outs:
+            # Written KV covers prompt + all but the newest emitted token.
+            req._prompt = list(req._prompt) + outs[len(outs) - g : -1]
+            req.prompt_len = len(req._prompt)
+            req.resume_token = outs[-1]
+            req.max_new_tokens -= g - 1
+            req.generated = 1
+        req.swap_npages = 0
+
+    def _swap_gather_impl(self, cache, idx):
+        out = [cache.k_pages[:, :, idx], cache.v_pages[:, :, idx]]
+        if cache.quantized:
+            out += [cache.k_scales[:, :, idx], cache.v_scales[:, :, idx]]
+        return tuple(out)
+
+    def _swap_scatter_impl(self, cache, idx, k, v, ks=None, vs=None):
+        import dataclasses as _dc
+
+        k_pages = cache.k_pages.at[:, :, idx].set(k)
+        v_pages = cache.v_pages.at[:, :, idx].set(v)
+        k_scales, v_scales = cache.k_scales, cache.v_scales
+        if cache.quantized:
+            k_scales = k_scales.at[:, :, idx].set(ks)
+            v_scales = v_scales.at[:, :, idx].set(vs)
+        return _dc.replace(
+            cache, k_pages=k_pages, v_pages=v_pages,
+            k_scales=k_scales, v_scales=v_scales,
+        )
+
+    def _host_swap_out(self, req: Request, pages: List[int]) -> None:
+        """Scheduler hook (preemption="swap"): stash the sequence's KV
+        pages host-side before its device pages are released. A victim
+        preempted again before its restore keeps the original stash."""
+        if req.batch_slot >= 0:
+            self.active[req.batch_slot] = False
+        rid = req.req_id
+        if rid in self._swapped or not pages:
+            return
+        m = _pow2_bucket(len(pages), lo=1)
+        idx = jnp.asarray(
+            pages + [self.trash_page] * (m - len(pages)), jnp.int32
+        )
+        if m not in self._swap_gather_fns:
+            # Plain jit (no shard_map): a pure page-axis gather keeps the
+            # cache's existing shardings; np.asarray is the D2H fetch.
+            self._swap_gather_fns[m] = jax.jit(self._swap_gather_impl)
+        data = self._swap_gather_fns[m](self.cache, idx)
+        self._swapped[rid] = {
+            "n": len(pages),
+            "arrays": [np.asarray(a) for a in data],
+        }
+
+    def _swap_restore(self, req: Request) -> None:
+        """Write a swapped-out sequence's KV back into its newly-allocated
+        pages and reinstate its decode slot state."""
+        rid = req.req_id
+        stash = self._swapped.pop(rid)
+        pages = self.scheduler.page_table(rid)[: stash["n"]]
+        m = _pow2_bucket(stash["n"], lo=1)
+        idx = jnp.asarray(
+            pages + [self.trash_page] * (m - len(pages)), jnp.int32
+        )
+        arrays = [jnp.asarray(a) for a in stash["arrays"]]
+        if m not in self._swap_scatter_fns:
+            self._swap_scatter_fns[m] = jax.jit(
+                self._swap_scatter_impl, donate_argnums=(0,)
+            )
+        self.cache = self._swap_scatter_fns[m](self.cache, idx, *arrays)
+        slot = req.batch_slot
+        self._install_table_row(slot, rid)
+        sp = req.sampling
+        self.temps[slot] = sp.temperature
+        self.top_ks[slot] = sp.top_k
+        self.top_ps[slot] = sp.top_p
+        if req.generated > 0:
+            # Mid-decode victim: KV exists for all but the newest emitted
+            # token; decode resumes by feeding that token at its position.
+            self.lengths = self.lengths.at[slot].set(
+                req.prefilled + req.generated - 1
+            )
+            self.last_tokens = self.last_tokens.at[slot].set(
+                self.outputs[rid][-1]
+            )
+            self.active[slot] = True
+        req.swap_npages = 0
 
     # -- parallel sampling (n>1 branches per prompt) -----------------------------
 
@@ -814,6 +1053,7 @@ class InferenceEngine:
             sched.active[cid]
             for cid in req.child_ids
             if cid in sched.active
+            and sched.active[cid].state is RequestState.FORK_WAIT
         ]
         if not children:
             return
@@ -878,6 +1118,9 @@ class InferenceEngine:
             if tok in ch.stop_tokens:
                 ch.stopped = True
                 self.active[slot] = False
+        # The group is live: a later preemption of the parent must not
+        # re-admit the (now independent) branches as pending children.
+        req._children_reqs = []
 
     # -- decode ------------------------------------------------------------------
 
@@ -912,6 +1155,7 @@ class InferenceEngine:
                 q, k_view, v_view, attn_lengths, page_tables,
                 interpret=self.interpret, window=self._windows[li],
                 softcap=cfg.attn_softcap, sinks=layer.get("sinks"),
+                alibi=model.alibi_for(q.shape[1], self._tp_axis),
             )  # [mb, hq, d]
             attn = attn.reshape(x.shape[0], -1)
             proj = attn @ layer["wo"]
@@ -1117,6 +1361,7 @@ class InferenceEngine:
                     window=self._windows[li_cell[0]],
                     softcap=self._softcap,
                     sinks=params["layers"][li_cell[0]].get("sinks"),
+                    alibi=self.model.alibi_for(q.shape[1], self._tp_axis),
                 )
 
         else:
@@ -1147,6 +1392,11 @@ class InferenceEngine:
                         allow,
                         key_pos > positions[:, None, :, None] - win_l,
                     )
+                al_ = self.model.alibi_for(q.shape[1], self._tp_axis)
+                if al_ is not None:
+                    s_ = s_ + al_[None, :, None, None] * (
+                        key_pos - positions[:, None, :, None]
+                    ).astype(jnp.float32)
                 s_ = jnp.where(allow, s_, -1e30)
                 sinks_l = params["layers"][li_cell[0]].get("sinks")
                 if sinks_l is not None:

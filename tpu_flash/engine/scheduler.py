@@ -50,6 +50,17 @@ class Request:
     n_branches: int = 1
     parent_id: Optional[int] = None
     child_ids: tuple = ()
+    # Preemption (optimistic admission): a recomputed victim re-prefills
+    # prompt+generated and resumes decode from ``resume_token`` (its
+    # already-emitted newest token — never re-sampled); a swapped victim
+    # carries ``swap_npages`` so re-admission allocates the same page
+    # count for the runner's host-side KV restore.
+    resume_token: Optional[int] = None
+    swap_npages: int = 0
+    # Scheduling priority: higher admits first; preemption victimizes the
+    # lowest priority (newest within a tie) and never evicts a sequence
+    # of higher priority than the one needing pages.
+    priority: int = 0
 
     @property
     def context_len(self) -> int:
@@ -75,6 +86,12 @@ class StepPlan:
     prefill: List[PrefillChunk]
     decode_slots: List[int]  # batch slots with one token to decode
     finished: List[int]  # req_ids completed last step (pages released)
+    # Optimistic admission: slots whose page table grew this step (the
+    # runner re-installs their device rows before decode), and swapped
+    # requests re-admitted this step (the runner restores their KV pages
+    # from host memory before anything else runs).
+    refresh_tables: List[int] = dataclasses.field(default_factory=list)
+    swap_in: List[int] = dataclasses.field(default_factory=list)
 
 
 class Scheduler:
@@ -89,6 +106,18 @@ class Scheduler:
         self.active: Dict[int, Request] = {}  # req_id -> Request
         self.slots: List[Optional[int]] = [None] * config.max_batch_size
         self._page_size = config.cache.page_size
+        # Optimistic admission (config.admission): the runner sets
+        # max_step_tokens to the most tokens one plan can commit per slot
+        # (decode burst / speculation k+1); capacity is topped up to that
+        # ahead of every decode. Hooks are installed by the runner:
+        # preempt_hook(req) folds generated tokens for recompute,
+        # swap_out_hook(req, pages) stashes KV pages host-side.
+        self.max_step_tokens = 1
+        self.preempt_hook = None
+        self.swap_out_hook = None
+        self.num_preemptions = 0
+        self._admit_counter = 0
+        self._arrival_counter = 0
 
     # -- client API ---------------------------------------------------------
 
@@ -101,6 +130,23 @@ class Scheduler:
                 f"request needs {total} tokens of context; cache supports "
                 f"{self.config.cache.max_context}"
             )
+        if not hasattr(req, "_arrival"):
+            req._arrival = self._arrival_counter
+            self._arrival_counter += 1
+        self._enqueue(req)
+
+    def _wait_key(self, req: Request):
+        # Admission order: priority first (higher = sooner), arrival
+        # within a tie — a preempted victim keeps its original arrival
+        # stamp, so it resumes ahead of later same-priority work.
+        return (-req.priority, getattr(req, "_arrival", 0))
+
+    def _enqueue(self, req: Request) -> None:
+        key = self._wait_key(req)
+        for i, w in enumerate(self.waiting):
+            if self._wait_key(w) > key:
+                self.waiting.insert(i, req)
+                return
         self.waiting.append(req)
 
     def num_active(self) -> int:
@@ -138,6 +184,7 @@ class Scheduler:
         #    can never fail mid-flight. With a prefix index, the prompt's
         #    longest cached prefix binds as shared pages (refcount++) and
         #    prefill starts past it.
+        swap_in: List[int] = []
         while self.waiting:
             req = self.waiting[0]
             # Parallel sampling admits the whole group atomically: the
@@ -148,6 +195,31 @@ class Scheduler:
             if len(free_slots) < 1 + len(children):
                 break
             slot = free_slots[0]
+            if req.swap_npages:
+                # Swapped-out victim: re-admit with the SAME page count;
+                # the runner restores its host-stashed KV into the new
+                # pages (plan.swap_in) and resumes where it left off.
+                got = self.allocator.alloc(req.req_id, req.swap_npages)
+                if got is None and self.prefix_index is not None:
+                    self.prefix_index.evict(
+                        req.swap_npages - self.allocator.num_free
+                    )
+                    got = self.allocator.alloc(req.req_id, req.swap_npages)
+                if got is None:
+                    break
+                self.waiting.popleft()
+                req.state = (
+                    RequestState.RUNNING
+                    if req.generated > 0
+                    else RequestState.PREFILL
+                )
+                req.batch_slot = slot
+                req._admit_seq = self._admit_counter
+                self._admit_counter += 1
+                self.slots[slot] = req.req_id
+                self.active[req.req_id] = req
+                swap_in.append(req.req_id)
+                continue
             shared_pages: List[int] = []
             matched = 0
             prompt = getattr(req, "_prompt", None)
@@ -168,7 +240,14 @@ class Scheduler:
                 # is guaranteed: the live prefill advances every step.
                 if self._pending_prefix_tokens(prompt) > matched:
                     break
-            pages = self._pages_needed(req.prompt_len + req.max_new_tokens)
+            if self.config.admission == "optimistic":
+                # Prompt pages only; decode capacity tops up per step
+                # (preempting the newest sequence if the pool overcommits).
+                pages = self._pages_needed(req.prompt_len)
+            else:
+                pages = self._pages_needed(
+                    req.prompt_len + req.max_new_tokens
+                )
             n_new = pages - len(shared_pages)
             if shared_pages and not self.allocator.share(
                 req.req_id, shared_pages
@@ -219,18 +298,28 @@ class Scheduler:
                 for i, ch in enumerate(children):
                     ch.state = RequestState.FORK_WAIT
                     ch.batch_slot = free_slots[1 + i]
+                    ch._admit_seq = self._admit_counter + 1 + i
                     self.slots[ch.batch_slot] = ch.req_id
                     self.active[ch.req_id] = ch
             self.waiting.popleft()
             req.state = RequestState.PREFILL
             req.prefilled = matched  # cached tokens skip prefill entirely
             req.batch_slot = slot
+            req._admit_seq = self._admit_counter
+            self._admit_counter += 1 + len(children)
             self.slots[slot] = req.req_id
             self.active[req.req_id] = req
             if self.prefix_index is not None and prompt:
                 # Stats only for admitted work — a head-of-line-blocked
                 # request re-matching every step must not inflate hit rate.
                 self.prefix_index.record_lookup(matched, len(prompt))
+
+        # 2b. optimistic admission: top every running sequence's page
+        #     capacity up to what this step can commit, preempting the
+        #     newest sequences when the pool overcommits.
+        refresh_tables: List[int] = []
+        if self.config.admission == "optimistic":
+            refresh_tables = self._ensure_decode_capacity()
 
         # 3. plan prefill chunks for sequences still prefilling.
         prefill: List[PrefillChunk] = []
@@ -264,8 +353,131 @@ class Scheduler:
 
         return StepPlan(
             prefill=prefill, decode_slots=sorted(decode_slots),
-            finished=finished,
+            finished=finished, refresh_tables=refresh_tables,
+            swap_in=swap_in,
         )
+
+    # -- optimistic admission: capacity top-up + preemption -------------------
+
+    def _ensure_decode_capacity(self) -> List[int]:
+        """Every RUNNING sequence gets enough pages for the most tokens
+        one plan can commit (max_step_tokens, bounded by its remaining
+        budget), oldest admissions first. When the pool is dry, the
+        NEWEST active sequence is preempted — and if a sequence still
+        can't be topped up, it preempts itself (its pages come back when
+        it re-admits). Returns batch slots whose tables grew."""
+        refresh: List[int] = []
+        ps = self._page_size
+        running = sorted(
+            (
+                r
+                for r in self.active.values()
+                if r.state is RequestState.RUNNING
+            ),
+            key=lambda r: getattr(r, "_admit_seq", 0),
+        )
+        for req in running:
+            if req.req_id not in self.active:
+                continue  # preempted as a victim earlier in this loop
+            bound = min(
+                self.max_step_tokens,
+                max(req.max_new_tokens - req.generated, 1),
+            )
+            need = req.context_len + bound
+            have = len(self.allocator.pages_of(req.req_id)) * ps
+            if have >= need:
+                continue
+            n = self._pages_needed(need - have)
+            got = self.allocator.alloc(req.req_id, n)
+            if got is None and self.prefix_index is not None:
+                self.prefix_index.evict(n - self.allocator.num_free)
+                got = self.allocator.alloc(req.req_id, n)
+            while got is None:
+                if not self._preempt_newest(
+                    exclude_id=req.req_id, max_priority=req.priority
+                ):
+                    break
+                got = self.allocator.alloc(req.req_id, n)
+            if got is None:
+                self._preempt(req)  # can't decode safely: requeue itself
+                continue
+            refresh.append(req.batch_slot)
+        return refresh
+
+    def _preempt_newest(self, exclude_id: int, max_priority: int) -> bool:
+        """Evict the lowest-priority (then newest-admitted) sequence at or
+        below ``max_priority`` — pages never flow up to a lower-priority
+        requester."""
+        victim = None
+        best = None
+        for r in self.active.values():
+            if r.req_id == exclude_id or r.done:
+                continue
+            if r.priority > max_priority:
+                continue
+            key = (r.priority, -getattr(r, "_admit_seq", 0))
+            if best is None or key < best:
+                best, victim = key, r
+        if victim is None:
+            return False
+        self._preempt(victim)
+        return True
+
+    def _preempt(self, victim: Request) -> None:
+        """Evict an active sequence and requeue it at the FRONT of the
+        waiting line (it is older than anything behind it). FORK_WAIT
+        branches have no KV of their own yet and requeue as ordinary
+        independent requests; otherwise the configured policy applies:
+        swap stashes KV host-side (runner hook), recompute folds the
+        generated tokens into the prompt for re-prefill."""
+        if victim.state is RequestState.FORK_WAIT:
+            # Detach the branch from its pending fork group: it re-admits
+            # as an ordinary request and prefills on its own (the parent's
+            # fork skips it via the FORK_WAIT-state filter, and must not
+            # re-admit it as a pending child if the parent itself is
+            # preempted later).
+            parent = self.active.get(victim.parent_id)
+            if parent is None:
+                parent = next(
+                    (
+                        w
+                        for w in self.waiting
+                        if w.req_id == victim.parent_id
+                    ),
+                    None,
+                )
+            if parent is not None:
+                pending = getattr(parent, "_children_reqs", None)
+                if pending:
+                    parent._children_reqs = [
+                        c for c in pending if c.req_id != victim.req_id
+                    ]
+        has_kv = (
+            victim.state is not RequestState.FORK_WAIT
+            and victim.prefilled > 0
+        )
+        if has_kv and self.config.preemption == "swap":
+            if self.swap_out_hook is not None:
+                self.swap_out_hook(
+                    victim, self.allocator.pages_of(victim.req_id)
+                )
+                victim.swap_npages = len(
+                    self.allocator.pages_of(victim.req_id)
+                )
+        elif has_kv:
+            if self.preempt_hook is not None:
+                self.preempt_hook(victim)
+            victim.prefilled = 0
+        else:
+            victim.prefilled = 0
+        self.allocator.release(victim.req_id)
+        if victim.batch_slot >= 0:
+            self.slots[victim.batch_slot] = None
+        self.active.pop(victim.req_id, None)
+        victim.batch_slot = -1
+        victim.state = RequestState.WAITING
+        self._enqueue(victim)  # original arrival stamp: resumes ahead of
+        self.num_preemptions += 1  # later same-priority arrivals
 
     def _pending_prefix_tokens(self, prompt) -> int:
         """Longest prefix of ``prompt`` (in full pages, rounded to the
