@@ -261,7 +261,7 @@ def config4_engine(iters: int):
     tps, wall, m, pstats = bench_engine_tokens_per_s()
     _log(f"  engine steady-state: {tps:.0f} tok/s "
          f"(p50 step {m.get('p50_step_ms', 0):.1f} ms)")
-    return [
+    rows = [
         {
             "config": 4,
             "name": "engine continuous-batching b8 int8-kv (4-layer model)",
@@ -271,6 +271,26 @@ def config4_engine(iters: int):
             "mean_occupancy": m.get("mean_batch_occupancy", 0.0),
         }
     ]
+    # Staggered arrivals (mixed prefill+decode steps): fused single-
+    # dispatch steps vs separate prefill + decode dispatches.
+    for fused in (True, False):
+        tps_s, wall_s, m_s, _ = bench_engine_tokens_per_s(
+            staggered=True, fused_mixed_step=fused,
+        )
+        _log(f"  staggered fused={fused}: {tps_s:.0f} tok/s, "
+             f"wall {wall_s:.1f}s "
+             f"(p50 step {m_s.get('p50_step_ms', 0):.1f} ms)")
+        rows.append(
+            {
+                "config": 4,
+                "name": f"engine staggered arrivals fused={fused}",
+                "metric": "decode_tokens_per_s",
+                "value": tps_s,
+                "wall_s": wall_s,
+                "p50_step_ms": m_s.get("p50_step_ms", 0.0),
+            }
+        )
+    return rows
 
 
 def config5_longcontext(iters: int):

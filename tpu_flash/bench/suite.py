@@ -338,11 +338,18 @@ def bench_engine_tokens_per_s(
     kv_dtype: str = "int8",
     page_size: int = 128,
     shared_prefix: int = 0,
+    staggered: bool = False,
+    fused_mixed_step="auto",
 ):
     """End-to-end continuous-batching engine throughput (full serving stack:
     scheduler, chunked prefill, paged decode, sampling, watchdogs). Returns
     (decode_tokens_per_s, total_wall_s, metrics_summary, prefix_stats).
-    Layer count is reduced — scale judgments should use per-layer rates."""
+    Layer count is reduced — scale judgments should use per-layer rates.
+
+    ``staggered`` submits arrivals in waves so prefill and decode phases
+    overlap (the regime where ``fused_mixed_step`` merges each step's
+    prefill + decode into one dispatch — the lever when dispatch latency
+    dominates, e.g. relay-attached devices)."""
     import time
 
     from tpu_flash.core.config import CacheConfig, EngineConfig
@@ -374,6 +381,7 @@ def bench_engine_tokens_per_s(
             max_pages_per_seq=pages_per_seq,
             kv_dtype=kv_dtype,
         ),
+        fused_mixed_step=fused_mixed_step,
     )
     import numpy as np
 
@@ -383,21 +391,35 @@ def bench_engine_tokens_per_s(
     host_rng = np.random.default_rng(1)
     prefix = host_rng.integers(0, 8192, shared_prefix).tolist()
 
-    def submit_round():
-        for _ in range(batch):
-            tail = host_rng.integers(
-                0, 8192, prompt_len - shared_prefix
-            ).tolist()
-            engine.submit(prefix + tail, max_new_tokens=new_tokens)
+    def submit_one():
+        tail = host_rng.integers(
+            0, 8192, prompt_len - shared_prefix
+        ).tolist()
+        engine.submit(prefix + tail, max_new_tokens=new_tokens)
+
+    def run_round():
+        if not staggered:
+            for _ in range(batch):
+                submit_one()
+            engine.run()
+            return
+        # Waves: half up front, the rest dribbling in while earlier
+        # requests decode — every wave creates mixed prefill+decode steps.
+        for _ in range(batch // 2):
+            submit_one()
+        left = batch - batch // 2
+        while engine.scheduler.has_work():
+            engine.step()
+            if left:
+                submit_one()
+                left -= 1
 
     # Round 1 compiles every program (prefill buckets, decode burst sizes);
     # round 2 is the steady-state measurement.
-    submit_round()
-    engine.run()
+    run_round()
     engine.metrics = type(engine.metrics)()
-    submit_round()
     t0 = time.perf_counter()
-    engine.run()
+    run_round()
     wall = time.perf_counter() - t0
     m = engine.metrics.summary()
     total_tokens = batch * new_tokens
