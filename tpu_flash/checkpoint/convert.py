@@ -185,4 +185,10 @@ def model_config_from_hf(hf_config: Mapping[str, Any], *,
         rope_low_freq_factor=rope_low_f,
         rope_high_freq_factor=rope_high_f,
         query_pre_attn_scalar=hf_config.get("query_pre_attn_scalar"),
+        # BLOOM publishes alibi via model_type; MPT via attn_config.alibi.
+        attn_alibi=bool(
+            hf_config.get("alibi")
+            or hf_config.get("model_type") == "bloom"
+            or (hf_config.get("attn_config") or {}).get("alibi", False)
+        ),
     )

@@ -1,6 +1,7 @@
 from tpu_flash.core.config import AttentionConfig, BlockSizes, EngineConfig, MeshConfig
 from tpu_flash.core.reference import (
     SegmentIds,
+    alibi_slopes,
     reference_attention,
     reference_gqa_attention,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "BlockSizes",
     "EngineConfig",
     "MeshConfig",
+    "alibi_slopes",
     "reference_attention",
     "reference_gqa_attention",
     "SoftmaxState",

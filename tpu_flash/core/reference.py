@@ -47,6 +47,7 @@ def reference_attention(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Exact multi-head attention: softmax(scale * Q K^T + mask) V.
 
@@ -71,6 +72,10 @@ def reference_attention(
         gpt-oss convention): each head's softmax denominator gains
         ``exp(sinks[h])`` — a virtual position with no value — damping
         attention mass when nothing matches.
+      alibi: [num_heads] per-head ALiBi slopes (positive; see
+        ``alibi_slopes``): scores gain ``slope_h * (kv_pos - q_pos)`` —
+        a linear distance penalty replacing positional embeddings
+        (BLOOM/MPT convention). Positions are absolute (q_offset-aware).
 
     Returns:
       [batch, num_heads, q_len, head_dim] in q.dtype.
@@ -90,6 +95,13 @@ def reference_attention(
         scores = softcap * jnp.tanh(scores / softcap)
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
+    if alibi is not None:
+        q_pos = jnp.arange(q.shape[2], dtype=jnp.float32)[:, None] + q_offset
+        kv_pos = jnp.arange(k.shape[2], dtype=jnp.float32)[None, :]
+        scores = scores + (
+            alibi.astype(jnp.float32)[None, :, None, None]
+            * (kv_pos - q_pos)[None, None]
+        )
 
     mask = None
     if window is not None and not causal:
@@ -138,6 +150,7 @@ def reference_gqa_attention(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Exact grouped-query attention.
 
@@ -155,8 +168,32 @@ def reference_gqa_attention(
     v = jnp.repeat(v, rep, axis=1)
     return reference_attention(
         q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset,
-        window=window, softcap=softcap, sinks=sinks,
+        window=window, softcap=softcap, sinks=sinks, alibi=alibi,
     )
+
+
+def alibi_slopes(num_heads: int) -> jax.Array:
+    """Standard ALiBi per-head slopes (positive, descending).
+
+    Power-of-two head counts use the geometric sequence
+    ``2^(-8(h+1)/n)``; other counts interleave the next power's odd
+    entries (the published ALiBi recipe, train-short-test-long paper).
+    """
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start ** (i + 1) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        vals = pow2_slopes(num_heads)
+    else:
+        m = 2 ** int(math.floor(math.log2(num_heads)))
+        vals = (
+            pow2_slopes(m)
+            + pow2_slopes(2 * m)[0::2][: num_heads - m]
+        )
+    return jnp.asarray(vals, jnp.float32)
 
 
 def reference_decode_attention(
@@ -169,6 +206,7 @@ def reference_decode_attention(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Exact single-token GQA decode against a (ragged) dense KV cache.
 
@@ -202,6 +240,10 @@ def reference_decode_attention(
     valid = pos < lengths[:, None, None]
     if window is not None:
         valid = jnp.logical_and(valid, pos > lengths[:, None, None] - 1 - window)
+    if alibi is not None:
+        scores = scores + alibi.astype(jnp.float32)[None, :, None] * (
+            pos - (lengths[:, None, None] - 1)
+        ).astype(jnp.float32)
     scores = jnp.where(valid, scores, DEFAULT_MASK_VALUE)
     if sinks is None:
         weights = jax.nn.softmax(scores, axis=-1)

@@ -70,6 +70,10 @@ class ModelConfig:
     # scores use 1/sqrt(query_pre_attn_scalar) instead of 1/sqrt(head_dim).
     # Folded into q post-rope, so kernels keep their default scale.
     query_pre_attn_scalar: "float | None" = None
+    # ALiBi positional scheme (BLOOM/MPT): per-head linear distance
+    # penalties replace rotary embeddings entirely (rope is skipped).
+    # Slopes are the standard fixed set (core.reference.alibi_slopes).
+    attn_alibi: bool = False
 
     @property
     def attention(self) -> AttentionConfig:

@@ -140,6 +140,27 @@ class FlashTransformer:
         self.config = config
         self.dtype = jnp.dtype(config.dtype)
         self.freqs, self._q_mult = scaled_rope_frequencies(config)
+        if config.attn_alibi:
+            from tpu_flash.core.reference import alibi_slopes
+
+            # ALiBi replaces rotary embeddings (BLOOM/MPT): fixed slopes,
+            # rope skipped in _qkv/decode_qkv.
+            self._alibi = alibi_slopes(config.num_q_heads)
+        else:
+            self._alibi = None
+
+    def alibi_for(self, num_q_heads_local: int, tp_axis=None):
+        """Per-head ALiBi slopes for this shard's head range (None when
+        the model doesn't use ALiBi). Under TP each shard holds a
+        contiguous block of heads, so the slopes slice by axis index."""
+        if self._alibi is None:
+            return None
+        if tp_axis is None or num_q_heads_local == self.config.num_q_heads:
+            return self._alibi
+        idx = jax.lax.axis_index(tp_axis)
+        return jax.lax.dynamic_slice(
+            self._alibi, (idx * num_q_heads_local,), (num_q_heads_local,)
+        )
 
     # -- init ---------------------------------------------------------------
 
@@ -198,6 +219,14 @@ class FlashTransformer:
         q = (x @ layer["wq"]).reshape(b, s, hq, d)
         k = (x @ layer["wk"]).reshape(b, s, hkv, d)
         v = (x @ layer["wv"]).reshape(b, s, hkv, d)
+        if self._alibi is not None:
+            # ALiBi: no rotary embedding — position enters as the in-kernel
+            # linear distance bias.
+            return (
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+            )
         q = apply_rope(q.transpose(0, 2, 1, 3), positions, self.freqs)
         k = apply_rope(k.transpose(0, 2, 1, 3), positions, self.freqs)
         if self._q_mult != 1.0:
@@ -308,6 +337,7 @@ class FlashTransformer:
                     interpret=interpret, window=cfg.layer_window(li),
                     softcap=cfg.attn_softcap, segment_ids=seg_attn,
                     sinks=layer.get("sinks"),
+                    alibi=self.alibi_for(q.shape[1], tp_axis),
                 )
             b, h, s, d = attn.shape
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
@@ -367,6 +397,8 @@ class FlashTransformer:
         q = (x @ layer["wq"]).reshape(b, hq, 1, d)
         k = (x @ layer["wk"]).reshape(b, hkv, 1, d)
         v = (x @ layer["wv"]).reshape(b, hkv, d)
+        if self._alibi is not None:
+            return q[:, :, 0], k[:, :, 0], v  # ALiBi: no rope
         q = apply_rope(q, positions[:, None], self.freqs)[:, :, 0]
         k = apply_rope(k, positions[:, None], self.freqs)[:, :, 0]
         if self._q_mult != 1.0:

@@ -141,6 +141,7 @@ def _paged_attn_kernel(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sink_ref=None,  # VMEM [1, q_per_kv_p, NUM_LANES] per-head sink or None
+    alibi_ref=None,  # VMEM [1, q_per_kv_p, NUM_LANES] per-head slope or None
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -307,6 +308,12 @@ def _paged_attn_kernel(
         valid = pos < length
         if window is not None:
             valid = jnp.logical_and(valid, pos >= length - window)
+        if alibi_ref is not None:
+            # ALiBi: the decoding token sits at position length-1; each
+            # row is one q head of this KV-head group (per-row slope).
+            s = s + alibi_ref[0][:, :1] * (
+                pos - (length - 1)
+            ).astype(jnp.float32)
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         # --- online softmax update ---
@@ -394,6 +401,7 @@ def paged_attention(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,  # [num_q_heads] ALiBi slopes
     _debug_skip_scale_dma: bool = False,  # perf diagnostics; WRONG numerics
     _debug_skip_dequant_mul: bool = False,
 ) -> jax.Array:
@@ -523,6 +531,15 @@ def paged_attention(
             ]
             if sinks is not None
             else []
+        )
+        + (
+            [
+                pl.BlockSpec(
+                    (1, q_per_kv_p, 128), lambda b, h, i, *_: (h, 0, 0)
+                )
+            ]
+            if alibi is not None
+            else []
         ),
         out_specs=pl.BlockSpec(
             (1, 1, q_per_kv_p, head_dim), lambda b, h, i, *_: (b, h, 0, 0)
@@ -564,25 +581,34 @@ def paged_attention(
         k_scales = jnp.zeros((1, 1, 1), jnp.float32)
         v_scales = jnp.zeros((1, 1, 1), jnp.float32)
 
+    def _per_row_lanes(vals):
+        # Per-row (q head within the KV-head group) values, lane-
+        # replicated: [hkv, q_per_kv_p, 128].
+        a2 = vals.astype(jnp.float32).reshape(num_kv_heads, q_per_kv)
+        if q_per_kv_p != q_per_kv:
+            a2 = jnp.pad(a2, ((0, 0), (0, q_per_kv_p - q_per_kv)))
+        return jnp.broadcast_to(
+            a2[..., None], (num_kv_heads, q_per_kv_p, 128)
+        )
+
     call_args = (lengths, page_indices, q4, k_vals, k_scales, v_vals,
                  v_scales)
-    if sinks is not None:
-        # Per-row (q head within the KV-head group) sink logits,
-        # lane-replicated: [hkv, q_per_kv_p, 128].
-        s2 = sinks.astype(jnp.float32).reshape(num_kv_heads, q_per_kv)
-        if q_per_kv_p != q_per_kv:
-            s2 = jnp.pad(s2, ((0, 0), (0, q_per_kv_p - q_per_kv)))
-        sinks_l = jnp.broadcast_to(
-            s2[..., None], (num_kv_heads, q_per_kv_p, 128)
-        )
-        call_args = call_args + (sinks_l,)
+    have_sink, have_alibi = sinks is not None, alibi is not None
+    if have_sink:
+        call_args = call_args + (_per_row_lanes(sinks),)
+    if have_alibi:
+        call_args = call_args + (_per_row_lanes(alibi),)
+    if have_sink or have_alibi:
         base_kernel = kernel
 
-        def kernel(lengths_r, pidx_r, q_r, kv_r, ks_r, vv_r, vs_r, sink_in,
-                   o_r, *scratch):
+        def kernel(lengths_r, pidx_r, q_r, kv_r, ks_r, vv_r, vs_r, *rest):
+            it = iter(rest)
+            sink_in = next(it) if have_sink else None
+            alibi_in = next(it) if have_alibi else None
+            o_r = next(it)
             return base_kernel(
                 lengths_r, pidx_r, q_r, kv_r, ks_r, vv_r, vs_r, o_r,
-                *scratch, sink_ref=sink_in,
+                *list(it), sink_ref=sink_in, alibi_ref=alibi_in,
             )
 
     out = pl.pallas_call(

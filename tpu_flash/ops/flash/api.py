@@ -111,9 +111,9 @@ def _sink_grad(sinks, lse, di_eff):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
 )
-def _flash_core(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
+def _flash_core(q, k, v, q_seg, kv_seg, sinks, alibi, causal, sm_scale,
                 block_sizes, q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
@@ -123,13 +123,14 @@ def _flash_core(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=False,
         interpret=interpret, window=window, softcap=softcap,
-        q_seg=qs, kv_seg=ks, sinks=sinks,
+        q_seg=qs, kv_seg=ks, sinks=sinks, alibi=alibi,
     )
     return o[:, :, :q_len, :head_dim]
 
 
-def _flash_core_fwd(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
-                    block_sizes, q_offset, interpret, window, softcap):
+def _flash_core_fwd(q, k, v, q_seg, kv_seg, sinks, alibi, causal,
+                    sm_scale, block_sizes, q_offset, interpret, window,
+                    softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
     qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
@@ -138,15 +139,15 @@ def _flash_core_fwd(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
         interpret=interpret, window=window, softcap=softcap,
-        q_seg=qs, kv_seg=ks, sinks=sinks,
+        q_seg=qs, kv_seg=ks, sinks=sinks, alibi=alibi,
     )
     o = o_p[:, :, :q_len, :head_dim]
-    return o, (q, k, v, q_seg, kv_seg, sinks, o_p, lse_p)
+    return o, (q, k, v, q_seg, kv_seg, sinks, alibi, o_p, lse_p)
 
 
 def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
                     window, softcap, residuals, g):
-    q, k, v, q_seg, kv_seg, sinks, o_p, lse_p = residuals
+    q, k, v, q_seg, kv_seg, sinks, alibi, o_p, lse_p = residuals
     batch, num_q_heads, q_len, head_dim = q.shape
     num_kv_heads, kv_len = k.shape[1], k.shape[2]
     q_per_kv = num_q_heads // num_kv_heads
@@ -165,7 +166,7 @@ def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         qp, kp, vp, o_p, lse_rep, do_p,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=kv_len, interpret=interpret,
-        window=window, softcap=softcap, q_seg=qs, kv_seg=ks,
+        window=window, softcap=softcap, q_seg=qs, kv_seg=ks, alibi=alibi,
     )
     dq = dq[:, :, :q_len, :head_dim]
     dk = dk[:, :, :kv_len, :head_dim]
@@ -181,7 +182,7 @@ def _flash_core_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         o_u = o_p[:, :, :q_len, :head_dim].astype(jnp.float32)
         di_u = jnp.sum(o_u * g.astype(jnp.float32), axis=-1)
         dsink = _sink_grad(sinks, lse_p[:, :, :q_len], di_u)
-    return dq, dk, dv, None, None, dsink
+    return dq, dk, dv, None, None, dsink, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -194,9 +195,9 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
 )
-def _flash_core_res(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
+def _flash_core_res(q, k, v, q_seg, kv_seg, sinks, alibi, causal, sm_scale,
                     block_sizes, q_offset, interpret, window, softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
@@ -206,13 +207,14 @@ def _flash_core_res(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
         interpret=interpret, window=window, softcap=softcap,
-        q_seg=qs, kv_seg=ks, sinks=sinks,
+        q_seg=qs, kv_seg=ks, sinks=sinks, alibi=alibi,
     )
     return o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len]
 
 
-def _flash_core_res_fwd(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
-                        block_sizes, q_offset, interpret, window, softcap):
+def _flash_core_res_fwd(q, k, v, q_seg, kv_seg, sinks, alibi, causal,
+                        sm_scale, block_sizes, q_offset, interpret, window,
+                        softcap):
     q_len, head_dim = q.shape[2], q.shape[3]
     qp, kp, vp = _pad_qkv(q, k, v, block_sizes)
     qs, ks = _pad_segs(q_seg, kv_seg, qp.shape[2], kp.shape[2])
@@ -221,16 +223,16 @@ def _flash_core_res_fwd(q, k, v, q_seg, kv_seg, sinks, causal, sm_scale,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=k.shape[2], save_residuals=True,
         interpret=interpret, window=window, softcap=softcap,
-        q_seg=qs, kv_seg=ks, sinks=sinks,
+        q_seg=qs, kv_seg=ks, sinks=sinks, alibi=alibi,
     )
     out = (o_p[:, :, :q_len, :head_dim], lse_p[:, :, :q_len])
-    return out, (q, k, v, q_seg, kv_seg, sinks, o_p, lse_p)
+    return out, (q, k, v, q_seg, kv_seg, sinks, alibi, o_p, lse_p)
 
 
 def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
                         window, softcap, residuals, gs):
     g, g_lse = gs
-    q, k, v, q_seg, kv_seg, sinks, o_p, lse_p = residuals
+    q, k, v, q_seg, kv_seg, sinks, alibi, o_p, lse_p = residuals
     batch, num_q_heads, q_len, head_dim = q.shape
     num_kv_heads, kv_len = k.shape[1], k.shape[2]
     q_per_kv = num_q_heads // num_kv_heads
@@ -251,6 +253,7 @@ def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
         q_offset=q_offset, kv_len=kv_len, interpret=interpret,
         dlse=dlse_p, window=window, softcap=softcap, q_seg=qs, kv_seg=ks,
+        alibi=alibi,
     )
     dq = dq[:, :, :q_len, :head_dim]
     dk = dk[:, :, :kv_len, :head_dim]
@@ -266,7 +269,7 @@ def _flash_core_res_bwd(causal, sm_scale, block_sizes, q_offset, interpret,
         di_u = jnp.sum(o_u * g.astype(jnp.float32), axis=-1)
         di_eff = di_u - g_lse.astype(jnp.float32)
         dsink = _sink_grad(sinks, lse_p[:, :, :q_len], di_eff)
-    return dq, dk, dv, None, None, dsink
+    return dq, dk, dv, None, None, dsink, None
 
 
 _flash_core_res.defvjp(_flash_core_res_fwd, _flash_core_res_bwd)
@@ -281,15 +284,15 @@ _flash_core_res.defvjp(_flash_core_res_fwd, _flash_core_res_bwd)
 )
 def _flash_entry(q, k, v, causal, sm_scale, block_sizes, q_offset,
                  save_residuals, interpret, window=None, softcap=None,
-                 q_seg=None, kv_seg=None, sinks=None):
+                 q_seg=None, kv_seg=None, sinks=None, alibi=None):
     if not save_residuals:
         return _flash_core(
-            q, k, v, q_seg, kv_seg, sinks, causal, sm_scale, block_sizes,
-            q_offset, interpret, window, softcap,
+            q, k, v, q_seg, kv_seg, sinks, alibi, causal, sm_scale,
+            block_sizes, q_offset, interpret, window, softcap,
         )
     return _flash_core_res(
-        q, k, v, q_seg, kv_seg, sinks, causal, sm_scale, block_sizes,
-        q_offset, interpret, window, softcap,
+        q, k, v, q_seg, kv_seg, sinks, alibi, causal, sm_scale,
+        block_sizes, q_offset, interpret, window, softcap,
     )
 
 
@@ -308,6 +311,7 @@ def flash_attention(
     softcap: Optional[float] = None,
     segment_ids=None,
     sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Fused multi-head / grouped-query flash attention (differentiable).
 
@@ -345,6 +349,13 @@ def flash_attention(
         gpt-oss convention): each head's softmax denominator gains
         ``exp(sinks[h])``, a virtual position with no value row.
         Differentiable (dsinks computed analytically from the residuals).
+      alibi: [num_q_heads] per-head ALiBi slopes (BLOOM/MPT convention;
+        ``core.reference.alibi_slopes`` builds the standard set): scores
+        gain ``slope_h * (kv_pos - q_pos)`` — a linear distance penalty
+        replacing positional embeddings. Requires ``causal=True``; the
+        bias is translation-invariant, so it composes with
+        ``segment_ids`` (per-document distances) and ``window``. Applied
+        after ``softcap``. The slopes are constants (no gradient).
 
     Returns:
       [batch, num_q_heads, q_len, head_dim] in q.dtype, or ``(o, lse)``.
@@ -394,6 +405,14 @@ def flash_attention(
             f"sinks must be [num_q_heads] = ({q.shape[1]},), got "
             f"{sinks.shape}"
         )
+    if alibi is not None:
+        if not causal:
+            raise ValueError("alibi requires causal=True")
+        if alibi.shape != (q.shape[1],):
+            raise ValueError(
+                f"alibi must be [num_q_heads] = ({q.shape[1]},), got "
+                f"{alibi.shape}"
+            )
 
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -407,4 +426,5 @@ def flash_attention(
     return _flash_entry(
         q, k, v, causal, float(sm_scale), block_sizes, q_offset,
         save_residuals, interpret, window, softcap, q_seg, kv_seg, sinks,
+        alibi,
     )

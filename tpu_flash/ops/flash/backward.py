@@ -45,12 +45,16 @@ def _precision(dtype):
 
 def _recompute_p(q, k, lse_col, *, sm_scale, causal, mask_kv_tail, kv_len,
                  q_pos0, kv_pos0, precision, window=None, softcap=None,
-                 qseg_ref=None, kvseg_ref=None):
+                 qseg_ref=None, kvseg_ref=None, alibi_ref=None):
     """Recompute attention weights p = exp(sm_scale * q k^T - lse), masked.
 
     Returns ``(p, dcap)`` where ``dcap`` is the softcap chain-rule factor
     ``1 - tanh(s/softcap)^2`` (None when softcap is off): with
     ``s_capped = softcap * tanh(s / softcap)``, d(s_capped)/ds = dcap.
+    ``alibi_ref`` adds the forward's ``slope * (kv_pos - q_pos)`` bias
+    before the exp — the bias is additive and position-only, so the
+    ds/dq/dk chain is unchanged (and dcap still applies only to the
+    capped QK^T term, matching the forward's cap-then-bias order).
     """
     block_q, block_kv = q.shape[0], k.shape[0]
     s = jax.lax.dot_general(
@@ -63,14 +67,21 @@ def _recompute_p(q, k, lse_col, *, sm_scale, causal, mask_kv_tail, kv_len,
         t = jnp.tanh(s * (1.0 / softcap))
         s = softcap * t
         dcap = 1.0 - t * t
-    p = jnp.exp(s - lse_col)
-    if causal or mask_kv_tail or qseg_ref is not None:
+    row_ids = col_ids = None
+    if (causal or mask_kv_tail or qseg_ref is not None
+            or alibi_ref is not None):
         row_ids = q_pos0 + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 0
         )
         col_ids = kv_pos0 + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 1
         )
+    if alibi_ref is not None:
+        s = s + alibi_ref[0:1, 0:1] * (col_ids - row_ids).astype(
+            jnp.float32
+        )
+    p = jnp.exp(s - lse_col)
+    if causal or mask_kv_tail or qseg_ref is not None:
         mask = None
         if causal:
             mask = col_ids <= row_ids
@@ -102,29 +113,29 @@ def _flash_bwd_dkv_kernel(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     have_seg: bool = False,
+    have_alibi: bool = False,
 ):
-    qseg_ref = kvseg_ref = None
+    it = iter(args)
     if triangular:
-        if have_seg:
-            (kvmap_ref, qmap_ref, isfirst_ref, islast_ref, q_ref, k_ref,
-             v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref, dk_ref,
-             dv_ref, dk_scratch, dv_scratch) = args
-        else:
-            (kvmap_ref, qmap_ref, isfirst_ref, islast_ref, q_ref, k_ref,
-             v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scratch,
-             dv_scratch) = args
+        kvmap_ref, qmap_ref, isfirst_ref, islast_ref = (
+            next(it), next(it), next(it), next(it),
+        )
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+    )
+    qseg_ref = next(it) if have_seg else None
+    kvseg_ref = next(it) if have_seg else None
+    alibi_ref = next(it) if have_alibi else None
+    dk_ref, dv_ref, dk_scratch, dv_scratch = (
+        next(it), next(it), next(it), next(it),
+    )
+    if triangular:
         c = pl.program_id(2)
         kv_idx = kvmap_ref[c]
         q_idx = qmap_ref[c]
         init_now = isfirst_ref[c] == 1
         is_last = islast_ref[c] == 1
     else:
-        if have_seg:
-            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
-             kvseg_ref, dk_ref, dv_ref, dk_scratch, dv_scratch) = args
-        else:
-            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-             dk_scratch, dv_scratch) = args
         kv_idx = pl.program_id(2)
         q_idx = pl.program_id(3)
         init_now = q_idx == 0
@@ -167,7 +178,7 @@ def _flash_bwd_dkv_kernel(
             kv_len=kv_len, q_pos0=q_offset + q_idx * block_q,
             kv_pos0=kv_idx * block_kv, precision=precision,
             window=window, softcap=softcap,
-            qseg_ref=qseg_ref, kvseg_ref=kvseg_ref,
+            qseg_ref=qseg_ref, kvseg_ref=kvseg_ref, alibi_ref=alibi_ref,
         )
 
         # dv += p^T @ do    (contract over the q dimension, no transpose op)
@@ -210,27 +221,25 @@ def _flash_bwd_dq_kernel(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     have_seg: bool = False,
+    have_alibi: bool = False,
 ):
-    qseg_ref = kvseg_ref = None
+    it = iter(args)
     if triangular:
-        if have_seg:
-            (qmap_ref, kvmap_ref, islast_ref, q_ref, k_ref, v_ref, do_ref,
-             lse_ref, di_ref, qseg_ref, kvseg_ref, dq_ref, dq_scratch) = args
-        else:
-            (qmap_ref, kvmap_ref, islast_ref, q_ref, k_ref, v_ref, do_ref,
-             lse_ref, di_ref, dq_ref, dq_scratch) = args
+        qmap_ref, kvmap_ref, islast_ref = next(it), next(it), next(it)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+    )
+    qseg_ref = next(it) if have_seg else None
+    kvseg_ref = next(it) if have_seg else None
+    alibi_ref = next(it) if have_alibi else None
+    dq_ref, dq_scratch = next(it), next(it)
+    if triangular:
         c = pl.program_id(2)
         q_idx = qmap_ref[c]
         kv_idx = kvmap_ref[c]
         is_last = islast_ref[c] == 1
         should_run = True  # only active cells are enumerated
     else:
-        if have_seg:
-            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
-             kvseg_ref, dq_ref, dq_scratch) = args
-        else:
-            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
-             dq_scratch) = args
         q_idx = pl.program_id(2)
         kv_idx = pl.program_id(3)
         if causal:
@@ -282,7 +291,7 @@ def _flash_bwd_dq_kernel(
             kv_len=kv_len, q_pos0=q_offset + q_idx * block_q,
             kv_pos0=kv_idx * block_kv, precision=precision,
             window=window, softcap=softcap,
-            qseg_ref=qseg_ref, kvseg_ref=kvseg_ref,
+            qseg_ref=qseg_ref, kvseg_ref=kvseg_ref, alibi_ref=alibi_ref,
         )
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), TRANS_B,
@@ -363,6 +372,7 @@ def flash_attention_backward(
     softcap: Optional[float] = None,
     q_seg: Optional[jax.Array] = None,  # [b, q_len_p] int32 (pre-padded)
     kv_seg: Optional[jax.Array] = None,  # [b, kv_len_p] int32
+    alibi: Optional[jax.Array] = None,  # [num_q_heads] f32 ALiBi slopes
 ):
     """Compute (dq, dk, dv) on pre-padded inputs.
 
@@ -396,6 +406,11 @@ def flash_attention_backward(
         )
         kvseg_s = jax.lax.broadcast_in_dim(
             kv_seg.astype(jnp.int32), (batch, 8, kv_len_padded), (0, 2)
+        )
+    have_alibi = alibi is not None
+    if have_alibi:
+        alibi_l = jax.lax.broadcast_in_dim(
+            alibi.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
         )
 
     # ---- dKV kernel ----
@@ -460,6 +475,7 @@ def flash_attention_backward(
         window=window,
         softcap=softcap,
         have_seg=have_seg,
+        have_alibi=have_alibi,
     )
     dkv_out_shape = [
         jax.ShapeDtypeStruct(
@@ -505,6 +521,14 @@ def flash_attention_backward(
                 ),
             ]
             tri_inputs = tri_inputs + (qseg_l, kvseg_s)
+        if have_alibi:
+            tri_in_specs.append(
+                pl.BlockSpec(
+                    (1, NUM_LANES),
+                    lambda b, h, c, km, qm, fi, il: (h, 0),
+                )
+            )
+            tri_inputs = tri_inputs + (alibi_l,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(batch, num_q_heads, n_cells),
@@ -542,6 +566,11 @@ def flash_attention_backward(
                 ),
             ]
             rect_inputs = rect_inputs + (qseg_l, kvseg_s)
+        if have_alibi:
+            rect_in_specs.append(
+                pl.BlockSpec((1, NUM_LANES), lambda b, h, kv, q_i: (h, 0))
+            )
+            rect_inputs = rect_inputs + (alibi_l,)
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid=(batch, num_q_heads, num_kv_blocks, num_q_blocks),
@@ -616,6 +645,7 @@ def flash_attention_backward(
         window=window,
         softcap=softcap,
         have_seg=have_seg,
+        have_alibi=have_alibi,
     )
     dq_scratch_shapes = [pltpu.VMEM((block_q_dq, head_dim), jnp.float32)]
     if triangular:
@@ -654,6 +684,13 @@ def flash_attention_backward(
                 ),
             ]
             tri_inputs = tri_inputs + (qseg_l, kvseg_s)
+        if have_alibi:
+            tri_in_specs.append(
+                pl.BlockSpec(
+                    (1, NUM_LANES), lambda b, h, c, qm, km, il: (h, 0)
+                )
+            )
+            tri_inputs = tri_inputs + (alibi_l,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(batch, num_q_heads, n_cells),
@@ -691,6 +728,11 @@ def flash_attention_backward(
                 ),
             ]
             rect_inputs = rect_inputs + (qseg_l, kvseg_s)
+        if have_alibi:
+            rect_in_specs.append(
+                pl.BlockSpec((1, NUM_LANES), lambda b, h, q_i, kv: (h, 0))
+            )
+            rect_inputs = rect_inputs + (alibi_l,)
         dq = pl.pallas_call(
             dq_kernel,
             grid=(batch, num_q_heads, num_q_blocks_dq, num_kv_blocks_dq),

@@ -106,6 +106,7 @@ def _flash_fwd_kernel(
     qseg_ref,  # [1, block_q, NUM_LANES] int32 or None
     kvseg_ref,  # [1, 8, block_kv_major] int32 or None
     sink_ref,  # [1, NUM_LANES] f32 per-head sink logit or None
+    alibi_ref,  # [1, NUM_LANES] f32 per-head ALiBi slope or None
     o_ref,  # [1, 1, block_q, head_dim]
     lse_ref,  # [1, 1, block_q, NUM_LANES] or None
     m_scratch,  # VMEM [block_q, NUM_LANES] f32
@@ -207,6 +208,13 @@ def _flash_fwd_kernel(
                         mask = jnp.logical_and(
                             mask, (col - row) > thr - window
                         )
+                    if alibi_ref is not None:
+                        # ALiBi: slope * (kv_pos - q_pos) = slope *
+                        # (col - row - thr); masked positions are
+                        # overwritten below anyway.
+                        s = s + alibi_ref[0:1, 0:1] * (
+                            col - row - thr
+                        ).astype(jnp.float32)
                 if qseg_ref is not None:
                     seg = _seg_mask(
                         qseg_ref, kvseg_ref, start, block_q, block_kv
@@ -264,6 +272,7 @@ def _flash_fwd_tri_kernel(
     qseg_ref,  # [1, block_q, NUM_LANES] int32 or None
     kvseg_ref,  # [1, 8, block_kv_major] int32 or None
     sink_ref,  # [1, NUM_LANES] f32 or None
+    alibi_ref,  # [1, NUM_LANES] f32 or None
     o_ref,
     lse_ref,
     m_scratch,
@@ -327,6 +336,10 @@ def _flash_fwd_tri_kernel(
         mask = (col - row) <= thr
         if window is not None:
             mask = jnp.logical_and(mask, (col - row) > thr - window)
+        if alibi_ref is not None:
+            s = s + alibi_ref[0:1, 0:1] * (col - row - thr).astype(
+                jnp.float32
+            )
         if qseg_ref is not None:
             mask = jnp.logical_and(
                 mask, _seg_mask(qseg_ref, kvseg_ref, start, block_q, block_kv)
@@ -376,6 +389,7 @@ def flash_attention_forward(
     q_seg: Optional[jax.Array] = None,  # [batch, q_len] int32 (pre-padded)
     kv_seg: Optional[jax.Array] = None,  # [batch, kv_len_padded] int32
     sinks: Optional[jax.Array] = None,  # [num_q_heads] f32 sink logits
+    alibi: Optional[jax.Array] = None,  # [num_q_heads] f32 ALiBi slopes
 ):
     """Launch the forward kernel on pre-padded inputs.
 
@@ -468,6 +482,17 @@ def flash_attention_forward(
             pl.BlockSpec((1, NUM_LANES), lambda b, h, q, kv: (h, 0))
         )
         extra_inputs = extra_inputs + (sinks_l,)
+    have_alibi = alibi is not None
+    if have_alibi:
+        if not causal:
+            raise ValueError("alibi requires causal=True")
+        alibi_l = jax.lax.broadcast_in_dim(
+            alibi.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, q, kv: (h, 0))
+        )
+        extra_inputs = extra_inputs + (alibi_l,)
     out_shapes = [
         jax.ShapeDtypeStruct(q.shape, q.dtype),
     ]
@@ -507,11 +532,13 @@ def flash_attention_forward(
         qs_r = next(it) if have_seg else None
         ks_r = next(it) if have_seg else None
         sk_r = next(it) if have_sink else None
+        al_r = next(it) if have_alibi else None
         o_r = next(it)
         lse_r = next(it) if save_residuals else None
         m_s, l_s, acc_s = next(it), next(it), next(it)
         return base_kernel(
-            q_r, k_r, v_r, qs_r, ks_r, sk_r, o_r, lse_r, m_s, l_s, acc_s
+            q_r, k_r, v_r, qs_r, ks_r, sk_r, al_r, o_r, lse_r,
+            m_s, l_s, acc_s,
         )
 
     scratch_shapes = [
@@ -529,7 +556,7 @@ def flash_attention_forward(
             num_q_blocks=num_q_blocks, num_kv_blocks=num_kv_blocks,
             q_per_kv=q_per_kv, save_residuals=save_residuals,
             interpret=interpret, window=window, softcap=softcap,
-            q_seg=q_seg, kv_seg=kv_seg, sinks=sinks,
+            q_seg=q_seg, kv_seg=kv_seg, sinks=sinks, alibi=alibi,
         )
 
     # 2 matmuls (QK^T and PV), 2*M*N*K flops each.
@@ -605,7 +632,7 @@ def _forward_triangular(
     q, k, v, *, sm_scale, block_q, block_kv_major, block_kv, q_offset,
     kv_len, num_q_blocks, num_kv_blocks, q_per_kv, save_residuals,
     interpret, window=None, softcap=None, q_seg=None, kv_seg=None,
-    sinks=None,
+    sinks=None, alibi=None,
 ):
     """Causal forward over the active-cell enumeration (triangular grid)."""
     batch, num_q_heads, q_len, head_dim = q.shape
@@ -660,6 +687,15 @@ def _forward_triangular(
             pl.BlockSpec((1, NUM_LANES), lambda b, h, c, qm, km, il: (h, 0))
         )
         extra_inputs = extra_inputs + (sinks_l,)
+    have_alibi = alibi is not None
+    if have_alibi:
+        alibi_l = jax.lax.broadcast_in_dim(
+            alibi.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, c, qm, km, il: (h, 0))
+        )
+        extra_inputs = extra_inputs + (alibi_l,)
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     out_specs = [
         pl.BlockSpec(
@@ -697,11 +733,12 @@ def _forward_triangular(
         qs_r = next(it) if have_seg else None
         ks_r = next(it) if have_seg else None
         sk_r = next(it) if have_sink else None
+        al_r = next(it) if have_alibi else None
         o_r = next(it)
         lse_r = next(it) if save_residuals else None
         m_s, l_s, acc_s = next(it), next(it), next(it)
         return base_kernel(
-            qm, km, il, q_r, k_r, v_r, qs_r, ks_r, sk_r, o_r, lse_r,
+            qm, km, il, q_r, k_r, v_r, qs_r, ks_r, sk_r, al_r, o_r, lse_r,
             m_s, l_s, acc_s,
         )
 

@@ -112,6 +112,7 @@ def _paged_prefill_kernel(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sink_ref=None,  # [1, q_per_kv, NUM_LANES] per-head sink logits or None
+    alibi_ref=None,  # [1, q_per_kv, NUM_LANES] per-head ALiBi slopes or None
 ):
     rows = q_ref.shape[1]  # q_per_kv * block_q
     block_q = rows // q_per_kv
@@ -192,6 +193,12 @@ def _paged_prefill_kernel(
     if sm_scale != 1.0:
         q = q * sm_scale
 
+    def alibi_row_slopes():
+        # Row r of the stacked tile is q head r // block_q: per-row slope.
+        return jnp.broadcast_to(
+            alibi_ref[0][:, None, :1], (q_per_kv, block_q, 1)
+        ).reshape(rows, 1)
+
     is_hist = kv_idx < num_hist_blocks
 
     @pl.when(jnp.logical_and(is_hist, kv_idx < nblk))
@@ -239,19 +246,24 @@ def _paged_prefill_kernel(
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
         valid = col + abk * bk < offs
-        if window is not None:
+        if window is not None or alibi_ref is not None:
             # Row r of the stacked tile is chunk position
             # q_idx*block_q + (r % block_q), i.e. absolute position
-            # offs + that; history col j (= abk*bk + col) is in-window
-            # iff j > abs_pos - window.
+            # offs + that.
             row_in_blk = jax.lax.broadcasted_iota(
                 jnp.int32, (q_per_kv, block_q, bk), 1
             ).reshape(rows, bk)
+        if window is not None:
+            # History col j (= abk*bk + col) is in-window iff
+            # j > abs_pos - window.
             valid = jnp.logical_and(
                 valid,
                 col + abk * bk
                 > offs + q_idx * block_q + row_in_blk - window,
             )
+        if alibi_ref is not None:
+            dist = col + abk * bk - offs - q_idx * block_q - row_in_blk
+            s = s + alibi_row_slopes() * dist.astype(jnp.float32)
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
         make_copy(
             v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
@@ -293,6 +305,9 @@ def _paged_prefill_kernel(
             # Chunk col and query share the offs base; the window bound is
             # on their chunk-position difference.
             mask = jnp.logical_and(mask, rel > -window)
+        if alibi_ref is not None:
+            # rel IS kv_pos - q_pos (both sit past the shared offs base).
+            s = s + alibi_row_slopes() * rel.astype(jnp.float32)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         softmax_update(s, cv_ref[0])
 
@@ -341,6 +356,7 @@ def paged_prefill_attention(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,  # [num_q_heads] sink logits
+    alibi: Optional[jax.Array] = None,  # [num_q_heads] ALiBi slopes
 ) -> jax.Array:
     """Chunk attention over [paged history | dense chunk].
 
@@ -527,6 +543,18 @@ def paged_prefill_attention(
             ]
             if sinks is not None
             else []
+        )
+        + (
+            [
+                pl.BlockSpec(
+                    (1, q_per_kv, NUM_LANES),
+                    lambda bh, qi, kv, offs, bm, kh, tb, cm, fs, nb, cu, nx: (
+                        kh[bh], 0, 0,
+                    ),
+                )
+            ]
+            if alibi is not None
+            else []
         ),
         out_specs=[
             pl.BlockSpec(
@@ -569,24 +597,33 @@ def paged_prefill_attention(
         window=int(window) if window is not None else None,
         softcap=float(softcap) if softcap is not None else None,
     )
-    call_inputs = (qf, ckf, cvf, k_vals, k_scales, v_vals, v_scales)
-    if sinks is not None:
-        sinks_l = jnp.broadcast_to(
-            sinks.astype(jnp.float32).reshape(num_kv_heads, q_per_kv)[
+    def _per_head_lanes(vals):
+        return jnp.broadcast_to(
+            vals.astype(jnp.float32).reshape(num_kv_heads, q_per_kv)[
                 ..., None
             ],
             (num_kv_heads, q_per_kv, NUM_LANES),
         )
-        call_inputs = call_inputs + (sinks_l,)
+
+    call_inputs = (qf, ckf, cvf, k_vals, k_scales, v_vals, v_scales)
+    have_sink, have_alibi = sinks is not None, alibi is not None
+    if have_sink:
+        call_inputs = call_inputs + (_per_head_lanes(sinks),)
+    if have_alibi:
+        call_inputs = call_inputs + (_per_head_lanes(alibi),)
+    if have_sink or have_alibi:
         base_kernel = kernel
 
         def kernel(offs_r, bm_r, kh_r, tb_r, cm_r, fs_r, nb_r, cu_r, nx_r,
-                   q_r, ck_r, cv_r, kp_r, ks_r, vp_r, vs_r, sink_in, o_r,
-                   *scratch):
+                   q_r, ck_r, cv_r, kp_r, ks_r, vp_r, vs_r, *rest):
+            it = iter(rest)
+            sink_in = next(it) if have_sink else None
+            alibi_in = next(it) if have_alibi else None
+            o_r = next(it)
             return base_kernel(
                 offs_r, bm_r, kh_r, tb_r, cm_r, fs_r, nb_r, cu_r, nx_r,
-                q_r, ck_r, cv_r, kp_r, ks_r, vp_r, vs_r, o_r, *scratch,
-                sink_ref=sink_in,
+                q_r, ck_r, cv_r, kp_r, ks_r, vp_r, vs_r, o_r, *list(it),
+                sink_ref=sink_in, alibi_ref=alibi_in,
             )
 
     (o,) = pl.pallas_call(

@@ -61,6 +61,7 @@ def _ragged_prefill_kernel(
     k_ref,  # [1, block_kv, d]  (k flattened to [batch*hkv, kv_len, d])
     v_ref,
     sink_ref,  # [1, NUM_LANES] f32 per-row sink logit or None
+    alibi_ref,  # [1, NUM_LANES] f32 per-row ALiBi slope or None
     o_ref,
     m_scratch,  # VMEM [block_q, NUM_LANES] f32
     l_scratch,
@@ -148,6 +149,16 @@ def _ragged_prefill_kernel(
             vis_chunk = jnp.logical_and(
                 vis_chunk, col_glob - hist_cap > row_glob - window
             )
+        if alibi_ref is not None:
+            # ALiBi distance kv_pos - q_pos: history col j is at absolute
+            # j (query at offs + row_glob); chunk col c at offs +
+            # (c - hist_cap). Masked columns are overwritten below.
+            dist = jnp.where(
+                col_glob >= hist_cap,
+                col_glob - hist_cap - row_glob,
+                col_glob - offs - row_glob,
+            )
+            s = s + alibi_ref[0:1, 0:1] * dist.astype(jnp.float32)
         s = jnp.where(
             jnp.logical_or(vis_hist, vis_chunk), s, DEFAULT_MASK_VALUE
         )
@@ -218,6 +229,7 @@ def flash_attention_ragged(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,  # [num_q_heads] sink logits
+    alibi: Optional[jax.Array] = None,  # [num_q_heads] ALiBi slopes
 ) -> jax.Array:
     """Mixed-stage chunk attention over [history | chunk] KV buffers.
 
@@ -346,20 +358,25 @@ def flash_attention_ragged(
         ),
     ]
     call_inputs = (qf, kf, vf)
-    if sinks is not None:
-        # Per-bh-row lane-replicated sink logits (the bh -> head mapping is
+
+    def _per_bh_lanes(vals):
+        # Per-bh-row lane-replicated values (the bh -> head mapping is
         # precomputed host-side; index maps stay pure lookups).
-        sinks_bh = jnp.broadcast_to(
-            jnp.tile(sinks.astype(jnp.float32), batch)[:, None],
+        return jnp.broadcast_to(
+            jnp.tile(vals.astype(jnp.float32), batch)[:, None],
             (bh_total, NUM_LANES),
         )
-        in_specs.append(
-            pl.BlockSpec(
-                (1, NUM_LANES),
-                lambda bh, qi, kvi, offs, kvh, kvmap: (bh, 0),
+
+    have_sink, have_alibi = sinks is not None, alibi is not None
+    for vals, have in ((sinks, have_sink), (alibi, have_alibi)):
+        if have:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, NUM_LANES),
+                    lambda bh, qi, kvi, offs, kvh, kvmap: (bh, 0),
+                )
             )
-        )
-        call_inputs = call_inputs + (sinks_bh,)
+            call_inputs = call_inputs + (_per_bh_lanes(vals),)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -395,15 +412,15 @@ def flash_attention_ragged(
         window=int(window) if window is not None else None,
         softcap=float(softcap) if softcap is not None else None,
     )
-    if sinks is not None:
-        kernel = base_kernel
-    else:
-        def kernel(offs_r, kvh_r, kvmap_r, q_r, k_r, v_r, o_r, m_s, l_s,
-                   acc_s):
-            return base_kernel(
-                offs_r, kvh_r, kvmap_r, q_r, k_r, v_r, None, o_r,
-                m_s, l_s, acc_s,
-            )
+    def kernel(offs_r, kvh_r, kvmap_r, q_r, k_r, v_r, *rest):
+        it = iter(rest)
+        sk_r = next(it) if have_sink else None
+        al_r = next(it) if have_alibi else None
+        o_r, m_s, l_s, acc_s = next(it), next(it), next(it), next(it)
+        return base_kernel(
+            offs_r, kvh_r, kvmap_r, q_r, k_r, v_r, sk_r, al_r, o_r,
+            m_s, l_s, acc_s,
+        )
 
     (o,) = pl.pallas_call(
         kernel,

@@ -124,6 +124,7 @@ def ring_attention_local(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,
 ):
     """Per-shard ring attention body — callable inside an enclosing
     shard_map (e.g. the TP+SP training step), where q/k/v are the local
@@ -144,11 +145,18 @@ def ring_attention_local(
         sm_scale = q_blk.shape[-1] ** -0.5
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
+    if alibi is not None and n_ring > 1:
+        raise NotImplementedError(
+            "ALiBi over a multi-chip ring is not implemented yet: the "
+            "distance bias needs per-block kv offsets in the flash call "
+            "(each rotated KV block starts at a different absolute "
+            "position). Use a seq=1 mesh for ALiBi models."
+        )
     if n_ring == 1:
         return flash_attention(
             q_blk, k_blk, v_blk, causal=causal, sm_scale=sm_scale,
             interpret=interpret, window=window, softcap=softcap,
-            sinks=sinks,
+            sinks=sinks, alibi=alibi,
         )
     my = jax.lax.axis_index(seq_axis)
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]

@@ -134,6 +134,12 @@ def make_train_step(
             f"model axis ({n_model}) must divide q heads "
             f"({cfg.num_q_heads}) and kv heads ({cfg.num_kv_heads})"
         )
+    if cfg.attn_alibi and n_seq > 1:
+        raise NotImplementedError(
+            "ALiBi + sequence-parallel ring attention is not implemented "
+            "yet (the ring needs per-block kv offsets for the distance "
+            "bias); train ALiBi models on a seq=1 mesh (DP x TP)"
+        )
 
     def local_loss(p, tokens_local):
         """Per-chip loss over the local (data, seq) block."""
@@ -150,10 +156,20 @@ def make_train_step(
             q = (xn @ layer["wq"]).reshape(b, s_local, hq_l, cfg.head_dim)
             k = (xn @ layer["wk"]).reshape(b, s_local, hkv_l, cfg.head_dim)
             v = (xn @ layer["wv"]).reshape(b, s_local, hkv_l, cfg.head_dim)
-            q = apply_rope(q.transpose(0, 2, 1, 3), positions, model.freqs)
-            k = apply_rope(k.transpose(0, 2, 1, 3), positions, model.freqs)
-            if getattr(model, "_q_mult", 1.0) != 1.0:
-                q = q * model._q_mult  # YaRN temperature (see transformer)
+            if cfg.attn_alibi:
+                # ALiBi replaces rope; position enters as the in-kernel
+                # distance bias (n_seq == 1 enforced above).
+                q = q.transpose(0, 2, 1, 3)
+                k = k.transpose(0, 2, 1, 3)
+            else:
+                q = apply_rope(
+                    q.transpose(0, 2, 1, 3), positions, model.freqs
+                )
+                k = apply_rope(
+                    k.transpose(0, 2, 1, 3), positions, model.freqs
+                )
+                if getattr(model, "_q_mult", 1.0) != 1.0:
+                    q = q * model._q_mult  # YaRN temperature (transformer)
             v = v.transpose(0, 2, 1, 3)
             attn = ring_attention_local(
                 q, k, v, seq_axis="seq", n_ring=n_seq, causal=True,
@@ -165,6 +181,9 @@ def make_train_step(
                 window=cfg.layer_window(li),
                 softcap=cfg.attn_softcap,
                 sinks=layer.get("sinks"),
+                alibi=model.alibi_for(
+                    hq_l, "model" if n_model > 1 else None
+                ),
             )
             attn = attn.transpose(0, 2, 1, 3).reshape(
                 b, s_local, hq_l * cfg.head_dim
