@@ -263,12 +263,117 @@ class TestAlibiModelServing:
         l2 = float(alibi.loss_fn(params, toks))
         assert abs(l1 - l2) > 1e-6
 
-    def test_ring_guard(self):
+    def test_ring_guard_noncausal(self):
         from tpu_flash.parallel.ring import ring_attention_local
 
         q = jnp.zeros((1, 2, 16, 32))
-        with pytest.raises(NotImplementedError, match="ring"):
+        with pytest.raises(ValueError, match="causal"):
             ring_attention_local(
-                q, q, q, seq_axis="seq", n_ring=2, causal=True,
+                q, q, q, seq_axis="seq", n_ring=2, causal=False,
                 alibi=alibi_slopes(2),
             )
+
+
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+class TestRingAlibi:
+    """Ring ALiBi: diag/band branches carry exact in-kernel bias via their
+    static q_offsets; the SHARED dense branch computes the bias at
+    q_offset=blk_len and gets a per-(head, distance) constant m-shift —
+    so the deduped branch table survives. Parity against the single-chip
+    oracle is the whole proof."""
+
+    @requires_8
+    @pytest.mark.parametrize("window", [None, 100])
+    def test_ring_parity_4way(self, window):
+        from tpu_flash.core.config import MeshConfig
+        from tpu_flash.parallel import build_mesh, ring_attention
+        from tpu_flash.core.reference import reference_attention
+
+        mesh = build_mesh(MeshConfig(data=1, model=1, seq=4))
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(ks[0], (1, 2, 256, 64))
+        k = jax.random.normal(ks[1], (1, 2, 256, 64))
+        v = jax.random.normal(ks[2], (1, 2, 256, 64))
+        sl = alibi_slopes(2)
+        out = ring_attention(
+            q, k, v, mesh, causal=True, interpret=True, alibi=sl,
+            window=window,
+        )
+        ref = reference_attention(
+            q, k, v, causal=True, alibi=sl, window=window
+        )
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-5)
+
+    @requires_8
+    def test_ring_head_parallel_slopes_sliced(self):
+        from tpu_flash.core.config import MeshConfig
+        from tpu_flash.parallel import build_mesh, ring_attention
+        from tpu_flash.core.reference import reference_attention
+
+        mesh = build_mesh(MeshConfig(data=1, model=2, seq=4))
+        ks = jax.random.split(jax.random.PRNGKey(8), 3)
+        q = jax.random.normal(ks[0], (1, 4, 256, 64))
+        k = jax.random.normal(ks[1], (1, 4, 256, 64))
+        v = jax.random.normal(ks[2], (1, 4, 256, 64))
+        sl = alibi_slopes(4)
+        out = ring_attention(
+            q, k, v, mesh, causal=True, interpret=True, alibi=sl
+        )
+        ref = reference_attention(q, k, v, causal=True, alibi=sl)
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-5)
+
+    @requires_8
+    def test_ulysses_variants_passthrough(self):
+        """Ulysses SP runs the plain kernel per head-slice, so every
+        variant (window, softcap, sinks, alibi) must pass through with
+        per-head arrays sliced to the chip's head range."""
+        from tpu_flash.core.config import MeshConfig
+        from tpu_flash.core.reference import reference_attention
+        from tpu_flash.parallel import build_mesh, ulysses_attention
+
+        mesh = build_mesh(MeshConfig(data=1, model=1, seq=4))
+        ks = jax.random.split(jax.random.PRNGKey(9), 4)
+        q = jax.random.normal(ks[0], (1, 4, 256, 64))
+        k = jax.random.normal(ks[1], (1, 4, 256, 64))
+        v = jax.random.normal(ks[2], (1, 4, 256, 64))
+        sl = alibi_slopes(4)
+        sinks = jax.random.normal(ks[3], (4,))
+        fn = ulysses_attention(
+            mesh, causal=True, interpret=True, window=90, alibi=sl,
+            sinks=sinks,
+        )
+        out = fn(q, k, v)
+        ref = reference_attention(
+            q, k, v, causal=True, window=90, alibi=sl, sinks=sinks
+        )
+        np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-5)
+
+    @requires_8
+    def test_sharded_train_step_matches_loss_fn(self):
+        """DP x TP x SP training of an ALiBi model == model.loss_fn."""
+        from tpu_flash.core.config import MeshConfig
+        from tpu_flash.models import TINY_TEST, FlashTransformer
+        from tpu_flash.parallel import build_mesh
+        from tpu_flash.parallel.train import make_train_step
+
+        cfg = dataclasses.replace(
+            TINY_TEST, attn_alibi=True, head_dim=32
+        )
+        model = FlashTransformer(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        mesh = build_mesh(MeshConfig(data=2, model=2, seq=2))
+        toks = jax.random.randint(
+            jax.random.PRNGKey(1), (2, 64), 0, cfg.vocab_size
+        )
+        ref = model.loss_fn(params, toks)  # before the donating step
+        shard_params, build = make_train_step(model, mesh, interpret=True)
+        step = build(params)
+        p = shard_params(params)
+        _, loss = step(p, toks)
+        np.testing.assert_allclose(
+            float(loss), float(ref), atol=2e-4, rtol=2e-4
+        )

@@ -195,3 +195,60 @@ class TestQuantizedWindowSoftcap:
         qi = quantize_attention_inputs(q, k, v, "int8")
         with pytest.raises(ValueError, match="causal"):
             flash_attention_quantized(qi, causal=False, window=32)
+
+
+class TestQuantizedSinksAlibi:
+    """Sinks + ALiBi in the quantized-input kernel (completing the
+    attention-variant matrix for the BASELINE config-4 compute path):
+    parity against the dequantized oracle with the same variants."""
+
+    def test_alibi_matches_dequantized_oracle(self):
+        from tpu_flash.core.reference import alibi_slopes
+
+        q, k, v = _rand_qkv(jax.random.PRNGKey(30), 1, 4, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        sl = alibi_slopes(4)
+        out = flash_attention_quantized(
+            qi, causal=True, block_sizes=BS, out_dtype=jnp.float32,
+            interpret=True, alibi=sl,
+        )
+        qd, kd, vd = dequantize_attention_inputs(qi)
+        expected = reference_gqa_attention(qd, kd, vd, causal=True, alibi=sl)
+        np.testing.assert_allclose(out, expected, atol=2e-2, rtol=2e-2)
+
+    def test_sinks_match_dequantized_oracle(self):
+        q, k, v = _rand_qkv(jax.random.PRNGKey(31), 1, 4, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        sinks = jax.random.normal(jax.random.PRNGKey(32), (4,))
+        out = flash_attention_quantized(
+            qi, causal=True, block_sizes=BS, out_dtype=jnp.float32,
+            interpret=True, sinks=sinks,
+        )
+        qd, kd, vd = dequantize_attention_inputs(qi)
+        expected = reference_gqa_attention(
+            qd, kd, vd, causal=True, sinks=sinks
+        )
+        np.testing.assert_allclose(out, expected, atol=2e-2, rtol=2e-2)
+
+    def test_all_variants_triangular_matches_rectangular(self):
+        from tpu_flash.core.reference import alibi_slopes
+
+        q, k, v = _rand_qkv(jax.random.PRNGKey(33), 1, 4, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        sl = alibi_slopes(4)
+        sinks = jax.random.normal(jax.random.PRNGKey(34), (4,))
+        rect = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                          triangular=False)
+        tri = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                         triangular=True)
+        o1 = flash_attention_quantized(
+            qi, causal=True, block_sizes=rect, window=150, alibi=sl,
+            sinks=sinks,
+        )
+        o2 = flash_attention_quantized(
+            qi, causal=True, block_sizes=tri, window=150, alibi=sl,
+            sinks=sinks,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o1, np.float32), np.asarray(o2, np.float32)
+        )

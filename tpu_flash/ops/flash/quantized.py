@@ -109,16 +109,25 @@ def _quant_fwd_kernel(
     triangular: bool = False,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    have_sink: bool = False,
+    have_alibi: bool = False,
 ):
+    it = iter(args)
     if triangular:
-        (qmap_ref, kvmap_ref, islast_ref, q_ref, qs_ref, k_ref, ks_ref,
-         v_ref, vs_ref, o_ref, m_scratch, l_scratch, acc_scratch) = args
+        qmap_ref, kvmap_ref, islast_ref = next(it), next(it), next(it)
+    q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+    )
+    sink_ref = next(it) if have_sink else None
+    alibi_ref = next(it) if have_alibi else None
+    o_ref, m_scratch, l_scratch, acc_scratch = (
+        next(it), next(it), next(it), next(it),
+    )
+    if triangular:
         c = pl.program_id(2)
         q_idx = qmap_ref[c]
         kv_idx = kvmap_ref[c]
     else:
-        (q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, m_scratch,
-         l_scratch, acc_scratch) = args
         q_idx = pl.program_id(2)
         kv_idx = pl.program_id(3)
     block_q = q_ref.shape[2]
@@ -192,6 +201,10 @@ def _quant_fwd_kernel(
                         mask = jnp.logical_and(
                             mask, (col - row) > thr - window
                         )
+                    if alibi_ref is not None:
+                        s = s + alibi_ref[0:1, 0:1] * (
+                            col - row - thr
+                        ).astype(jnp.float32)
                 if mask_kv_tail:
                     tail = col < kv_len - kv_base
                     mask = tail if mask is None else jnp.logical_and(mask, tail)
@@ -227,9 +240,20 @@ def _quant_fwd_kernel(
 
     @pl.when(is_last)
     def _epilogue():
-        l = l_scratch[:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if sink_ref is None:
+            l = l_scratch[:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        else:
+            # Attention sink (shared epilogue math: ops/flash/forward).
+            from tpu_flash.ops.flash.forward import sink_denominator
+
+            scale_m, l_tot, _ = sink_denominator(
+                m_scratch[...], l_scratch[...], sink_ref[0][None, :]
+            )
+            o_ref[0, 0] = (
+                acc_scratch[...] * (scale_m[:, :1] / l_tot[:, :1])
+            ).astype(o_ref.dtype)
 
 
 def flash_attention_quantized(
@@ -243,6 +267,8 @@ def flash_attention_quantized(
     interpret: Optional[bool] = None,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,  # [num_q_heads] sink logits
+    alibi: Optional[jax.Array] = None,  # [num_q_heads] ALiBi slopes
 ) -> jax.Array:
     """Fused attention over quantized Q/K/V (INT8 or FP8-e4m3 payloads).
 
@@ -276,6 +302,8 @@ def flash_attention_quantized(
             window = None  # covers every position: plain causal
     if softcap is not None and softcap <= 0:
         raise ValueError(f"softcap must be > 0, got {softcap}")
+    if alibi is not None and not causal:
+        raise ValueError("alibi requires causal=True")
     if sm_scale is None:
         sm_scale = head_dim**-0.5
     if block_sizes is None:
@@ -361,7 +389,28 @@ def flash_attention_quantized(
         triangular=triangular,
         window=int(window) if window is not None else None,
         softcap=float(softcap) if softcap is not None else None,
+        have_sink=sinks is not None,
+        have_alibi=alibi is not None,
     )
+
+    extra_inputs = ()
+    extra_rect_specs = []
+    extra_tri_specs = []
+    for vals in (sinks, alibi):
+        if vals is None:
+            continue
+        extra_inputs = extra_inputs + (
+            jax.lax.broadcast_in_dim(
+                vals.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+            ),
+        )
+        extra_rect_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, q, kv: (h, 0))
+        )
+        extra_tri_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, c, qm, km, il: (h, 0))
+        )
+    in_specs = in_specs + extra_rect_specs
 
     cost = pl.CostEstimate(
         flops=4 * batch * num_q_heads * q_len * kv_len * head_dim,
@@ -420,7 +469,7 @@ def flash_attention_quantized(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(batch, num_q_heads, n_cells),
-            in_specs=tri_in_specs,
+            in_specs=tri_in_specs + extra_tri_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, block_q, head_dim),
                 lambda b, h, c, qm, km, il: (b, h, qm[c], 0),
@@ -436,7 +485,7 @@ def flash_attention_quantized(
             ),
             cost_estimate=cost,
             interpret=interpret,
-        )(qmap, kvmap, islast, qv, qs, kv_, ks, vv, vs)
+        )(qmap, kvmap, islast, qv, qs, kv_, ks, vv, vs, *extra_inputs)
 
     return pl.pallas_call(
         kernel,
@@ -454,7 +503,7 @@ def flash_attention_quantized(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(qv, qs, kv_, ks, vv, vs)
+    )(qv, qs, kv_, ks, vv, vs, *extra_inputs)
 
 
 def dequantize_attention_inputs(

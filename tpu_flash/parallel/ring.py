@@ -38,14 +38,14 @@ from tpu_flash.ops.flash.api import flash_attention
 
 
 def _block_state(q, k, v, *, causal, sm_scale, interpret, window=None,
-                 q_offset=0, softcap=None):
+                 q_offset=0, softcap=None, alibi=None):
     """Partial-attention state of one KV block (static causal flag; the
     banded sub-diagonal blocks of a windowed ring run causal at a static
     q_offset so the band mask lands on the right absolute positions)."""
     o, lse = flash_attention(
         q, k, v, causal=causal, sm_scale=sm_scale, window=window,
         q_offset=q_offset, softcap=softcap,
-        save_residuals=True, interpret=interpret,
+        save_residuals=True, interpret=interpret, alibi=alibi,
     )
     m = lse[..., None]
     return SoftmaxState(
@@ -77,6 +77,7 @@ def ring_attention(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,
 ):
     """Exact attention with Q/K/V sharded along the sequence dimension.
 
@@ -94,11 +95,18 @@ def ring_attention(
     spec = P(data_axis, head_spec, seq_axis, None)
 
     def _ring(q_blk, k_blk, v_blk):
+        # Heads may shard over the model axis: slice the per-head slopes
+        # to this shard's range.
+        al = alibi
+        if al is not None and head_spec is not None:
+            hq_local = al.shape[0] // mesh.shape[head_spec]
+            idx = jax.lax.axis_index(head_spec)
+            al = jax.lax.dynamic_slice(al, (idx * hq_local,), (hq_local,))
         return ring_attention_local(
             q_blk, k_blk, v_blk,
             seq_axis=seq_axis, n_ring=n_ring, causal=causal,
             sm_scale=sm_scale, interpret=interpret,
-            window=window, softcap=softcap, sinks=sinks,
+            window=window, softcap=softcap, sinks=sinks, alibi=al,
         )
 
     fn = shard_map(
@@ -145,13 +153,8 @@ def ring_attention_local(
         sm_scale = q_blk.shape[-1] ** -0.5
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
-    if alibi is not None and n_ring > 1:
-        raise NotImplementedError(
-            "ALiBi over a multi-chip ring is not implemented yet: the "
-            "distance bias needs per-block kv offsets in the flash call "
-            "(each rotated KV block starts at a different absolute "
-            "position). Use a seq=1 mesh for ALiBi models."
-        )
+    if alibi is not None and not causal:
+        raise ValueError("alibi requires causal=True")
     if n_ring == 1:
         return flash_attention(
             q_blk, k_blk, v_blk, causal=causal, sm_scale=sm_scale,
@@ -165,10 +168,25 @@ def ring_attention_local(
     # Branch per chip-distance d = my - src, deduped: most distances
     # collapse to "dense", "empty", or the diagonal; only the <= 2
     # window-straddling distances compile their own banded kernel.
+    #
+    # ALiBi keeps the dedup: the bias slope*(kv_pos - q_pos) splits into
+    # an in-block part the kernel computes and a per-(head, distance)
+    # CONSTANT — and a constant added to every score of a block is
+    # exactly a shift of its state's m (weights and l unchanged), applied
+    # after the switch with the dynamic distance. Diag/band branches pass
+    # the exact q_offset so their in-kernel bias is already absolute; the
+    # shared dense branch runs causal at q_offset=blk_len (an all-visible
+    # mask) and gets the m-shift slope * blk_len * (1 - d).
     def _dense():
+        if alibi is None:
+            return _block_state(
+                q_blk_c[0], q_blk_c[1], q_blk_c[2], causal=False,
+                sm_scale=sm_scale, interpret=interpret, softcap=softcap,
+            )
         return _block_state(
-            q_blk_c[0], q_blk_c[1], q_blk_c[2], causal=False,
+            q_blk_c[0], q_blk_c[1], q_blk_c[2], causal=True,
             sm_scale=sm_scale, interpret=interpret, softcap=softcap,
+            q_offset=blk_len, alibi=alibi,
         )
 
     def _kind_for(d: int):
@@ -187,7 +205,7 @@ def ring_attention_local(
             return lambda: _block_state(
                 q_blk_c[0], q_blk_c[1], q_blk_c[2], causal=True,
                 sm_scale=sm_scale, interpret=interpret, window=window,
-                softcap=softcap,
+                softcap=softcap, alibi=alibi,
             )
         if kind == ("dense",):
             return _dense
@@ -197,7 +215,7 @@ def ring_attention_local(
         return lambda: _block_state(
             q_blk_c[0], q_blk_c[1], q_blk_c[2], causal=True,
             sm_scale=sm_scale, interpret=interpret, window=window,
-            q_offset=d * blk_len, softcap=softcap,
+            q_offset=d * blk_len, softcap=softcap, alibi=alibi,
         )
 
     kinds = [_kind_for(d) for d in range(n_ring)] + [("empty",)]
@@ -223,6 +241,21 @@ def ring_attention_local(
         blk = jax.lax.switch(
             branch_table[delta], [_branch(kd) for kd in unique]
         )
+        if alibi is not None and ("dense",) in unique:
+            # Correct the shared dense branch's constant bias offset: it
+            # computed the ALiBi bias at q_offset=blk_len; the true
+            # distance needs q_offset=d*blk_len. The difference is a
+            # per-head constant over the whole block — an m-shift.
+            is_dense = branch_table[delta] == unique.index(("dense",))
+            shift = jnp.where(
+                is_dense, jnp.float32(blk_len) * (1.0 - delta), 0.0
+            )
+            blk = SoftmaxState(
+                acc=blk.acc,
+                m=blk.m
+                + alibi.astype(jnp.float32)[None, :, None, None] * shift,
+                l=blk.l,
+            )
         state = merge_softmax_states(state, blk)
         # Rotate KV to the next chip; XLA overlaps this ppermute with
         # the next iteration's flash kernel.

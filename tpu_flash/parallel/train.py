@@ -134,12 +134,6 @@ def make_train_step(
             f"model axis ({n_model}) must divide q heads "
             f"({cfg.num_q_heads}) and kv heads ({cfg.num_kv_heads})"
         )
-    if cfg.attn_alibi and n_seq > 1:
-        raise NotImplementedError(
-            "ALiBi + sequence-parallel ring attention is not implemented "
-            "yet (the ring needs per-block kv offsets for the distance "
-            "bias); train ALiBi models on a seq=1 mesh (DP x TP)"
-        )
 
     def local_loss(p, tokens_local):
         """Per-chip loss over the local (data, seq) block."""

@@ -36,11 +36,28 @@ def ulysses_attention(
     sm_scale: Optional[float] = None,
     seq_axis: str = "seq",
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,
 ):
     """Returns a jitted fn(q, k, v) with q/k/v sequence-sharded on
     ``seq_axis`` ([b, h, s, d] global shapes; s divisible by the axis size,
-    heads divisible by the axis size)."""
+    heads divisible by the axis size).
+
+    Attention variants pass straight through: each chip runs the ordinary
+    single-chip kernel on its full-context head slice, so ``window``/
+    ``softcap`` apply as-is and the per-head ``sinks``/``alibi`` arrays
+    slice to the chip's contiguous head range."""
     n = mesh.shape[seq_axis]
+
+    def _per_head_slice(vals, hq_local):
+        if vals is None or n == 1:
+            return vals
+        idx = jax.lax.axis_index(seq_axis)
+        return jax.lax.dynamic_slice(
+            vals, (idx * hq_local,), (hq_local,)
+        )
 
     def _local(q, k, v):
         # [b, h, s/n, d] -> [b, h/n, s, d]: scatter heads, gather sequence.
@@ -55,8 +72,12 @@ def ulysses_attention(
                 x, seq_axis, split_axis=1, concat_axis=2, tiled=True
             )
             q, k, v = a2a(q), a2a(k), a2a(v)
+        hq_local = q.shape[1]
         o = flash_attention(
-            q, k, v, causal=causal, sm_scale=sm_scale, interpret=interpret
+            q, k, v, causal=causal, sm_scale=sm_scale, interpret=interpret,
+            window=window, softcap=softcap,
+            sinks=_per_head_slice(sinks, hq_local),
+            alibi=_per_head_slice(alibi, hq_local),
         )
         if n > 1:
             # Inverse: [b, h/n, s, d] -> [b, h, s/n, d].
