@@ -86,7 +86,8 @@ class TestTrainManager:
 
 
 class TestEngineSnapshot:
-    @pytest.mark.parametrize("kv_dtype", ["float32", "int8", "bfloat16"])
+    @pytest.mark.parametrize("kv_dtype",
+                             ["float32", "int8", "bfloat16", "fp8"])
     def test_mid_decode_snapshot_resumes_identically(
         self, model_and_params, tmp_path, kv_dtype
     ):

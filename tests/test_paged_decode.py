@@ -105,7 +105,7 @@ class TestPagedDecode:
         ref = reference_decode_attention(q, k_dense, v_dense, lengths)
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
-    @pytest.mark.parametrize("quant", ["int8", "int4"])
+    @pytest.mark.parametrize("quant", ["int8", "int4", "fp8"])
     def test_quantized_kv_parity(self, quant):
         batch, hkv, d, ps, pps = 2, 2, 128, 128, 2
         key = jax.random.PRNGKey(2)

@@ -80,6 +80,58 @@ class TestSampleTokens:
             SamplingParams(top_k=-1)
         with pytest.raises(ValueError):
             SamplingParams(top_p=0.0)
+        with pytest.raises(ValueError):
+            SamplingParams(min_p=1.5)
+
+    def test_min_p_1_keeps_only_max(self):
+        logits = jax.random.normal(jax.random.PRNGKey(5), (3, 64))
+        t, k, p = _params(3, temperature=3.0)
+        mp = jnp.ones((3,), jnp.float32)
+        for i in range(20):
+            out = sample_tokens(
+                logits, jax.random.PRNGKey(i), t, k, p, mp
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out), np.asarray(jnp.argmax(logits, -1))
+            )
+
+    def test_min_p_restricts_support(self):
+        # probs ~ [0.64, 0.23, 0.09, 0.03...]: min_p=0.2 keeps tokens with
+        # prob >= 0.2 * 0.64 ~ 0.13 -> {0, 1} only.
+        logits = jnp.asarray([[3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -3.0, -4.0]])
+        t, k, p = _params(1, temperature=1.0)
+        mp = jnp.full((1,), 0.2, jnp.float32)
+        seen = set()
+        for i in range(80):
+            out = sample_tokens(
+                logits, jax.random.PRNGKey(i), t, k, p, mp
+            )
+            seen.add(int(out[0]))
+        assert seen <= {0, 1} and len(seen) == 2
+
+    def test_min_p_composes_with_top_k(self):
+        logits = jnp.asarray([[3.0, 2.0, 1.9, 1.8, -9.0, -9.0, -9.0, -9.0]])
+        t, k, p = _params(1, temperature=1.0, top_k=2)
+        mp = jnp.full((1,), 0.05, jnp.float32)  # alone would keep 4
+        seen = {
+            int(
+                sample_tokens(logits, jax.random.PRNGKey(i), t, k, p, mp)[0]
+            )
+            for i in range(60)
+        }
+        assert seen <= {0, 1}  # intersection with top-2
+
+    def test_min_p_zero_is_off(self):
+        logits = jnp.zeros((1, 8))
+        t, k, p = _params(1, temperature=1.0)
+        mp = jnp.zeros((1,), jnp.float32)
+        seen = {
+            int(
+                sample_tokens(logits, jax.random.PRNGKey(i), t, k, p, mp)[0]
+            )
+            for i in range(64)
+        }
+        assert len(seen) > 4  # uniform support untouched
 
 
 class TestSpeculativeSample:

@@ -129,11 +129,14 @@ def snapshot_engine(path, engine) -> None:
     cache = engine.cache
 
     def _np_save(x):
-        # np.savez writes ml_dtypes.bfloat16 as a raw void dtype ("|V2")
-        # that np.load can't hand back to JAX; store as f32 (lossless for
-        # bf16) — restore casts back to the engine's payload dtype.
+        # np.savez writes ml_dtypes dtypes (bfloat16, float8_e4m3fn) as
+        # raw void dtypes that np.load can't hand back to JAX; store as
+        # f32 (lossless for both) — restore casts back to the engine's
+        # payload dtype.
         a = np.asarray(x)
-        return a.astype(np.float32) if str(a.dtype) == "bfloat16" else a
+        if str(a.dtype) in ("bfloat16", "float8_e4m3fn"):
+            return a.astype(np.float32)
+        return a
 
     arrays = {
         "k_pages": _np_save(cache.k_pages),
@@ -145,6 +148,7 @@ def snapshot_engine(path, engine) -> None:
         "temps": np.asarray(engine.temps),
         "top_ks": np.asarray(engine.top_ks),
         "top_ps": np.asarray(engine.top_ps),
+        "min_ps": np.asarray(engine.min_ps),
         "rng": np.asarray(engine._rng),
     }
     if cache.quantized:
@@ -170,7 +174,7 @@ def snapshot_engine(path, engine) -> None:
             "prompt": list(getattr(req, "_prompt", [])),
             "sampling": [
                 req.sampling.temperature, req.sampling.top_k,
-                req.sampling.top_p,
+                req.sampling.top_p, req.sampling.min_p,
             ],
             "stop_tokens": list(req.stop_tokens),
             "stopped": req.stopped,
@@ -278,6 +282,8 @@ def restore_engine(path, engine) -> None:
         engine.top_ks = np.asarray(data["top_ks"])
         engine.top_ps = np.asarray(data["top_ps"])
         engine._rng = jnp.asarray(data["rng"])
+    if "min_ps" in data:  # pre-min_p snapshots default to 0 (off)
+        engine.min_ps = np.asarray(data["min_ps"])
     engine.outputs = {int(k): list(v) for k, v in meta["outputs"].items()}
     engine.logprobs = {
         int(k): list(v) for k, v in meta.get("logprobs", {}).items()
@@ -314,9 +320,10 @@ def restore_engine(path, engine) -> None:
         if "sampling" in rd:
             from tpu_flash.engine.sampling import SamplingParams
 
-            t, k, p = rd["sampling"]
+            t, k, p, *rest = rd["sampling"]
             req.sampling = SamplingParams(
-                temperature=t, top_k=int(k), top_p=p
+                temperature=t, top_k=int(k), top_p=p,
+                min_p=rest[0] if rest else 0.0,
             )
         req.state = RequestState[rd["state"]]
         req.batch_slot = rd["batch_slot"]

@@ -106,25 +106,29 @@ class CacheConfig:
     short-context workloads. kv_dtype speed order at 8K ctx is
     int4 > int8 > bfloat16 > float32 (int8-MXU decode path); bfloat16 is
     the quality-safe default (zero quantization error), int8/int4 the
-    long-context memory levers.
+    long-context memory levers. "fp8" (e4m3 payload + per-token scales)
+    targets v6e+ where the MXU is fp8-native; on v5e it takes the exact
+    f32-dequant path (the int8-MXU fast tier stays int8/int4-only).
     """
 
     page_size: int = 128  # tokens per page; lane-aligned
     num_pages: int = 1024
     max_pages_per_seq: int = 64
-    kv_dtype: str = "bfloat16"  # payload dtype: bfloat16 | int8 | int4
+    kv_dtype: str = "bfloat16"  # payload: bfloat16 | int8 | int4 | fp8
     scale_dtype: str = "float32"
 
     def __post_init__(self):
         _check_pos("page_size", self.page_size)
         _check_pos("num_pages", self.num_pages)
         _check_pos("max_pages_per_seq", self.max_pages_per_seq)
-        if self.kv_dtype not in ("bfloat16", "float32", "int8", "int4"):
+        if self.kv_dtype not in (
+            "bfloat16", "float32", "int8", "int4", "fp8"
+        ):
             raise ValueError(f"unsupported kv_dtype {self.kv_dtype!r}")
 
     @property
     def quantized(self) -> bool:
-        return self.kv_dtype in ("int8", "int4")
+        return self.kv_dtype in ("int8", "int4", "fp8")
 
     @property
     def max_context(self) -> int:

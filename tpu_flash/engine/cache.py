@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from tpu_flash.core.config import CacheConfig
-from tpu_flash.ops.quant.quantize import INT4_MAX, INT8_MAX, QuantizedTensor
+from tpu_flash.ops.quant.quantize import (
+    FP8_MAX,
+    INT4_MAX,
+    INT8_MAX,
+    QuantizedTensor,
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -33,7 +38,7 @@ class PagedKVCache:
     k_scales: Optional[jax.Array]
     v_scales: Optional[jax.Array]
     page_size: int
-    kv_dtype: str  # "bfloat16" | "float32" | "int8" | "int4"
+    kv_dtype: str  # "bfloat16" | "float32" | "int8" | "int4" | "fp8"
 
     def tree_flatten(self):
         children = (self.k_pages, self.v_pages, self.k_scales, self.v_scales)
@@ -64,6 +69,11 @@ class PagedKVCache:
                 raise ValueError("int4 cache requires an even page_size")
         elif config.kv_dtype == "int8":
             payload_dtype = jnp.int8
+        elif config.kv_dtype == "fp8":
+            # e4m3 payload (native MXU dtype on v6e+; software-cast on
+            # v5e — see BENCHLOG fp8 notes). Same per-token scale layout
+            # as int8.
+            payload_dtype = jnp.float8_e4m3fn
         else:
             payload_dtype = jnp.dtype(config.kv_dtype)
         shape = (num_layers, num_kv_heads, config.num_pages,
@@ -91,7 +101,7 @@ class PagedKVCache:
 
     @property
     def quantized(self) -> bool:
-        return self.kv_dtype in ("int8", "int4")
+        return self.kv_dtype in ("int8", "int4", "fp8")
 
     def layer_view(self, layer: int):
         """(k, v) for ops/decode/paged.py — QuantizedTensor when quantized."""
@@ -166,6 +176,12 @@ class PagedKVCache:
 
 def _quantize_rows(x: jax.Array, kv_dtype: str):
     """Per-row symmetric quantization of new tokens; identity for fp."""
+    if kv_dtype == "fp8":
+        xf = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        scale = jnp.where(absmax == 0, 1.0, absmax / FP8_MAX)
+        q = (xf / scale).astype(jnp.float8_e4m3fn)
+        return q, scale[..., 0]
     if kv_dtype == "int8":
         xf = x.astype(jnp.float32)
         absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)

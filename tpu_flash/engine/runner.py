@@ -167,6 +167,7 @@ class InferenceEngine:
         self.temps = np.zeros((mb,), np.float32)
         self.top_ks = np.zeros((mb,), np.int32)
         self.top_ps = np.ones((mb,), np.float32)
+        self.min_ps = np.zeros((mb,), np.float32)
         self._rng = jax.random.PRNGKey(seed)
         self._sample_fn = jax.jit(sample_tokens)
         self.outputs: Dict[int, List[int]] = {}
@@ -825,6 +826,9 @@ class InferenceEngine:
             jnp.asarray(
                 [it[0].sampling.top_p for it in ditems], jnp.float32
             ),
+            jnp.asarray(
+                [it[0].sampling.min_p for it in ditems], jnp.float32
+            ),
         )
         toks = self._fetcher.fetch(toks_dev)
         logps = self._fetcher.fetch(
@@ -860,6 +864,7 @@ class InferenceEngine:
         self.temps[slot] = sp.temperature
         self.top_ks[slot] = sp.top_k
         self.top_ps[slot] = sp.top_p
+        self.min_ps[slot] = sp.min_p
         # Index the prompt's full pages written SO FAR for prefix reuse —
         # incremental (per chunk, not just at completion), so a request
         # arriving while a long same-prefix prompt is mid-prefill already
@@ -889,6 +894,7 @@ class InferenceEngine:
                         jnp.asarray([sp.temperature], jnp.float32),
                         jnp.asarray([sp.top_k], jnp.int32),
                         jnp.asarray([sp.top_p], jnp.float32),
+                        jnp.asarray([sp.min_p], jnp.float32),
                     )[0]
                 )
             )
@@ -1005,6 +1011,7 @@ class InferenceEngine:
         self.temps[slot] = sp.temperature
         self.top_ks[slot] = sp.top_k
         self.top_ps[slot] = sp.top_p
+        self.min_ps[slot] = sp.min_p
         if req.generated > 0:
             # Mid-decode victim: KV exists for all but the newest emitted
             # token; decode resumes by feeding that token at its position.
@@ -1091,6 +1098,7 @@ class InferenceEngine:
             jnp.full((nch,), sp.temperature, jnp.float32),
             jnp.full((nch,), sp.top_k, jnp.int32),
             jnp.full((nch,), sp.top_p, jnp.float32),
+            jnp.full((nch,), sp.min_p, jnp.float32),
         )
         toks = self._fetcher.fetch(toks_dev)
         lps = self._fetcher.fetch(
@@ -1109,6 +1117,7 @@ class InferenceEngine:
             self.temps[slot] = sp.temperature
             self.top_ks[slot] = sp.top_k
             self.top_ps[slot] = sp.top_p
+            self.min_ps[slot] = sp.min_p
             self.active[slot] = True
             ch.state = RequestState.RUNNING
             ch.prefilled = req.prompt_len
@@ -1125,7 +1134,8 @@ class InferenceEngine:
     # -- decode ------------------------------------------------------------------
 
     def _decode_step_impl(self, params, cache, tokens, lengths, page_tables,
-                          active_mask, key, temps, top_ks, top_ps):
+                          active_mask, key, temps, top_ks, top_ps,
+                          min_ps):
         """One decode token for every batch slot (inactive slots write to
         the trash page and their outputs are ignored)."""
         model = self.model
@@ -1166,7 +1176,8 @@ class InferenceEngine:
             x = x + model._mlp(layer, xn, self._tp_axis)
         x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
         logits = (x @ params["lm_head"]).astype(jnp.float32)
-        sampled = sample_tokens(logits, key, temps, top_ks, top_ps)
+        sampled = sample_tokens(logits, key, temps, top_ks, top_ps,
+                                min_ps)
         # Inactive slots keep their current token: the returned array is the
         # next step's feedback AND the engine's last_tokens state, so writing
         # an inactive slot's (trash-page) sample would corrupt a sequence
@@ -1188,7 +1199,7 @@ class InferenceEngine:
 
     def _decode_multi_impl(self, n_steps, params, cache, tokens, lengths,
                            page_tables, active_mask, keys, temps, top_ks,
-                           top_ps):
+                           top_ps, min_ps):
         """``n_steps`` fused decode steps via lax.scan — ONE dispatch and
         ONE host fetch for the whole burst. Amortizes per-call dispatch
         latency (dominant on remote/relay execution paths); safe because
@@ -1200,7 +1211,7 @@ class InferenceEngine:
             cache, next_tokens, lengths, finite, logps = (
                 self._decode_step_impl(
                     params, cache, tokens, lengths, page_tables,
-                    active_mask, key, temps, top_ks, top_ps,
+                    active_mask, key, temps, top_ks, top_ps, min_ps,
                 )
             )
             return (cache, next_tokens, lengths), (
@@ -1301,7 +1312,8 @@ class InferenceEngine:
         return self._propose_drafts([context], k)[0]
 
     def _verify_impl(self, n_tok, params, cache, tokens, lengths_b,
-                     table_rows, key, temps, top_ks, top_ps, draft_lens):
+                     table_rows, key, temps, top_ks, top_ps, draft_lens,
+                     min_ps):
         """Verify a BATCH of [last_token, draft...] rows ([B, n_tok]) in
         one forward over the paged cache at per-row dynamic offsets
         ``lengths_b``, then run exact speculative rejection sampling
@@ -1419,11 +1431,12 @@ class InferenceEngine:
 
         keys = jax.random.split(key, b)
         emit, n_emit = jax.vmap(
-            lambda lg, dr, ky, t, tk, tp_, dl: speculative_sample(
-                lg.astype(jnp.float32), dr, ky, t, tk, tp_, dl
+            lambda lg, dr, ky, t, tk, tp_, dl, mp: speculative_sample(
+                lg.astype(jnp.float32), dr, ky, t, tk, tp_, dl, min_p=mp
             )
         )(
-            logits, tokens[:, 1:], keys, temps, top_ks, top_ps, draft_lens
+            logits, tokens[:, 1:], keys, temps, top_ks, top_ps, draft_lens,
+            min_ps,
         )
         # Reported logprobs are the raw model distribution's (pre-filter),
         # matching the burst-decode path's convention.
@@ -1448,10 +1461,10 @@ class InferenceEngine:
         if fn_key not in self._verify_fns:
             self._verify_fns[fn_key] = self._jit_impl(
                 functools.partial(self._verify_impl, n_tok),
-                "pcrrrrrrrr", "crrrr", donate=(1,),
+                "pcrrrrrrrrr", "crrrr", donate=(1,),
             )
         pps = self.config.cache.max_pages_per_seq
-        tok_rows, dlens, temps, tks, tps = [], [], [], [], []
+        tok_rows, dlens, temps, tks, tps, mps = [], [], [], [], [], []
         slots = [slot for _, slot, _ in items]
         for req, slot, draft in items:
             last = (self.outputs[req.req_id] or req._prompt)[-1]
@@ -1461,6 +1474,7 @@ class InferenceEngine:
             temps.append(sp.temperature)
             tks.append(sp.top_k)
             tps.append(sp.top_p)
+            mps.append(sp.min_p)
         n_pad = bb - len(items)
         for _ in range(n_pad):
             tok_rows.append([0] * n_tok)
@@ -1468,6 +1482,7 @@ class InferenceEngine:
             temps.append(0.0)
             tks.append(0)
             tps.append(1.0)
+            mps.append(0.0)
         slots_arr = jnp.asarray(slots, jnp.int32)
         lengths_b = jnp.concatenate(
             [self.lengths[slots_arr], jnp.zeros((n_pad,), jnp.int32)]
@@ -1486,6 +1501,7 @@ class InferenceEngine:
             jnp.asarray(tok_rows, jnp.int32), lengths_b, table_rows, sk,
             jnp.asarray(temps, jnp.float32), jnp.asarray(tks, jnp.int32),
             jnp.asarray(tps, jnp.float32), jnp.asarray(dlens, jnp.int32),
+            jnp.asarray(mps, jnp.float32),
         )
         emit_host = self._fetcher.fetch(emit_dev)
         n_emit_host = self._fetcher.fetch(n_emit_dev)
@@ -1613,7 +1629,7 @@ class InferenceEngine:
         if n_steps not in self._decode_multi_fns:
             self._decode_multi_fns[n_steps] = self._jit_impl(
                 functools.partial(self._decode_multi_impl, n_steps),
-                "pcrrrrrrrr", "crrrrr", donate=(1,),
+                "pcrrrrrrrrr", "crrrrr", donate=(1,),
             )
         (
             self.cache, self.last_tokens, self.lengths, all_tokens, finite,
@@ -1622,7 +1638,7 @@ class InferenceEngine:
             self.params, self.cache, self.last_tokens, self.lengths,
             self.page_tables, active_mask, keys,
             jnp.asarray(self.temps), jnp.asarray(self.top_ks),
-            jnp.asarray(self.top_ps),
+            jnp.asarray(self.top_ps), jnp.asarray(self.min_ps),
         )
         # Deadline scales with the burst: the per-STEP timeout contract
         # holds whether the engine runs 1 or max_decode_burst fused steps.

@@ -32,6 +32,7 @@ class SamplingParams:
     temperature: float = 0.0  # 0 → greedy
     top_k: int = 0  # 0 → no top-k filter
     top_p: float = 1.0  # 1 → no nucleus filter
+    min_p: float = 0.0  # 0 → no min-p filter
 
     def __post_init__(self):
         if self.temperature < 0:
@@ -40,6 +41,8 @@ class SamplingParams:
             raise ValueError("top_k must be >= 0")
         if not 0.0 < self.top_p <= 1.0:
             raise ValueError("top_p must be in (0, 1]")
+        if not 0.0 <= self.min_p <= 1.0:
+            raise ValueError("min_p must be in [0, 1]")
 
 
 GREEDY = SamplingParams()
@@ -50,6 +53,7 @@ def filtered_logits(
     temperature: jax.Array,  # [batch] f32
     top_k: jax.Array,  # [batch] int32 (0 = off)
     top_p: jax.Array,  # [batch] f32
+    min_p: Optional[jax.Array] = None,  # [batch] f32 (0 = off)
 ) -> jax.Array:
     """The temperature-scaled, top-k/top-p-masked logits each row actually
     samples from. ``softmax`` of a row is its true sampling distribution;
@@ -83,8 +87,17 @@ def filtered_logits(
     )
     keep_p = scaled >= pth
 
+    keep = keep_k & keep_p
+    if min_p is not None:
+        # min-p: drop tokens below min_p * max_prob of the TEMPERATURE-
+        # SCALED distribution (the common implementation order); top-1
+        # always survives (prob == max_prob). min_p == 0 keeps all.
+        probs = probs_sorted[:, :1]  # max prob (sorted descending)
+        row_probs = jax.nn.softmax(scaled, axis=-1)
+        keep = keep & (row_probs >= min_p[:, None] * probs)
+
     neg_inf = jnp.finfo(scaled.dtype).min
-    filtered = jnp.where(keep_k & keep_p, scaled, neg_inf)
+    filtered = jnp.where(keep, scaled, neg_inf)
     # Greedy rows: exact one-hot mask at the argmax.
     greedy_mask = jnp.arange(vocab)[None] == jnp.argmax(
         logits, axis=-1, keepdims=True
@@ -99,10 +112,11 @@ def sample_tokens(
     temperature: jax.Array,  # [batch] f32
     top_k: jax.Array,  # [batch] int32 (0 = off)
     top_p: jax.Array,  # [batch] f32
+    min_p: Optional[jax.Array] = None,  # [batch] f32 (0 = off)
 ) -> jax.Array:
     """Vectorized sampling with per-row parameters. Returns [batch] int32."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    filtered = filtered_logits(logits, temperature, top_k, top_p)
+    filtered = filtered_logits(logits, temperature, top_k, top_p, min_p)
     sampled = jax.random.categorical(key, filtered, axis=-1).astype(
         jnp.int32
     )
@@ -121,6 +135,7 @@ def speculative_sample(
     top_k: jax.Array,  # scalar int32
     top_p: jax.Array,  # scalar f32
     draft_len: Optional[jax.Array] = None,  # scalar int32: only the first
+    min_p: Optional[jax.Array] = None,  # scalar f32 (0 = off)
     # draft_len proposals are real (batched speculation pads rows to a
     # common k); None = all k. draft_len=0 degenerates to one plain sample.
 ):
@@ -150,6 +165,7 @@ def speculative_sample(
             temp_rows,
             jnp.full((n_tok,), top_k),
             jnp.full((n_tok,), top_p),
+            None if min_p is None else jnp.full((n_tok,), min_p),
         ),
         axis=-1,
     )

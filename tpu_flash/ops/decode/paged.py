@@ -264,7 +264,7 @@ def _paged_attn_kernel(
         # payloads keep the f32 path with HIGHEST (true-f32 MXU passes) so
         # the kernel meets the exactness contract vs the oracle.
         native_bf16 = kv_quant is None and k_raw.dtype == jnp.bfloat16
-        quant_mxu = quantized and int8_mxu
+        quant_mxu = quantized and int8_mxu and kv_quant != "fp8"
         precision = jax.lax.Precision.HIGHEST
         if quant_mxu:
             # int8 MXU scores: quantize the (tiny) q rows in-kernel and
@@ -453,7 +453,7 @@ def paged_attention(
     k_scales = v_scales = None
     if isinstance(k_pages, QuantizedTensor):
         kv_quant = k_pages.dtype_name
-        if kv_quant not in ("int8", "int4"):
+        if kv_quant not in ("int8", "int4", "fp8"):
             raise ValueError(f"unsupported KV quant {kv_quant!r}")
         if kv_quant == "int4" and k_pages.packing != "tokens":
             raise ValueError(

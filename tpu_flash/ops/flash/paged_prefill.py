@@ -393,7 +393,7 @@ def paged_prefill_attention(
     k_scales = v_scales = None
     if isinstance(k_pages, QuantizedTensor):
         kv_quant = k_pages.dtype_name
-        if kv_quant not in ("int8", "int4"):
+        if kv_quant not in ("int8", "int4", "fp8"):
             raise ValueError(f"unsupported KV quant {kv_quant!r}")
         k_vals, k_scales = k_pages.values, k_pages.scales
         v_vals, v_scales = v_pages.values, v_pages.scales
