@@ -149,6 +149,7 @@ def snapshot_engine(path, engine) -> None:
         "top_ks": np.asarray(engine.top_ks),
         "top_ps": np.asarray(engine.top_ps),
         "min_ps": np.asarray(engine.min_ps),
+        "lora_ids": np.asarray(engine.lora_ids),
         "rng": np.asarray(engine._rng),
     }
     if cache.quantized:
@@ -184,6 +185,7 @@ def snapshot_engine(path, engine) -> None:
             "resume_token": req.resume_token,
             "swap_npages": req.swap_npages,
             "priority": req.priority,
+            "lora_id": req.lora_id,
             "arrival": getattr(req, "_arrival", 0),
             "admit_seq": getattr(req, "_admit_seq", 0),
         }
@@ -212,6 +214,9 @@ def snapshot_engine(path, engine) -> None:
         "outputs": {str(k): v for k, v in engine.outputs.items()},
         "logprobs": {str(k): v for k, v in engine.logprobs.items()},
         "next_id": engine._next_id,
+        "lora_names": getattr(engine, "lora", None).names
+        if getattr(engine, "lora", None) is not None
+        else [],
         "swapped": {
             str(rid): {"n": stash["n"], "k": len(stash["arrays"])}
             for rid, stash in getattr(engine, "_swapped", {}).items()
@@ -284,6 +289,8 @@ def restore_engine(path, engine) -> None:
         engine._rng = jnp.asarray(data["rng"])
     if "min_ps" in data:  # pre-min_p snapshots default to 0 (off)
         engine.min_ps = np.asarray(data["min_ps"])
+    if "lora_ids" in data:
+        engine.lora_ids = np.asarray(data["lora_ids"])
     engine.outputs = {int(k): list(v) for k, v in meta["outputs"].items()}
     engine.logprobs = {
         int(k): list(v) for k, v in meta.get("logprobs", {}).items()
@@ -292,6 +299,15 @@ def restore_engine(path, engine) -> None:
     for rid in engine.outputs:
         engine.logprobs.setdefault(rid, [])
     engine._next_id = meta["next_id"]
+    # Adapters are params-like: re-register the SAME adapters in the SAME
+    # order before restoring (ids are positional).
+    want = meta.get("lora_names", [])
+    if want and engine.lora.names != want:
+        raise ValueError(
+            f"snapshot was taken with LoRA adapters {want}; re-register "
+            f"them (same order) before restore — engine has "
+            f"{engine.lora.names}"
+        )
 
     sched = engine.scheduler
     for sid, pages in meta["alloc"].items():
@@ -338,6 +354,7 @@ def restore_engine(path, engine) -> None:
         req.resume_token = rd.get("resume_token")
         req.swap_npages = rd.get("swap_npages", 0)
         req.priority = rd.get("priority", 0)
+        req.lora_id = rd.get("lora_id", 0)
         req._arrival = rd.get("arrival", 0)
         req._admit_seq = rd.get("admit_seq", 0)
         if rd.get("pending_children"):

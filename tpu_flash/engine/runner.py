@@ -178,6 +178,14 @@ class InferenceEngine:
         # Fork page-copy programs, keyed on the (pow2) number of pages
         # copied in one dispatch.
         self._fork_fns: Dict[int, object] = {}
+        # Multi-LoRA serving (engine/lora.py): per-request adapters over
+        # the base params. lora_ids mirrors the batch slots; compiled
+        # program caches clear on registration (the stacks bake into the
+        # executables as constants).
+        from tpu_flash.engine.lora import LoRAStore
+
+        self.lora = LoRAStore(cfg.num_layers)
+        self.lora_ids = np.zeros((mb,), np.int32)
         # Preemption (optimistic admission): host-side stash of swapped-out
         # KV pages (req_id -> numpy arrays), plus the scheduler hooks that
         # execute the policy.
@@ -272,6 +280,7 @@ class InferenceEngine:
         stop_tokens: Optional[List[int]] = None,
         n: int = 1,
         priority: int = 0,
+        lora: Optional[str] = None,
     ) -> int:
         """Queue a request; returns its id. ``n > 1`` asks for n parallel
         completions of the same prompt (OpenAI-style ``n``): the prompt
@@ -279,7 +288,10 @@ class InferenceEngine:
         prompt's KV pages (branch ids via :meth:`branches`; each branch
         has its own outputs/logprobs entry). Higher ``priority`` admits
         first and is preferred as a survivor under optimistic-admission
-        preemption."""
+        preemption. ``lora`` names a registered adapter
+        (:meth:`register_lora`) applied to every projection for this
+        request; adapted requests bypass the prefix cache (their KV is
+        adapter-specific)."""
         if n < 1:
             raise ValueError("n must be >= 1")
         if n > 1 and max_new_tokens < 1:
@@ -312,6 +324,7 @@ class InferenceEngine:
             stop_tokens=tuple(stop_tokens or ()),
             n_branches=n,
             priority=priority,
+            lora_id=self.lora.id_of(lora),
         )
         req._prompt = list(prompt)  # host-side stash
         if n > 1:
@@ -327,6 +340,7 @@ class InferenceEngine:
                     stop_tokens=tuple(stop_tokens or ()),
                     parent_id=req_id,
                     priority=priority,
+                    lora_id=req.lora_id,
                 )
                 ch._prompt = req._prompt  # branches never prefill; for
                 # snapshots + introspection only
@@ -340,6 +354,36 @@ class InferenceEngine:
         self.logprobs[req_id] = []
         self._branch_ids[req_id] = [req_id, *req.child_ids]
         return req_id
+
+    def register_lora(self, name: str, adapters, *, alpha=None) -> int:
+        """Register a LoRA adapter for per-request serving
+        (``submit(lora=name)``). Compiled engine programs are rebuilt on
+        the next step (the adapter stacks are program constants).
+        Phase 1 scope: single-chip/DP engines (no TP mesh)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "multi-LoRA under tensor-parallel serving is not wired "
+                "yet (adapter stacks need per-shard slicing)"
+            )
+        lora_id = self.lora.register(name, adapters, alpha=alpha)
+        self._prefill_fns.clear()
+        self._ragged_fns.clear()
+        self._decode_multi_fns.clear()
+        self._verify_fns.clear()
+        return lora_id
+
+    def _lora_hook(self, ids):
+        """proj_hook(li, name, x, y) applying each row's adapter, or None
+        when no adapters are registered (zero overhead)."""
+        if self.lora.empty:
+            return None
+        stacks = self.lora.stacks()
+        from tpu_flash.engine.lora import apply_lora
+
+        def hook(li, name, x, y):
+            return apply_lora(stacks, li, name, x, y, ids)
+
+        return hook
 
     def branches(self, req_id: int) -> List[int]:
         """All completion ids of a request: itself plus any parallel-
@@ -489,7 +533,7 @@ class InferenceEngine:
         )
 
     def _chunked_prefill_impl(self, hist_len, params, cache, tokens,
-                              table_rows, n_valids):
+                              table_rows, n_valids, lora_ids):
         """One BATCH of same-stage prefill chunks: tokens [B, bucket], all
         at absolute positions [hist_len, hist_len + bucket) of their own
         sequences (same-stage = same static hist_len, so one compiled
@@ -574,6 +618,7 @@ class InferenceEngine:
             kv_hook=kv_hook, tp_axis=self._tp_axis,
             attention_fn=attention_fn,
             positions=positions,  # absolute (rope); attention band shifts
+            proj_hook=self._lora_hook(lora_ids),
         )
         last = logits[jnp.arange(b), n_valids - 1]  # [B, vocab]
         # NaN-watchdog flag: fused into the step, fetched with its results
@@ -595,10 +640,10 @@ class InferenceEngine:
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._jit_impl(
                 functools.partial(self._chunked_prefill_impl, start),
-                "pcrrr", "crr", donate=(1,),
+                "pcrrrrr", "crr", donate=(1,),
             )
         pps = self.config.cache.max_pages_per_seq
-        tok_rows, table_rs, n_valids, tables = [], [], [], []
+        tok_rows, table_rs, n_valids, tables, lids = [], [], [], [], []
         for c in chunks:
             req = self.scheduler.active[c.req_id]
             toks = req._prompt[c.start : c.start + c.length]
@@ -609,17 +654,20 @@ class InferenceEngine:
                 table + [self.trash_page] * (pps - len(table))
             )
             n_valids.append(c.length)
+            lids.append(req.lora_id)
         for _ in range(bb - len(chunks)):
             # Pad rows write only the trash page; 1 valid token keeps the
             # last-logits gather index in range.
             tok_rows.append([0] * bucket)
             table_rs.append([self.trash_page] * pps)
             n_valids.append(1)
+            lids.append(0)
         self.cache, last_logits, finite = self._prefill_fns[key](
             self.params, self.cache,
             jnp.asarray(tok_rows, jnp.int32),
             jnp.asarray(table_rs, jnp.int32),
             jnp.asarray(n_valids, jnp.int32),
+            jnp.asarray(lids, jnp.int32),
         )
         if self.health_config.check_numerics:
             watchdog_check(
@@ -634,7 +682,7 @@ class InferenceEngine:
             )
 
     def _ragged_prefill_impl(self, hist_cap, params, cache, tokens,
-                             table_rows, starts, n_valids):
+                             table_rows, starts, n_valids, lora_ids):
         """A BATCH of prefill chunks at DIFFERENT stages in one dispatch:
         row b's tokens sit at absolute positions [starts[b],
         starts[b] + n_valids[b]) of its own sequence. Every row's history
@@ -716,6 +764,7 @@ class InferenceEngine:
             params, tokens, interpret=self.interpret, kv_hook=kv_hook,
             tp_axis=self._tp_axis, positions=positions,
             attention_fn=attention_fn,
+            proj_hook=self._lora_hook(lora_ids),
         )
         last = logits[jnp.arange(b), n_valids - 1]  # [B, vocab]
         finite = jnp.all(jnp.isfinite(logits))
@@ -763,9 +812,10 @@ class InferenceEngine:
         if key not in self._ragged_fns:
             self._ragged_fns[key] = self._jit_impl(
                 functools.partial(self._ragged_prefill_impl, hist_cap),
-                "pcrrrr", "crr", donate=(1,),
+                "pcrrrrr", "crr", donate=(1,),
             )
         tok_rows, table_rs, starts, n_valids, tables = [], [], [], [], []
+        lids = []
         for c in chunks:
             req = self.scheduler.active[c.req_id]
             toks = req._prompt[c.start : c.start + c.length]
@@ -775,6 +825,7 @@ class InferenceEngine:
             table_rs.append(table + [self.trash_page] * (pps - len(table)))
             starts.append(c.start)
             n_valids.append(c.length)
+            lids.append(req.lora_id)
         for req, _s, feed in ditems:
             tok_rows.append(
                 [self.outputs[req.req_id][-1]] + [0] * (bucket - 1)
@@ -783,17 +834,20 @@ class InferenceEngine:
             table_rs.append(table + [self.trash_page] * (pps - len(table)))
             starts.append(feed)
             n_valids.append(1)
+            lids.append(req.lora_id)
         for _ in range(bb - len(chunks) - len(ditems)):
             tok_rows.append([0] * bucket)
             table_rs.append([self.trash_page] * pps)
             starts.append(0)
             n_valids.append(1)
+            lids.append(0)
         self.cache, last_logits, finite = self._ragged_fns[key](
             self.params, self.cache,
             jnp.asarray(tok_rows, jnp.int32),
             jnp.asarray(table_rs, jnp.int32),
             jnp.asarray(starts, jnp.int32),
             jnp.asarray(n_valids, jnp.int32),
+            jnp.asarray(lids, jnp.int32),
         )
         if self.health_config.check_numerics:
             watchdog_check(
@@ -865,12 +919,14 @@ class InferenceEngine:
         self.top_ks[slot] = sp.top_k
         self.top_ps[slot] = sp.top_p
         self.min_ps[slot] = sp.min_p
+        self.lora_ids[slot] = req.lora_id
         # Index the prompt's full pages written SO FAR for prefix reuse —
         # incremental (per chunk, not just at completion), so a request
         # arriving while a long same-prefix prompt is mid-prefill already
         # shares its finished pages. Pages are immutable once fully
-        # written; decode appends go past them.
-        if self.prefix_index is not None:
+        # written; decode appends go past them. Adapter-specific KV
+        # (LoRA) never registers: base-model requests must not alias it.
+        if self.prefix_index is not None and not req.lora_id:
             self.prefix_index.register(prompt[:new_len], table)
         if new_len >= req.prompt_len:
             if req.resume_token is not None:
@@ -1012,6 +1068,7 @@ class InferenceEngine:
         self.top_ks[slot] = sp.top_k
         self.top_ps[slot] = sp.top_p
         self.min_ps[slot] = sp.min_p
+        self.lora_ids[slot] = req.lora_id
         if req.generated > 0:
             # Mid-decode victim: KV exists for all but the newest emitted
             # token; decode resumes by feeding that token at its position.
@@ -1118,6 +1175,7 @@ class InferenceEngine:
             self.top_ks[slot] = sp.top_k
             self.top_ps[slot] = sp.top_p
             self.min_ps[slot] = sp.min_p
+            self.lora_ids[slot] = ch.lora_id
             self.active[slot] = True
             ch.state = RequestState.RUNNING
             ch.prefilled = req.prompt_len
@@ -1135,13 +1193,14 @@ class InferenceEngine:
 
     def _decode_step_impl(self, params, cache, tokens, lengths, page_tables,
                           active_mask, key, temps, top_ks, top_ps,
-                          min_ps):
+                          min_ps, lora_ids):
         """One decode token for every batch slot (inactive slots write to
         the trash page and their outputs are ignored)."""
         model = self.model
         cfg = model.config
         ps = self.config.cache.page_size
         positions = lengths  # new token position == current length
+        hook = self._lora_hook(lora_ids)
         x = params["embed"][tokens].astype(model.dtype)  # [mb, hidden]
 
         page_ids = jnp.where(
@@ -1156,7 +1215,9 @@ class InferenceEngine:
 
         for li, layer in enumerate(params["layers"]):
             xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            q, k_new, v_new = model.decode_qkv(params, li, xn, positions)
+            q, k_new, v_new = model.decode_qkv(
+                params, li, xn, positions, proj_hook=hook
+            )
             cache = cache.append(li, k_new, v_new, page_ids, offsets)
             k_view, v_view = cache.layer_view(li)
             from tpu_flash.ops.decode import paged_attention
@@ -1169,11 +1230,13 @@ class InferenceEngine:
             )  # [mb, hq, d]
             attn = attn.reshape(x.shape[0], -1)
             proj = attn @ layer["wo"]
+            if hook is not None:
+                proj = hook(li, "wo", attn, proj)
             if self._tp_axis is not None:
                 proj = jax.lax.psum(proj, self._tp_axis)
             x = x + proj
             xn = _rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            x = x + model._mlp(layer, xn, self._tp_axis)
+            x = x + model._mlp(layer, xn, self._tp_axis, li, hook)
         x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
         logits = (x @ params["lm_head"]).astype(jnp.float32)
         sampled = sample_tokens(logits, key, temps, top_ks, top_ps,
@@ -1199,7 +1262,7 @@ class InferenceEngine:
 
     def _decode_multi_impl(self, n_steps, params, cache, tokens, lengths,
                            page_tables, active_mask, keys, temps, top_ks,
-                           top_ps, min_ps):
+                           top_ps, min_ps, lora_ids):
         """``n_steps`` fused decode steps via lax.scan — ONE dispatch and
         ONE host fetch for the whole burst. Amortizes per-call dispatch
         latency (dominant on remote/relay execution paths); safe because
@@ -1212,6 +1275,7 @@ class InferenceEngine:
                 self._decode_step_impl(
                     params, cache, tokens, lengths, page_tables,
                     active_mask, key, temps, top_ks, top_ps, min_ps,
+                    lora_ids,
                 )
             )
             return (cache, next_tokens, lengths), (
@@ -1313,7 +1377,7 @@ class InferenceEngine:
 
     def _verify_impl(self, n_tok, params, cache, tokens, lengths_b,
                      table_rows, key, temps, top_ks, top_ps, draft_lens,
-                     min_ps):
+                     min_ps, lora_ids):
         """Verify a BATCH of [last_token, draft...] rows ([B, n_tok]) in
         one forward over the paged cache at per-row dynamic offsets
         ``lengths_b``, then run exact speculative rejection sampling
@@ -1426,6 +1490,7 @@ class InferenceEngine:
             params, tokens, interpret=self.interpret, kv_hook=kv_hook,
             tp_axis=self._tp_axis, positions=positions,
             attention_fn=attention_fn,
+            proj_hook=self._lora_hook(lora_ids),
         )  # [B, n_tok, vocab]
         from tpu_flash.engine.sampling import speculative_sample
 
@@ -1461,10 +1526,11 @@ class InferenceEngine:
         if fn_key not in self._verify_fns:
             self._verify_fns[fn_key] = self._jit_impl(
                 functools.partial(self._verify_impl, n_tok),
-                "pcrrrrrrrrr", "crrrr", donate=(1,),
+                "pcrrrrrrrrrr", "crrrr", donate=(1,),
             )
         pps = self.config.cache.max_pages_per_seq
         tok_rows, dlens, temps, tks, tps, mps = [], [], [], [], [], []
+        vlids = []
         slots = [slot for _, slot, _ in items]
         for req, slot, draft in items:
             last = (self.outputs[req.req_id] or req._prompt)[-1]
@@ -1475,6 +1541,7 @@ class InferenceEngine:
             tks.append(sp.top_k)
             tps.append(sp.top_p)
             mps.append(sp.min_p)
+            vlids.append(req.lora_id)
         n_pad = bb - len(items)
         for _ in range(n_pad):
             tok_rows.append([0] * n_tok)
@@ -1483,6 +1550,7 @@ class InferenceEngine:
             tks.append(0)
             tps.append(1.0)
             mps.append(0.0)
+            vlids.append(0)
         slots_arr = jnp.asarray(slots, jnp.int32)
         lengths_b = jnp.concatenate(
             [self.lengths[slots_arr], jnp.zeros((n_pad,), jnp.int32)]
@@ -1501,7 +1569,7 @@ class InferenceEngine:
             jnp.asarray(tok_rows, jnp.int32), lengths_b, table_rows, sk,
             jnp.asarray(temps, jnp.float32), jnp.asarray(tks, jnp.int32),
             jnp.asarray(tps, jnp.float32), jnp.asarray(dlens, jnp.int32),
-            jnp.asarray(mps, jnp.float32),
+            jnp.asarray(mps, jnp.float32), jnp.asarray(vlids, jnp.int32),
         )
         emit_host = self._fetcher.fetch(emit_dev)
         n_emit_host = self._fetcher.fetch(n_emit_dev)
@@ -1629,7 +1697,7 @@ class InferenceEngine:
         if n_steps not in self._decode_multi_fns:
             self._decode_multi_fns[n_steps] = self._jit_impl(
                 functools.partial(self._decode_multi_impl, n_steps),
-                "pcrrrrrrrrr", "crrrrr", donate=(1,),
+                "pcrrrrrrrrrr", "crrrrr", donate=(1,),
             )
         (
             self.cache, self.last_tokens, self.lengths, all_tokens, finite,
@@ -1639,6 +1707,7 @@ class InferenceEngine:
             self.page_tables, active_mask, keys,
             jnp.asarray(self.temps), jnp.asarray(self.top_ks),
             jnp.asarray(self.top_ps), jnp.asarray(self.min_ps),
+            jnp.asarray(self.lora_ids),
         )
         # Deadline scales with the burst: the per-STEP timeout contract
         # holds whether the engine runs 1 or max_decode_burst fused steps.

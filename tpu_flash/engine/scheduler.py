@@ -61,6 +61,10 @@ class Request:
     # lowest priority (newest within a tie) and never evicts a sequence
     # of higher priority than the one needing pages.
     priority: int = 0
+    # Multi-LoRA: id of the request's adapter (0 = none). Adapted
+    # requests bypass prefix-cache sharing — their KV depends on the
+    # adapter, so base-model pages must never alias theirs.
+    lora_id: int = 0
 
     @property
     def context_len(self) -> int:
@@ -223,6 +227,8 @@ class Scheduler:
             shared_pages: List[int] = []
             matched = 0
             prompt = getattr(req, "_prompt", None)
+            if req.lora_id:
+                prompt = None  # adapter-specific KV: no prefix sharing
             if self.prefix_index is not None and prompt:
                 # Granularity = prefill_chunk keeps chunk starts on the
                 # compile grid the runner already jits for (one prefill
@@ -491,6 +497,8 @@ class Scheduler:
         for other in self.active.values():
             if other.state is not RequestState.PREFILL:
                 continue
+            if other.lora_id:
+                continue  # adapted prefills never register prefix pages
             op = getattr(other, "_prompt", None)
             if not op:
                 continue

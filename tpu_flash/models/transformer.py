@@ -206,19 +206,25 @@ class FlashTransformer:
 
     # -- qkv plumbing ---------------------------------------------------------
 
-    def _qkv(self, layer: Params, x: jax.Array, positions: jax.Array):
+    def _qkv(self, layer: Params, x: jax.Array, positions: jax.Array,
+             li: int = 0, proj_hook=None):
         """x: [batch, seq, hidden] -> q [b,hq,s,d], k/v [b,hkv,s,d] (roped
         q/k). Head counts derive from the WEIGHT shapes, not the config, so
         the same code serves full params and per-shard TP params (whose
-        projections hold heads/n columns)."""
+        projections hold heads/n columns). ``proj_hook(li, name, x, y)``
+        post-processes each projection output (the multi-LoRA seam)."""
         cfg = self.config
         b, s, _ = x.shape
         d = cfg.head_dim
         hq = layer["wq"].shape[1] // d
         hkv = layer["wk"].shape[1] // d
-        q = (x @ layer["wq"]).reshape(b, s, hq, d)
-        k = (x @ layer["wk"]).reshape(b, s, hkv, d)
-        v = (x @ layer["wv"]).reshape(b, s, hkv, d)
+
+        def proj(name, y):
+            return y if proj_hook is None else proj_hook(li, name, x, y)
+
+        q = proj("wq", x @ layer["wq"]).reshape(b, s, hq, d)
+        k = proj("wk", x @ layer["wk"]).reshape(b, s, hkv, d)
+        v = proj("wv", x @ layer["wv"]).reshape(b, s, hkv, d)
         if self._alibi is not None:
             # ALiBi: no rotary embedding — position enters as the in-kernel
             # linear distance bias.
@@ -235,11 +241,18 @@ class FlashTransformer:
         return q, k, v.transpose(0, 2, 1, 3)
 
     def _mlp(
-        self, layer: Params, x: jax.Array, tp_axis: Optional[str] = None
+        self, layer: Params, x: jax.Array, tp_axis: Optional[str] = None,
+        li: int = 0, proj_hook=None,
     ) -> jax.Array:
-        gate = jax.nn.silu((x @ layer["w_gate"]).astype(jnp.float32))
-        up = (x @ layer["w_up"]).astype(jnp.float32)
-        out = ((gate * up).astype(x.dtype)) @ layer["w_down"]
+        def proj(name, inp, y):
+            return y if proj_hook is None else proj_hook(li, name, inp, y)
+
+        gate = jax.nn.silu(
+            proj("w_gate", x, x @ layer["w_gate"]).astype(jnp.float32)
+        )
+        up = proj("w_up", x, x @ layer["w_up"]).astype(jnp.float32)
+        h = (gate * up).astype(x.dtype)
+        out = proj("w_down", h, h @ layer["w_down"])
         if tp_axis is not None:
             # Row-sharded w_down: partial products sum over the TP axis.
             out = jax.lax.psum(out, tp_axis)
@@ -260,6 +273,7 @@ class FlashTransformer:
         positions: Optional[jax.Array] = None,
         attention_fn=None,
         segment_ids: Optional[jax.Array] = None,
+        proj_hook=None,
     ):
         """Causal forward over a token block using the flash prefill kernel.
 
@@ -324,7 +338,7 @@ class FlashTransformer:
         kvs = []
         for li, layer in enumerate(params["layers"]):
             xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            q, k, v = self._qkv(layer, xn, positions)
+            q, k, v = self._qkv(layer, xn, positions, li, proj_hook)
             if return_kv:
                 kvs.append((k, v))
             if kv_hook is not None:
@@ -342,11 +356,13 @@ class FlashTransformer:
             b, h, s, d = attn.shape
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
             proj = attn @ layer["wo"]
+            if proj_hook is not None:
+                proj = proj_hook(li, "wo", attn, proj)
             if tp_axis is not None:
                 proj = jax.lax.psum(proj, tp_axis)  # row-sharded wo
             x = x + proj
             xn = _rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            x = x + self._mlp(layer, xn, tp_axis)
+            x = x + self._mlp(layer, xn, tp_axis, li, proj_hook)
         x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
         logits = (x @ params["lm_head"]).astype(jnp.float32)
         if return_kv:
@@ -385,6 +401,7 @@ class FlashTransformer:
         layer_idx: int,
         x: jax.Array,  # [batch, hidden] current-token activations
         positions: jax.Array,  # [batch] absolute positions
+        proj_hook=None,
     ):
         """Per-layer projections for the decode path: q [b, hq, d] and new
         k/v [b, hkv, d], rope applied."""
@@ -394,9 +411,15 @@ class FlashTransformer:
         d = cfg.head_dim
         hq = layer["wq"].shape[1] // d  # shape-driven: supports TP shards
         hkv = layer["wk"].shape[1] // d
-        q = (x @ layer["wq"]).reshape(b, hq, 1, d)
-        k = (x @ layer["wk"]).reshape(b, hkv, 1, d)
-        v = (x @ layer["wv"]).reshape(b, hkv, d)
+
+        def proj(name, y):
+            return (
+                y if proj_hook is None else proj_hook(layer_idx, name, x, y)
+            )
+
+        q = proj("wq", x @ layer["wq"]).reshape(b, hq, 1, d)
+        k = proj("wk", x @ layer["wk"]).reshape(b, hkv, 1, d)
+        v = proj("wv", x @ layer["wv"]).reshape(b, hkv, d)
         if self._alibi is not None:
             return q[:, :, 0], k[:, :, 0], v  # ALiBi: no rope
         q = apply_rope(q, positions[:, None], self.freqs)[:, :, 0]
