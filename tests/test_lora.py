@@ -180,9 +180,74 @@ class TestLoRAServing:
         fresh.run()
         assert fresh.outputs[r] == expect
 
-    def test_tp_guard(self, mp):
+    @pytest.mark.skipif(
+        jax.device_count() < 2, reason="needs >= 2 (virtual) devices"
+    )
+    def test_tensor_parallel_adapter(self, mp):
+        """TP serving with adapters: the global-shape stacks slice per
+        shard (B's fan_out for column-sharded projections, A's fan_in for
+        row-sharded ones) — outputs stay merged-weight exact."""
+        from tpu_flash.core.config import MeshConfig
+        from tpu_flash.parallel import build_mesh
+
         model, params = mp
-        eng = _engine(model, params)
-        eng.mesh = object()  # simulate a TP engine
-        with pytest.raises(NotImplementedError, match="tensor-parallel"):
-            eng.register_lora("a", {})
+        adapters = _make_adapter(jax.random.PRNGKey(6), model.config)
+
+        merged = _engine(model, _merged_params(model, params, adapters))
+        rid = merged.submit(PROMPT, 6)
+        merged.run()
+        expect = merged.outputs[rid]
+
+        mesh = build_mesh(
+            MeshConfig(data=1, model=2, seq=1),
+            devices=jax.devices()[:2],
+        )
+        cfg = EngineConfig(
+            max_batch_size=2, max_seq_len=128, prefill_chunk=8,
+            cache=CacheConfig(
+                page_size=8, num_pages=64, max_pages_per_seq=8,
+                kv_dtype="float32",
+            ),
+            prefix_cache=False,
+        )
+        eng = InferenceEngine(model, params, cfg, interpret=True,
+                              mesh=mesh)
+        eng.register_lora("a", adapters)
+        r = eng.submit(PROMPT, 6, lora="a")
+        b = eng.submit(PROMPT, 6)  # base row rides along
+        eng.run()
+        assert eng.outputs[r] == expect
+        base = _engine(model, params)
+        rb = base.submit(PROMPT, 6)
+        base.run()
+        assert eng.outputs[b] == base.outputs[rb]
+
+    @pytest.mark.skipif(
+        jax.device_count() < 2, reason="needs >= 2 (virtual) devices"
+    )
+    def test_dp_fleet_adapter(self, mp):
+        from tpu_flash.engine import DataParallelEngine
+
+        model, params = mp
+        adapters = _make_adapter(jax.random.PRNGKey(7), model.config)
+        merged = _engine(model, _merged_params(model, params, adapters))
+        rid = merged.submit(PROMPT, 5)
+        merged.run()
+        expect = merged.outputs[rid]
+
+        cfg = EngineConfig(
+            max_batch_size=2, max_seq_len=128, prefill_chunk=8,
+            cache=CacheConfig(
+                page_size=8, num_pages=64, max_pages_per_seq=8,
+                kv_dtype="float32",
+            ),
+            prefix_cache=False,
+        )
+        dp = DataParallelEngine(model, params, cfg, replicas=2,
+                                interpret=True)
+        dp.register_lora("a", adapters)
+        rids = [dp.submit(PROMPT, 5, lora="a") for _ in range(2)]
+        outs = dp.run()
+        for r in rids:
+            assert outs[r] == expect
+        dp.close()

@@ -102,6 +102,7 @@ class DataParallelEngine:
         stop_tokens: Optional[List[int]] = None,
         n: int = 1,
         priority: int = 0,
+        lora: Optional[str] = None,
     ) -> int:
         loads = [self._load(e) for e in self.engines]
         best = min(loads)
@@ -114,7 +115,7 @@ class DataParallelEngine:
         self._rr = (rep + 1) % self.replicas
         local = self.engines[rep].submit(
             prompt, max_new_tokens, sampling=sampling,
-            stop_tokens=stop_tokens, n=n, priority=priority,
+            stop_tokens=stop_tokens, n=n, priority=priority, lora=lora,
         )
         rid = self._next_id
         self._next_id += 1
@@ -135,6 +136,14 @@ class DataParallelEngine:
         """Fleet-level completion ids of a request (itself + parallel-
         sampling branches)."""
         return list(self._branch_ids.get(rid, [rid]))
+
+    def register_lora(self, name: str, adapters, *, alpha=None) -> int:
+        """Register an adapter on EVERY replica (ids are positional and
+        identical across the fleet)."""
+        ids = {eng.register_lora(name, adapters, alpha=alpha)
+               for eng in self.engines}
+        assert len(ids) == 1
+        return ids.pop()
 
     def has_work(self) -> bool:
         return any(e.scheduler.has_work() for e in self.engines)

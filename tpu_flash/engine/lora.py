@@ -147,17 +147,33 @@ class LoRAStore:
 
 
 def apply_lora(stacks, li: int, proj: str, x: jax.Array, y: jax.Array,
-               ids: jax.Array) -> jax.Array:
+               ids: jax.Array, tp_axis: Optional[str] = None) -> jax.Array:
     """Add each row's adapter delta to a base projection output.
 
     x: [..., fan_in] activations, y: [..., fan_out] = x @ W_base,
     ids: [batch] int32 adapter ids aligned with x's LEADING axis.
     Supports [batch, fan] (decode) and [batch, seq, fan] (prefill) rows.
+
+    Under tensor parallelism (``tp_axis`` inside a shard_map) the stacks
+    hold GLOBAL shapes while x/y are this shard's slices; whichever side
+    is sharded is inferred from the local shapes and the stack slices by
+    axis index — column-sharded projections slice B's fan_out, row-
+    sharded ones slice A's fan_in (the delta then joins the base psum).
     """
     ab = stacks.get(li, {}).get(proj)
     if ab is None:
         return y
     a_stack, b_stack = ab
+    if tp_axis is not None:
+        idx = jax.lax.axis_index(tp_axis)
+        if a_stack.shape[1] != x.shape[-1]:  # row-sharded fan_in (wo/down)
+            a_stack = jax.lax.dynamic_slice_in_dim(
+                a_stack, idx * x.shape[-1], x.shape[-1], axis=1
+            )
+        if b_stack.shape[2] != y.shape[-1]:  # column-sharded fan_out
+            b_stack = jax.lax.dynamic_slice_in_dim(
+                b_stack, idx * y.shape[-1], y.shape[-1], axis=2
+            )
     a = a_stack[ids]  # [batch, fan_in, R]
     b = b_stack[ids]  # [batch, R, fan_out]
     xf = x.astype(jnp.float32)

@@ -358,13 +358,8 @@ class InferenceEngine:
     def register_lora(self, name: str, adapters, *, alpha=None) -> int:
         """Register a LoRA adapter for per-request serving
         (``submit(lora=name)``). Compiled engine programs are rebuilt on
-        the next step (the adapter stacks are program constants).
-        Phase 1 scope: single-chip/DP engines (no TP mesh)."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "multi-LoRA under tensor-parallel serving is not wired "
-                "yet (adapter stacks need per-shard slicing)"
-            )
+        the next step (the adapter stacks are program constants; under a
+        TP mesh each shard slices its fan range by axis index)."""
         lora_id = self.lora.register(name, adapters, alpha=alpha)
         self._prefill_fns.clear()
         self._ragged_fns.clear()
@@ -380,8 +375,10 @@ class InferenceEngine:
         stacks = self.lora.stacks()
         from tpu_flash.engine.lora import apply_lora
 
+        tp_axis = self._tp_axis
+
         def hook(li, name, x, y):
-            return apply_lora(stacks, li, name, x, y, ids)
+            return apply_lora(stacks, li, name, x, y, ids, tp_axis)
 
         return hook
 
@@ -640,7 +637,7 @@ class InferenceEngine:
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._jit_impl(
                 functools.partial(self._chunked_prefill_impl, start),
-                "pcrrrrr", "crr", donate=(1,),
+                "pcrrrr", "crr", donate=(1,),
             )
         pps = self.config.cache.max_pages_per_seq
         tok_rows, table_rs, n_valids, tables, lids = [], [], [], [], []
