@@ -150,6 +150,8 @@ def snapshot_engine(path, engine) -> None:
         "top_ps": np.asarray(engine.top_ps),
         "min_ps": np.asarray(engine.min_ps),
         "lora_ids": np.asarray(engine.lora_ids),
+        "logit_bias": np.asarray(engine.logit_bias),
+        "slot_bias": np.asarray(engine._slot_bias),
         "rng": np.asarray(engine._rng),
     }
     if cache.quantized:
@@ -186,6 +188,10 @@ def snapshot_engine(path, engine) -> None:
             "swap_npages": req.swap_npages,
             "priority": req.priority,
             "lora_id": req.lora_id,
+            "logit_bias": {
+                str(t): v
+                for t, v in (getattr(req, "_logit_bias", None) or {}).items()
+            },
             "arrival": getattr(req, "_arrival", 0),
             "admit_seq": getattr(req, "_admit_seq", 0),
         }
@@ -291,6 +297,9 @@ def restore_engine(path, engine) -> None:
         engine.min_ps = np.asarray(data["min_ps"])
     if "lora_ids" in data:
         engine.lora_ids = np.asarray(data["lora_ids"])
+    if "logit_bias" in data:
+        engine.logit_bias = jnp.asarray(data["logit_bias"])
+        engine._slot_bias = np.asarray(data["slot_bias"])
     engine.outputs = {int(k): list(v) for k, v in meta["outputs"].items()}
     engine.logprobs = {
         int(k): list(v) for k, v in meta.get("logprobs", {}).items()
@@ -355,6 +364,9 @@ def restore_engine(path, engine) -> None:
         req.swap_npages = rd.get("swap_npages", 0)
         req.priority = rd.get("priority", 0)
         req.lora_id = rd.get("lora_id", 0)
+        lb = rd.get("logit_bias")
+        if lb:
+            req._logit_bias = {int(t): float(v) for t, v in lb.items()}
         req._arrival = rd.get("arrival", 0)
         req._admit_seq = rd.get("admit_seq", 0)
         if rd.get("pending_children"):

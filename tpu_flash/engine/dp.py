@@ -103,6 +103,7 @@ class DataParallelEngine:
         n: int = 1,
         priority: int = 0,
         lora: Optional[str] = None,
+        logit_bias=None,
     ) -> int:
         loads = [self._load(e) for e in self.engines]
         best = min(loads)
@@ -116,6 +117,7 @@ class DataParallelEngine:
         local = self.engines[rep].submit(
             prompt, max_new_tokens, sampling=sampling,
             stop_tokens=stop_tokens, n=n, priority=priority, lora=lora,
+            logit_bias=logit_bias,
         )
         rid = self._next_id
         self._next_id += 1

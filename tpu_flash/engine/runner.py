@@ -168,6 +168,11 @@ class InferenceEngine:
         self.top_ks = np.zeros((mb,), np.int32)
         self.top_ps = np.ones((mb,), np.float32)
         self.min_ps = np.zeros((mb,), np.float32)
+        # Per-slot additive logit bias (submit(logit_bias={token: bias})):
+        # a dense [mb, vocab] device array added to the logits of every
+        # sampling path; rows update only when a slot's request changes.
+        self.logit_bias = jnp.zeros((mb, cfg.vocab_size), jnp.float32)
+        self._slot_bias = np.zeros((mb,), bool)
         self._rng = jax.random.PRNGKey(seed)
         self._sample_fn = jax.jit(sample_tokens)
         self.outputs: Dict[int, List[int]] = {}
@@ -281,6 +286,7 @@ class InferenceEngine:
         n: int = 1,
         priority: int = 0,
         lora: Optional[str] = None,
+        logit_bias: Optional[Dict[int, float]] = None,
     ) -> int:
         """Queue a request; returns its id. ``n > 1`` asks for n parallel
         completions of the same prompt (OpenAI-style ``n``): the prompt
@@ -291,7 +297,10 @@ class InferenceEngine:
         preemption. ``lora`` names a registered adapter
         (:meth:`register_lora`) applied to every projection for this
         request; adapted requests bypass the prefix cache (their KV is
-        adapter-specific)."""
+        adapter-specific). ``logit_bias`` maps token ids to additive
+        logit offsets (OpenAI convention: ~-100 bans a token, ~+100
+        forces it) applied before sampling filters on every path;
+        reported logprobs are of the biased distribution."""
         if n < 1:
             raise ValueError("n must be >= 1")
         if n > 1 and max_new_tokens < 1:
@@ -327,6 +336,14 @@ class InferenceEngine:
             lora_id=self.lora.id_of(lora),
         )
         req._prompt = list(prompt)  # host-side stash
+        if logit_bias:
+            vocab = self.model.config.vocab_size
+            for t in logit_bias:
+                if not 0 <= int(t) < vocab:
+                    raise ValueError(
+                        f"logit_bias token {t} outside vocab [0, {vocab})"
+                    )
+            req._logit_bias = dict(logit_bias)
         if n > 1:
             children = []
             for _ in range(n - 1):
@@ -344,6 +361,8 @@ class InferenceEngine:
                 )
                 ch._prompt = req._prompt  # branches never prefill; for
                 # snapshots + introspection only
+                if logit_bias:
+                    ch._logit_bias = dict(logit_bias)
                 children.append(ch)
                 self.outputs[cid] = []
                 self.logprobs[cid] = []
@@ -393,6 +412,22 @@ class InferenceEngine:
         while self.scheduler.has_work():
             self.step()
         return self.outputs
+
+    def stream(self):
+        """Generator driving the engine until idle, yielding
+        ``(req_id, index, token)`` for every newly committed token after
+        each step — tokens surface at step granularity (a fused burst or
+        an accepted speculative draft yields several at once). New
+        requests may be submitted between yields; iteration ends when no
+        work remains."""
+        emitted = {rid: len(t) for rid, t in self.outputs.items()}
+        while self.scheduler.has_work():
+            self.step()
+            for rid, toks in self.outputs.items():
+                start = emitted.get(rid, 0)
+                for i in range(start, len(toks)):
+                    yield rid, i, toks[i]
+                emitted[rid] = len(toks)
 
     def close(self) -> None:
         """Shut down host-side resources (the deadline fetcher's worker)."""
@@ -865,6 +900,9 @@ class InferenceEngine:
         # parameters, then the same per-slot bookkeeping as the decode
         # step.
         dlog = last_logits[len(chunks) : len(chunks) + len(ditems)]
+        dslots = [it[1] for it in ditems]
+        if any(self._slot_bias[ds] for ds in dslots):
+            dlog = dlog + self.logit_bias[jnp.asarray(dslots, jnp.int32)]
         self._rng, sk = jax.random.split(self._rng)
         toks_dev = self._sample_fn(
             dlog, sk,
@@ -917,6 +955,7 @@ class InferenceEngine:
         self.top_ps[slot] = sp.top_p
         self.min_ps[slot] = sp.min_p
         self.lora_ids[slot] = req.lora_id
+        self._install_logit_bias(slot, req)
         # Index the prompt's full pages written SO FAR for prefix reuse —
         # incremental (per chunk, not just at completion), so a request
         # arriving while a long same-prefix prompt is mid-prefill already
@@ -939,6 +978,8 @@ class InferenceEngine:
                 return
             # Final chunk: its last-position logits emit the first token,
             # sampled with the request's parameters.
+            if self._slot_bias[slot]:
+                last_logits = last_logits + self.logit_bias[slot]
             self._rng, sk = jax.random.split(self._rng)
             next_token = int(
                 self._fetcher.fetch(
@@ -969,6 +1010,22 @@ class InferenceEngine:
                 self._fork_branches(req, table, last_logits)
 
     # -- preemption (optimistic admission) ----------------------------------------
+
+    def _install_logit_bias(self, slot: int, req: Request) -> None:
+        bias = getattr(req, "_logit_bias", None)
+        if bias:
+            row = np.zeros(
+                (self.model.config.vocab_size,), np.float32
+            )
+            for t, v in bias.items():
+                row[int(t)] = float(v)
+            self.logit_bias = self.logit_bias.at[slot].set(
+                jnp.asarray(row)
+            )
+            self._slot_bias[slot] = True
+        elif self._slot_bias[slot]:
+            self.logit_bias = self.logit_bias.at[slot].set(0.0)
+            self._slot_bias[slot] = False
 
     def _install_table_row(self, slot: int, rid: int) -> None:
         pps = self.config.cache.max_pages_per_seq
@@ -1066,6 +1123,7 @@ class InferenceEngine:
         self.top_ps[slot] = sp.top_p
         self.min_ps[slot] = sp.min_p
         self.lora_ids[slot] = req.lora_id
+        self._install_logit_bias(slot, req)
         if req.generated > 0:
             # Mid-decode victim: KV exists for all but the newest emitted
             # token; decode resumes by feeding that token at its position.
@@ -1144,6 +1202,8 @@ class InferenceEngine:
         sp = req.sampling
         nch = len(children)
         self._rng, sk = jax.random.split(self._rng)
+        # last_logits arrive ALREADY biased (the caller applies the
+        # parent's logit_bias before its own sample and passes them on).
         logits_n = jnp.broadcast_to(
             last_logits, (nch,) + last_logits.shape
         )
@@ -1173,6 +1233,7 @@ class InferenceEngine:
             self.top_ps[slot] = sp.top_p
             self.min_ps[slot] = sp.min_p
             self.lora_ids[slot] = ch.lora_id
+            self._install_logit_bias(slot, ch)
             self.active[slot] = True
             ch.state = RequestState.RUNNING
             ch.prefilled = req.prompt_len
@@ -1190,7 +1251,7 @@ class InferenceEngine:
 
     def _decode_step_impl(self, params, cache, tokens, lengths, page_tables,
                           active_mask, key, temps, top_ks, top_ps,
-                          min_ps, lora_ids):
+                          min_ps, lora_ids, logit_bias):
         """One decode token for every batch slot (inactive slots write to
         the trash page and their outputs are ignored)."""
         model = self.model
@@ -1235,7 +1296,7 @@ class InferenceEngine:
             xn = _rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
             x = x + model._mlp(layer, xn, self._tp_axis, li, hook)
         x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
-        logits = (x @ params["lm_head"]).astype(jnp.float32)
+        logits = (x @ params["lm_head"]).astype(jnp.float32) + logit_bias
         sampled = sample_tokens(logits, key, temps, top_ks, top_ps,
                                 min_ps)
         # Inactive slots keep their current token: the returned array is the
@@ -1259,7 +1320,7 @@ class InferenceEngine:
 
     def _decode_multi_impl(self, n_steps, params, cache, tokens, lengths,
                            page_tables, active_mask, keys, temps, top_ks,
-                           top_ps, min_ps, lora_ids):
+                           top_ps, min_ps, lora_ids, logit_bias):
         """``n_steps`` fused decode steps via lax.scan — ONE dispatch and
         ONE host fetch for the whole burst. Amortizes per-call dispatch
         latency (dominant on remote/relay execution paths); safe because
@@ -1272,7 +1333,7 @@ class InferenceEngine:
                 self._decode_step_impl(
                     params, cache, tokens, lengths, page_tables,
                     active_mask, key, temps, top_ks, top_ps, min_ps,
-                    lora_ids,
+                    lora_ids, logit_bias,
                 )
             )
             return (cache, next_tokens, lengths), (
@@ -1374,7 +1435,7 @@ class InferenceEngine:
 
     def _verify_impl(self, n_tok, params, cache, tokens, lengths_b,
                      table_rows, key, temps, top_ks, top_ps, draft_lens,
-                     min_ps, lora_ids):
+                     min_ps, lora_ids, logit_bias):
         """Verify a BATCH of [last_token, draft...] rows ([B, n_tok]) in
         one forward over the paged cache at per-row dynamic offsets
         ``lengths_b``, then run exact speculative rejection sampling
@@ -1489,6 +1550,7 @@ class InferenceEngine:
             attention_fn=attention_fn,
             proj_hook=self._lora_hook(lora_ids),
         )  # [B, n_tok, vocab]
+        logits = logits + logit_bias[:, None, :]
         from tpu_flash.engine.sampling import speculative_sample
 
         keys = jax.random.split(key, b)
@@ -1523,7 +1585,7 @@ class InferenceEngine:
         if fn_key not in self._verify_fns:
             self._verify_fns[fn_key] = self._jit_impl(
                 functools.partial(self._verify_impl, n_tok),
-                "pcrrrrrrrrrr", "crrrr", donate=(1,),
+                "pcrrrrrrrrrrr", "crrrr", donate=(1,),
             )
         pps = self.config.cache.max_pages_per_seq
         tok_rows, dlens, temps, tks, tps, mps = [], [], [], [], [], []
@@ -1567,6 +1629,14 @@ class InferenceEngine:
             jnp.asarray(temps, jnp.float32), jnp.asarray(tks, jnp.int32),
             jnp.asarray(tps, jnp.float32), jnp.asarray(dlens, jnp.int32),
             jnp.asarray(mps, jnp.float32), jnp.asarray(vlids, jnp.int32),
+            jnp.concatenate(
+                [
+                    self.logit_bias[slots_arr],
+                    jnp.zeros(
+                        (n_pad, self.logit_bias.shape[1]), jnp.float32
+                    ),
+                ]
+            ),
         )
         emit_host = self._fetcher.fetch(emit_dev)
         n_emit_host = self._fetcher.fetch(n_emit_dev)
@@ -1694,7 +1764,7 @@ class InferenceEngine:
         if n_steps not in self._decode_multi_fns:
             self._decode_multi_fns[n_steps] = self._jit_impl(
                 functools.partial(self._decode_multi_impl, n_steps),
-                "pcrrrrrrrrrr", "crrrrr", donate=(1,),
+                "pcrrrrrrrrrrr", "crrrrr", donate=(1,),
             )
         (
             self.cache, self.last_tokens, self.lengths, all_tokens, finite,
@@ -1704,7 +1774,7 @@ class InferenceEngine:
             self.page_tables, active_mask, keys,
             jnp.asarray(self.temps), jnp.asarray(self.top_ks),
             jnp.asarray(self.top_ps), jnp.asarray(self.min_ps),
-            jnp.asarray(self.lora_ids),
+            jnp.asarray(self.lora_ids), self.logit_bias,
         )
         # Deadline scales with the burst: the per-STEP timeout contract
         # holds whether the engine runs 1 or max_decode_burst fused steps.
