@@ -63,9 +63,12 @@ def main():
     # Parallel sampling: 3 completions, ONE prefill, shared prompt pages.
     r5 = engine.submit(
         system + [2, 2], max_new_tokens=8, n=3,
-        sampling=SamplingParams(temperature=1.0),
+        sampling=SamplingParams(temperature=1.0, min_p=0.05),
         priority=1,  # admits ahead of same-arrival lower-priority work
     )
+    # logit_bias: OpenAI-style token bans/boosts on any request.
+    r6 = engine.submit(system + [4], max_new_tokens=6,
+                       logit_bias={0: -1e9, 1: -1e9})
     outputs = engine.run()
     print("outputs:", {r: outputs[r] for r in (r1, r2, r3)})
     print("parallel samples:",
@@ -98,6 +101,25 @@ def main():
     rw = wengine.submit(system + [1, 2, 3], max_new_tokens=8)
     print("windowed outputs:", wengine.run()[rw])
     wengine.close()
+
+    # Multi-LoRA: register adapters once, then any request names one —
+    # rows with different adapters (and base rows) share every batched
+    # dispatch. Streaming: engine.stream() yields tokens as steps commit.
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    adapters = {
+        0: {"wq": (rng.normal(size=(cfg.hidden_size, 4)) * 0.2,
+                   rng.normal(size=(4, cfg.num_q_heads * cfg.head_dim)))}
+    }
+    lengine = InferenceEngine(model, params, engine_cfg)
+    lengine.register_lora("style-a", adapters)
+    lr = lengine.submit(system + [5], max_new_tokens=6, lora="style-a")
+    br = lengine.submit(system + [5], max_new_tokens=6)  # base row
+    streamed = [(rid, tok) for rid, _i, tok in lengine.stream()]
+    print("lora stream:", [t for rid, t in streamed if rid == lr])
+    print("base stream:", [t for rid, t in streamed if rid == br])
+    lengine.close()
 
     # Optimistic admission: prompt pages at admission, per-step top-up;
     # a deliberately tiny pool forces preemption — victims swap their KV
