@@ -403,12 +403,19 @@ def bench_engine_tokens_per_s(
                 submit_one()
             engine.run()
             return
-        # Waves: half up front, the rest dribbling in while earlier
-        # requests decode — every wave creates mixed prefill+decode steps.
-        for _ in range(batch // 2):
+        # Waves: half up front (at least one), the rest dribbling in
+        # while earlier requests decode — every wave creates mixed
+        # prefill+decode steps. Drain any leftovers if the engine goes
+        # idle early so the tok/s denominator covers ALL the work.
+        first = max(1, batch // 2)
+        for _ in range(first):
             submit_one()
-        left = batch - batch // 2
-        while engine.scheduler.has_work():
+        left = batch - first
+        while engine.scheduler.has_work() or left:
+            if not engine.scheduler.has_work():
+                submit_one()
+                left -= 1
+                continue
             engine.step()
             if left:
                 submit_one()

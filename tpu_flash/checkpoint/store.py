@@ -220,6 +220,10 @@ def snapshot_engine(path, engine) -> None:
         "outputs": {str(k): v for k, v in engine.outputs.items()},
         "logprobs": {str(k): v for k, v in engine.logprobs.items()},
         "next_id": engine._next_id,
+        "branch_ids": {
+            str(k): list(v)
+            for k, v in getattr(engine, "_branch_ids", {}).items()
+        },
         "lora_names": getattr(engine, "lora", None).names
         if getattr(engine, "lora", None) is not None
         else [],
@@ -382,7 +386,11 @@ def restore_engine(path, engine) -> None:
             sched.slots[req.batch_slot] = req.req_id
     for rd in meta.get("waiting", []):
         sched.waiting.append(build_req(rd))
-    # Rebuild the branch map (submit-time bookkeeping on the engine).
+    # Branch map: persisted directly (covers FINISHED groups too); the
+    # live-request rebuild below keeps pre-branch_ids snapshots working.
+    engine._branch_ids = {
+        int(k): list(v) for k, v in meta.get("branch_ids", {}).items()
+    }
     for req in list(sched.active.values()) + list(sched.waiting):
         if req.child_ids or req.n_branches > 1:
             engine._branch_ids[req.req_id] = [req.req_id, *req.child_ids]

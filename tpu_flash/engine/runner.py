@@ -173,6 +173,7 @@ class InferenceEngine:
         # sampling path; rows update only when a slot's request changes.
         self.logit_bias = jnp.zeros((mb, cfg.vocab_size), jnp.float32)
         self._slot_bias = np.zeros((mb,), bool)
+        self._slot_bias_req = np.full((mb,), -1, np.int64)
         self._rng = jax.random.PRNGKey(seed)
         self._sample_fn = jax.jit(sample_tokens)
         self.outputs: Dict[int, List[int]] = {}
@@ -423,7 +424,8 @@ class InferenceEngine:
         emitted = {rid: len(t) for rid, t in self.outputs.items()}
         while self.scheduler.has_work():
             self.step()
-            for rid, toks in self.outputs.items():
+            # list(): submit() between yields may grow the dict.
+            for rid, toks in list(self.outputs.items()):
                 start = emitted.get(rid, 0)
                 for i in range(start, len(toks)):
                     yield rid, i, toks[i]
@@ -1014,6 +1016,8 @@ class InferenceEngine:
     def _install_logit_bias(self, slot: int, req: Request) -> None:
         bias = getattr(req, "_logit_bias", None)
         if bias:
+            if self._slot_bias_req[slot] == req.req_id:
+                return  # already installed (prefill runs this per chunk)
             row = np.zeros(
                 (self.model.config.vocab_size,), np.float32
             )
@@ -1023,9 +1027,11 @@ class InferenceEngine:
                 jnp.asarray(row)
             )
             self._slot_bias[slot] = True
+            self._slot_bias_req[slot] = req.req_id
         elif self._slot_bias[slot]:
             self.logit_bias = self.logit_bias.at[slot].set(0.0)
             self._slot_bias[slot] = False
+            self._slot_bias_req[slot] = -1
 
     def _install_table_row(self, slot: int, rid: int) -> None:
         pps = self.config.cache.max_pages_per_seq

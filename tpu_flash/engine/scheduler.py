@@ -399,35 +399,37 @@ class Scheduler:
                 self.prefix_index.evict(n - self.allocator.num_free)
                 got = self.allocator.alloc(req.req_id, n)
             while got is None:
-                if not self._preempt_newest(
-                    exclude_id=req.req_id, max_priority=req.priority
-                ):
+                # The requester is a victim CANDIDATE too: if it is itself
+                # the newest lowest-priority sequence, it self-preempts
+                # rather than evicting older peers (newest-first policy).
+                victim = self._select_victim(max_priority=req.priority)
+                if victim is None:
+                    self._preempt(req)  # nothing evictable: requeue self
+                    break
+                self._preempt(victim)
+                if victim is req:
                     break
                 got = self.allocator.alloc(req.req_id, n)
             if got is None:
-                self._preempt(req)  # can't decode safely: requeue itself
                 continue
             refresh.append(req.batch_slot)
         return refresh
 
-    def _preempt_newest(self, exclude_id: int, max_priority: int) -> bool:
-        """Evict the lowest-priority (then newest-admitted) sequence at or
-        below ``max_priority`` — pages never flow up to a lower-priority
-        requester."""
+    def _select_victim(self, max_priority: int):
+        """The lowest-priority (then newest-admitted) active sequence at
+        or below ``max_priority`` — pages never flow up to a
+        lower-priority requester."""
         victim = None
         best = None
         for r in self.active.values():
-            if r.req_id == exclude_id or r.done:
+            if r.done:
                 continue
             if r.priority > max_priority:
                 continue
             key = (r.priority, -getattr(r, "_admit_seq", 0))
             if best is None or key < best:
                 best, victim = key, r
-        if victim is None:
-            return False
-        self._preempt(victim)
-        return True
+        return victim
 
     def _preempt(self, victim: Request) -> None:
         """Evict an active sequence and requeue it at the FRONT of the

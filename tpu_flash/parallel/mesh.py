@@ -53,3 +53,18 @@ def mesh_for(num_devices: int) -> Mesh:
     data = 2 if rem % 2 == 0 and rem >= 4 else 1
     model = rem // data
     return build_mesh(MeshConfig(data=data, model=model, seq=seq))
+
+
+def shard_head_slice(vals, num_local: int, axis_name: str):
+    """Slice a per-head array (sinks/ALiBi slopes, [num_heads_global]) to
+    this shard's contiguous head range inside a shard_map over
+    ``axis_name``. Shared by ring/Ulysses (models/transformer.py keeps its
+    own model-facing variant, alibi_for)."""
+    import jax
+
+    if vals is None:
+        return None
+    if vals.shape[0] == num_local:
+        return vals
+    idx = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice(vals, (idx * num_local,), (num_local,))

@@ -97,11 +97,13 @@ def ring_attention(
     def _ring(q_blk, k_blk, v_blk):
         # Heads may shard over the model axis: slice the per-head slopes
         # to this shard's range.
+        from tpu_flash.parallel.mesh import shard_head_slice
+
         al = alibi
         if al is not None and head_spec is not None:
-            hq_local = al.shape[0] // mesh.shape[head_spec]
-            idx = jax.lax.axis_index(head_spec)
-            al = jax.lax.dynamic_slice(al, (idx * hq_local,), (hq_local,))
+            al = shard_head_slice(
+                al, al.shape[0] // mesh.shape[head_spec], head_spec
+            )
         return ring_attention_local(
             q_blk, k_blk, v_blk,
             seq_axis=seq_axis, n_ring=n_ring, causal=causal,

@@ -52,12 +52,11 @@ def ulysses_attention(
     n = mesh.shape[seq_axis]
 
     def _per_head_slice(vals, hq_local):
+        from tpu_flash.parallel.mesh import shard_head_slice
+
         if vals is None or n == 1:
             return vals
-        idx = jax.lax.axis_index(seq_axis)
-        return jax.lax.dynamic_slice(
-            vals, (idx * hq_local,), (hq_local,)
-        )
+        return shard_head_slice(vals, hq_local, seq_axis)
 
     def _local(q, k, v):
         # [b, h, s/n, d] -> [b, h/n, s, d]: scatter heads, gather sequence.
