@@ -340,6 +340,8 @@ def bench_engine_tokens_per_s(
     shared_prefix: int = 0,
     staggered: bool = False,
     fused_mixed_step="auto",
+    lora_rank: int = 0,
+    lora_count: int = 2,
 ):
     """End-to-end continuous-batching engine throughput (full serving stack:
     scheduler, chunked prefill, paged decode, sampling, watchdogs). Returns
@@ -391,11 +393,41 @@ def bench_engine_tokens_per_s(
     host_rng = np.random.default_rng(1)
     prefix = host_rng.integers(0, 8192, shared_prefix).tolist()
 
+    # Optional multi-LoRA overhead mode: every request is tagged with one
+    # of ``lora_count`` rank-``lora_rank`` adapters covering ALL layers
+    # and projections (worst case: every projection pays the per-row
+    # low-rank einsums).
+    lora_names: list = []
+    if lora_rank:
+        qd = num_q_heads * head_dim
+        kvd = num_kv_heads * head_dim
+        dims = {"wq": (hidden, qd), "wk": (hidden, kvd),
+                "wv": (hidden, kvd), "wo": (qd, hidden),
+                "w_gate": (hidden, 2 * hidden), "w_up": (hidden, 2 * hidden),
+                "w_down": (2 * hidden, hidden)}
+        for i in range(lora_count):
+            adapters = {
+                li: {p: (host_rng.standard_normal((fi, lora_rank),
+                                                  dtype=np.float32)
+                         * (0.01 / fi**0.5),
+                         host_rng.standard_normal((lora_rank, fo),
+                                                  dtype=np.float32))
+                     for p, (fi, fo) in dims.items()}
+                for li in range(num_layers)
+            }
+            name = f"bench-lora-{i}"
+            engine.register_lora(name, adapters)
+            lora_names.append(name)
+    n_submitted = [0]
+
     def submit_one():
         tail = host_rng.integers(
             0, 8192, prompt_len - shared_prefix
         ).tolist()
-        engine.submit(prefix + tail, max_new_tokens=new_tokens)
+        lora = (lora_names[n_submitted[0] % len(lora_names)]
+                if lora_names else None)
+        n_submitted[0] += 1
+        engine.submit(prefix + tail, max_new_tokens=new_tokens, lora=lora)
 
     def run_round():
         if not staggered:

@@ -157,15 +157,14 @@ class EngineConfig:
     # chunk at per-row dynamic offsets), replacing the whole-table
     # dense gather + f32 einsum.
     #
-    # "auto" (default): in-kernel paged for QUANTIZED caches (measured
-    # at parity-or-better with gather on v5e, and it skips the dense
-    # dequantized intermediate) and for speculative verify on any cache
-    # dtype (the gather alternative reads the WHOLE table per layer);
-    # fp caches keep the gather prefill path (the bf16 paged sweep
-    # measured slower than gather+dense-flash — BENCHLOG 2026-08-17).
-    # True forces the paged kernel everywhere it applies; False forces
-    # gather everywhere. Prefill falls back to gather when the chunk
-    # stage is not page-aligned regardless.
+    # "auto" (default): in-kernel paged on EVERY cache dtype — measured
+    # at parity-or-better with gather on v5e for int8/int4 and (after
+    # the 1024-row GQA-fold cap) bf16 (BENCHLOG 2026-08-17/18), and it
+    # skips the dense (dequantized) history intermediate; speculative
+    # verify rides it too (the gather alternative reads the WHOLE table
+    # per layer). True forces the paged kernel everywhere it applies;
+    # False forces gather everywhere. Prefill falls back to gather when
+    # the chunk stage is not page-aligned regardless.
     paged_prefill: object = "auto"  # "auto" | True | False
     # Page-pool policy. "reserve" (default) preallocates a request's FULL
     # context (prompt + generation budget) at admission, so decode can

@@ -514,15 +514,16 @@ class InferenceEngine:
 
     def _paged_enabled(self, verify: bool = False) -> bool:
         """Resolve config.paged_prefill ("auto" | True | False) for a
-        dispatch site. "auto": quantized caches use the in-kernel paged
-        sweep (measured parity-or-better vs gather+dequant on v5e, and no
-        dense dequantized intermediate); speculative verify uses it on any
-        cache dtype (the alternative gathers the WHOLE page table per
-        layer); fp prefill keeps gather+dense-flash (BENCHLOG 2026-08-17:
-        the bf16 paged sweep measured slower)."""
+        dispatch site. "auto" = True for every cache dtype: the in-kernel
+        paged sweep measured parity-or-better vs gather+dense-flash on
+        v5e for int8/int4 (BENCHLOG 2026-08-17) AND for bf16 once the
+        GQA-folded tile was capped at 1024 rows (BENCHLOG 2026-08-18:
+        674 vs 684 us/chunk at 8K history) — and it never materializes
+        the dense (dequantized) history intermediate, nor gathers the
+        whole page table per layer for speculative verify."""
         mode = self.config.paged_prefill
         if mode == "auto":
-            return verify or self.config.cache.quantized
+            return True
         return bool(mode)
 
     def _gather_history(self, cache, layer: int, table_rows, hist_len: int,

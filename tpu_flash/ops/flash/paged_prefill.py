@@ -350,7 +350,7 @@ def paged_prefill_attention(
     *,
     hist_cap: int,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: Optional[int] = None,
     pages_per_compute_block: Optional[int] = None,
     interpret: Optional[bool] = None,
     window: Optional[int] = None,
@@ -420,6 +420,17 @@ def paged_prefill_attention(
         ppb -= 1
     num_hist_blocks = hist_pages // ppb
 
+    # Default tiling: 512 q rows, with the folded MXU tile
+    # [q_per_kv * block_q, d] capped at 1024 rows. Past 1024 rows the
+    # f32 accumulator + double-buffered history K/V blocks exceed the
+    # 16M scoped-vmem default (measured: bf16 cache, GQA 4,
+    # block_q=512 -> rows=2048 OOMs at 25.8M), and the int4 sweep runs
+    # 2.7x faster at 1024 rows than 2048 (BENCHLOG 2026-08-18). An
+    # explicit ``block_q`` is honored as given.
+    if block_q is None:
+        block_q = 512
+        if q_per_kv * block_q > 1024:
+            block_q = max(8, 1024 // q_per_kv)
     block_q = min(block_q, _round_up(q_len, 8))
     q_len_p = _round_up(q_len, block_q)
     num_chunk_blocks = q_len_p // block_q
