@@ -48,6 +48,7 @@ def reference_attention(
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
     alibi: Optional[jax.Array] = None,
+    return_weights: bool = False,
 ) -> jax.Array:
     """Exact multi-head attention: softmax(scale * Q K^T + mask) V.
 
@@ -76,9 +77,15 @@ def reference_attention(
         ``alibi_slopes``): scores gain ``slope_h * (kv_pos - q_pos)`` —
         a linear distance penalty replacing positional embeddings
         (BLOOM/MPT convention). Positions are absolute (q_offset-aware).
+      return_weights: also return the post-softmax attention probabilities
+        [batch, num_heads, q_len, kv_len] f32 — the debug surface of the
+        reference's golden oracle, which returns ``(output, attn)``
+        (check.py:25), for inspecting attention maps while debugging
+        kernel variants.
 
     Returns:
-      [batch, num_heads, q_len, head_dim] in q.dtype.
+      [batch, num_heads, q_len, head_dim] in q.dtype, or
+      ``(output, weights)`` when ``return_weights``.
     """
     orig_dtype = q.dtype
     q = q.astype(jnp.float32)
@@ -136,6 +143,8 @@ def reference_attention(
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", weights, v, precision=jax.lax.Precision.HIGHEST
     )
+    if return_weights:
+        return out.astype(orig_dtype), weights
     return out.astype(orig_dtype)
 
 

@@ -2,24 +2,31 @@
 
 TPU-native descendant of the reference's host tile heuristics
 (``calculateSizeBlockQ`` / ``calculateSizeBlockKV``, helpers.hpp:8-30), with
-the lesson of that file applied: its register/L2 formulas drifted from
-reality and were overridden with a hardcoded 64 (helpers.hpp:17-18, 28-29).
-Here the *formula* is a VMEM-budget feasibility check and the *choice* comes
-from an empirically-tuned per-generation table, formula only as fallback.
+the lesson of that file applied twice over: its register/L2 formulas drifted
+from reality and were overridden with a hardcoded 64 (helpers.hpp:17-18,
+28-29), and its ``check_gpu_props`` probe (main.cpp:5-26) was never wired to
+the launch. Here the probe (:mod:`tpu_flash.utils.device`) *is* wired in:
+
+* the VMEM feasibility budget comes from the probed generation's VMEM size,
+* tile caps come from a per-generation prior table (v5e entries measured on
+  hardware, other generations formula-scaled until measured),
+* an opt-in :func:`autotune` sweeps candidate tilings on the attached chip
+  and caches the winner (process-level + on-disk), so the empirical path the
+  reference left unbuilt exists end to end.
 """
 
 from __future__ import annotations
 
 import functools
+import json
+import os
+from typing import Iterable, Optional
 
 import jax.numpy as jnp
 
 from tpu_flash.core.config import BlockSizes
 
 NUM_LANES = 128
-# Leave headroom under the ~128 MiB VMEM for pipelining double buffers:
-# Pallas allocates 2x each input/output block for the grid pipeline.
-DEFAULT_VMEM_BUDGET = 64 * 2**20
 
 
 def _itemsize(dtype) -> int:
@@ -62,21 +69,83 @@ def bwd_vmem_bytes(
     return 2 * blocks + scores + scratch
 
 
+# Per-generation tuning priors. ``tile_cap`` is the largest forward tile the
+# generation's grid-cell overhead amortizes (v5e: measured, BENCHLOG.md —
+# 1024x1024 beats 128-512 decisively on 2K prefill; per-cell fixed cost is
+# large). v5p/v6e share the 128 MiB VMEM and MXU tile, so the cap carries
+# over as a formula-scaled prior until a chip of that kind is measured;
+# their faster MXUs only *raise* the relative per-cell overhead, which
+# favors the same large tiles. ``budget_frac`` leaves headroom under VMEM
+# for the compiler and the pipeline's own double buffers.
+_GENERATION_PRIORS = {
+    "v4": {"tile_cap": 1024, "budget_frac": 0.5, "measured": False},
+    "v5e": {"tile_cap": 1024, "budget_frac": 0.5, "measured": True},
+    "v5p": {"tile_cap": 1024, "budget_frac": 0.5, "measured": False},
+    "v6e": {"tile_cap": 1024, "budget_frac": 0.5, "measured": False},
+    "cpu": {"tile_cap": 1024, "budget_frac": 0.5, "measured": False},
+}
+_DEFAULT_PRIOR = _GENERATION_PRIORS["v5e"]
+
+# 128 MiB: every shipping generation in device._GENERATION_TABLE. Used only
+# if the probe is unavailable (e.g. building block sizes before backends
+# initialize is not a supported path — callers run under jit anyway).
+_FALLBACK_VMEM = 128 * 2**20
+DEFAULT_VMEM_BUDGET = _FALLBACK_VMEM // 2  # back-compat export
+
+
+def generation_key(kind: str) -> str:
+    """Map a probed ``device_kind`` string to a prior-table key."""
+    k = kind.lower()
+    if "v6" in k:
+        return "v6e"
+    if "v5p" in k:
+        return "v5p"
+    if "v5" in k:  # "TPU v5 lite", "v5e", plain "v5"
+        return "v5e"
+    if "v4" in k:
+        return "v4"
+    return "cpu"
+
+
+@functools.lru_cache(maxsize=1)
+def _probed() -> tuple:
+    """(generation_key, vmem_bytes) of the attached device, probed once."""
+    try:
+        from tpu_flash.utils.device import device_info
+
+        info = device_info()
+        return generation_key(info.kind), info.vmem_bytes
+    except Exception:  # no backend yet / probe failure: conservative default
+        return "v5e", _FALLBACK_VMEM
+
+
 @functools.lru_cache(maxsize=None)
 def default_block_sizes(
     q_len: int,
     kv_len: int,
     head_dim: int,
     dtype_str: str = "bfloat16",
-    vmem_budget: int = DEFAULT_VMEM_BUDGET,
+    vmem_budget: Optional[int] = None,
+    generation: Optional[str] = None,
 ) -> BlockSizes:
     """Pick forward/backward tile shapes for the given problem shape.
 
-    Strategy: prefer large Q tiles (better MXU occupancy on the two matmuls
-    and fewer revisits of K/V) and a KV-major tile that amortizes HBM DMA,
-    shrinking until the VMEM feasibility check passes.
+    Strategy: start from the probed generation's empirically-capped tile
+    (large Q tiles = better MXU occupancy + fewer K/V revisits), then shrink
+    until the VMEM feasibility formula passes — formula as constraint,
+    measurement as prior, per the helpers.hpp lesson. ``generation`` /
+    ``vmem_budget`` override the probe (tests, offline tuning).
     """
     dtype = jnp.dtype(dtype_str)
+    if generation is None or vmem_budget is None:
+        probed_gen, probed_vmem = _probed()
+        if generation is None:
+            generation = probed_gen
+        prior = _GENERATION_PRIORS.get(generation, _DEFAULT_PRIOR)
+        if vmem_budget is None:
+            vmem_budget = int(probed_vmem * prior["budget_frac"])
+    prior = _GENERATION_PRIORS.get(generation, _DEFAULT_PRIOR)
+    cap = prior["tile_cap"]
 
     def pow2_round_up(x: int, lo: int) -> int:
         p = lo
@@ -84,14 +153,11 @@ def default_block_sizes(
             p *= 2
         return p
 
-    # Priors from the v5e sweep (BENCHLOG.md): per-grid-cell overhead on
-    # this part is large, so big 1024x1024 tiles win decisively over the
-    # 128-512 range (81 vs 31-57 TFLOP/s on Llama-2 2K prefill); inner
-    # block_kv == block_kv_major (two-level tiling measured slower). All
-    # tiles are powers of two so forward and backward tilings divide the
-    # padded sequence lengths.
-    block_q = min(1024, pow2_round_up(q_len, 8))
-    block_kv_major = min(1024, pow2_round_up(kv_len, NUM_LANES))
+    # Inner block_kv == block_kv_major: two-level tiling measured slower on
+    # v5e (BENCHLOG). All tiles are powers of two so forward and backward
+    # tilings divide the padded sequence lengths.
+    block_q = min(cap, pow2_round_up(q_len, 8))
+    block_kv_major = min(cap, pow2_round_up(kv_len, NUM_LANES))
     block_kv = block_kv_major
 
     while (
@@ -106,11 +172,10 @@ def default_block_sizes(
         else:
             break  # minimum shapes; let the compiler complain if it must
 
-    # Backward tiles match the forward's (1024-capped): with the
-    # triangular grid, 1024 tiles beat 256 by 1.4x at 8K (BENCHLOG
-    # 2026-08-17 backward tile sweep) — small tiles were only ever a
-    # dead-cell mitigation. The backward cell is ~3x the forward's VMEM,
-    # so it gets its own feasibility shrink.
+    # Backward tiles match the forward's (cap-limited): with the triangular
+    # grid, 1024 tiles beat 256 by 1.4x at 8K (BENCHLOG 2026-08-17 backward
+    # tile sweep) — small tiles were only ever a dead-cell mitigation. The
+    # backward cell is ~3x the forward's VMEM, so it gets its own shrink.
     bwd_q, bwd_kv = block_q, block_kv_major
     while (
         bwd_vmem_bytes(bwd_q, bwd_kv, head_dim, dtype) > vmem_budget
@@ -132,5 +197,143 @@ def default_block_sizes(
         # Causal forward enumerates only active cells (measured: +5-7% at
         # 8K-32K from eliminating predicated dead cells, never worse;
         # BENCHLOG 2026-08-17). Non-causal calls ignore the flag.
+        triangular=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Opt-in empirical autotune: sweep candidate tilings on the attached chip.
+# ---------------------------------------------------------------------------
+
+_AUTOTUNE_CACHE: dict = {}
+
+
+def _autotune_cache_path() -> str:
+    base = os.environ.get(
+        "TPU_FLASH_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpu_flash"),
+    )
+    return os.path.join(base, "autotune.json")
+
+
+def _load_disk_cache() -> dict:
+    try:
+        with open(_autotune_cache_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_disk_cache(cache: dict) -> None:
+    path = _autotune_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only FS: keep the process-level cache only
+
+
+def candidate_block_sizes(
+    q_len: int, kv_len: int, head_dim: int, dtype_str: str = "bfloat16"
+) -> list:
+    """VMEM-feasible (block_q, block_kv_major) candidates for the sweep."""
+    gen, vmem = _probed()
+    budget = int(vmem * _GENERATION_PRIORS.get(gen, _DEFAULT_PRIOR)["budget_frac"])
+    dtype = jnp.dtype(dtype_str)
+    out = []
+    for bq in (256, 512, 1024):
+        for bkv in (256, 512, 1024):
+            if bq > q_len or bkv > kv_len:
+                continue
+            if fwd_vmem_bytes(bq, bkv, bkv, head_dim, dtype) <= budget:
+                out.append((bq, bkv))
+    return out or [(min(256, q_len), min(256, kv_len))]
+
+
+def autotune(
+    q_len: int,
+    kv_len: int,
+    head_dim: int,
+    *,
+    num_q_heads: int = 8,
+    num_kv_heads: int = 8,
+    dtype_str: str = "bfloat16",
+    causal: bool = True,
+    candidates: Optional[Iterable] = None,
+    use_disk_cache: bool = True,
+) -> BlockSizes:
+    """Sweep candidate tile shapes ON THE ATTACHED CHIP and return the
+    fastest (cached per device-kind + shape, in-process and on disk).
+
+    This is the empirical tuning mode the reference computed formulas for
+    but never ran (helpers.hpp:17-18, 28-29 hardcode the answer). Timing is
+    paired in-process (chained-loop differential, bench/suite.py) so relay
+    dispatch noise cancels.
+    """
+    import jax
+
+    gen, _ = _probed()
+    key = f"{gen}|{q_len}x{kv_len}x{head_dim}|{dtype_str}|causal={causal}"
+    if key in _AUTOTUNE_CACHE:
+        return _AUTOTUNE_CACHE[key]
+    disk = _load_disk_cache() if use_disk_cache else {}
+    if key in disk:
+        d = disk[key]
+        bs = dataclass_from_pair(d["block_q"], d["block_kv_major"])
+        _AUTOTUNE_CACHE[key] = bs
+        return bs
+
+    from tpu_flash.bench.suite import bench_flash_prefill
+
+    base = default_block_sizes(q_len, kv_len, head_dim, dtype_str)
+    cands = list(
+        candidates
+        or candidate_block_sizes(q_len, kv_len, head_dim, dtype_str)
+    )
+    best, best_t = base, None
+    for bq, bkv in cands:
+        bs = dataclass_from_pair(bq, bkv, template=base)
+        try:
+            res = bench_flash_prefill(
+                batch=1,
+                num_q_heads=num_q_heads,
+                num_kv_heads=num_kv_heads,
+                seq=q_len,
+                head_dim=head_dim,
+                dtype=jnp.dtype(dtype_str),
+                causal=causal,
+                block_sizes=bs,
+                iters=8,
+            )
+        except Exception:
+            continue  # infeasible tiling (compile OOM): skip
+        if best_t is None or res.seconds < best_t:
+            best, best_t = bs, res.seconds
+    _AUTOTUNE_CACHE[key] = best
+    if use_disk_cache:
+        disk[key] = {
+            "block_q": best.block_q,
+            "block_kv_major": best.block_kv_major,
+        }
+        _save_disk_cache(disk)
+    del jax
+    return best
+
+
+def dataclass_from_pair(
+    block_q: int, block_kv_major: int, template: Optional[BlockSizes] = None
+) -> BlockSizes:
+    """BlockSizes with fwd tiles (block_q, block_kv_major) and backward
+    tiles carried from ``template`` (or matched to the forward's)."""
+    t = template
+    return BlockSizes(
+        block_q=block_q,
+        block_kv_major=block_kv_major,
+        block_kv=block_kv_major,
+        block_q_dkv=t.block_q_dkv if t else block_q,
+        block_kv_dkv=t.block_kv_dkv if t else block_kv_major,
+        block_q_dq=t.block_q_dq if t else block_q,
+        block_kv_dq=t.block_kv_dq if t else block_kv_major,
         triangular=True,
     )
