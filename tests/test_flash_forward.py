@@ -206,3 +206,58 @@ class TestStability:
         out = flash_attention(q, q, q)
         # softmax of constant rows = uniform; output = mean of V = ones.
         np.testing.assert_allclose(out, jnp.ones_like(q), atol=1e-5)
+
+
+class TestDiagSubTiling:
+    """Diagonal sub-tiling on the triangular grid (BlockSizes.diag_sub):
+    row-sliced sub-tiles on diagonal cells + mask-free interior cells.
+    Must be exact vs the plain path and fall back safely when gated off."""
+
+    def _fwd(self, q, k, v, bq, sub, **kw):
+        from tpu_flash.core.config import BlockSizes
+        from tpu_flash.ops.flash.forward import flash_attention_forward
+
+        bs = BlockSizes(
+            block_q=bq, block_kv_major=bq, block_kv=bq,
+            triangular=True, diag_sub=sub,
+        )
+        d = q.shape[-1]
+        return flash_attention_forward(
+            q, k, v, causal=True, sm_scale=d**-0.5, block_sizes=bs,
+            triangular=True, interpret=True, **kw,
+        )
+
+    @pytest.mark.parametrize("bq,sub", [(256, 128), (512, 128), (512, 256)])
+    def test_parity_vs_oracle(self, bq, sub):
+        q, k, v = _qkv(jax.random.PRNGKey(0), 1, 2, 2, 1024, 1024, 64)
+        out = self._fwd(q, k, v, bq, sub)
+        ref = reference_attention(q, k, v, causal=True, sm_scale=64**-0.5)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    def test_residuals_and_sinks(self):
+        q, k, v = _qkv(jax.random.PRNGKey(1), 1, 2, 2, 512, 512, 64)
+        out, lse = self._fwd(q, k, v, 256, 128, save_residuals=True)
+        ref = reference_attention(q, k, v, causal=True, sm_scale=64**-0.5)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+        sinks = jnp.asarray([0.5, 1.5], jnp.float32)
+        out2 = self._fwd(q, k, v, 256, 128, sinks=sinks)
+        ref2 = reference_attention(
+            q, k, v, causal=True, sm_scale=64**-0.5, sinks=sinks
+        )
+        np.testing.assert_allclose(out2, ref2, **F32_TOL)
+
+    def test_gated_off_paths_still_exact(self):
+        # window / q_offset / kv tail force the generic path; diag_sub set
+        # on BlockSizes must not change results.
+        q, k, v = _qkv(jax.random.PRNGKey(2), 1, 2, 2, 512, 512, 64)
+        out = self._fwd(q, k, v, 256, 128, window=100)
+        ref = reference_attention(
+            q, k, v, causal=True, sm_scale=64**-0.5, window=100
+        )
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+        qs = q[:, :, :256]
+        out2 = self._fwd(qs, k, v, 256, 128, q_offset=256)
+        ref2 = reference_attention(
+            qs, k, v, causal=True, sm_scale=64**-0.5, q_offset=256
+        )
+        np.testing.assert_allclose(out2, ref2, **F32_TOL)

@@ -140,7 +140,31 @@ def _kernel(
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
+def prod_forward(q, k, v, diag_sub=None, block=1024):
+    """The production triangular kernel, for in-process pairing."""
+    from tpu_flash.core.config import BlockSizes
+    from tpu_flash.ops.flash.forward import flash_attention_forward
+
+    d = q.shape[-1]
+    bs = BlockSizes(
+        block_q=block, block_kv_major=block, block_kv=block,
+        triangular=True, diag_sub=diag_sub,
+    )
+    return flash_attention_forward(
+        q, k, v, causal=True, sm_scale=d ** -0.5, block_sizes=bs,
+        triangular=True,
+    )
+
+
 def proto_forward(q, k, v, *, block=1024, mode="base", interpret=False):
+    if mode == "prod":
+        return prod_forward(q, k, v)
+    if mode.startswith("prodsub"):
+        return prod_forward(q, k, v, diag_sub=int(mode[len("prodsub"):]))
+    if mode.startswith("prodblk"):
+        blk, sub = mode[len("prodblk"):].split("x")
+        sub = None if sub == "0" else int(sub)
+        return prod_forward(q, k, v, diag_sub=sub, block=int(blk))
     batch, heads, seq, d = q.shape
     nb = seq // block
     qm, km, il, kd = build_cells(nb)
@@ -175,7 +199,7 @@ def proto_forward(q, k, v, *, block=1024, mode="base", interpret=False):
     return o
 
 
-def time_mode(q, k, v, mode, inner=16, repeats=3):
+def _make_run(mode):
     @jax.jit
     def run(x, n, k, v):
         def body(c):
@@ -186,21 +210,37 @@ def time_mode(q, k, v, mode, inner=16, repeats=3):
         _, out = jax.lax.while_loop(lambda c: c[0] < n, body, (jnp.int32(0), x))
         return jnp.sum(out.astype(jnp.float32))
 
+    return run
+
+
+def time_modes_interleaved(q, k, v, modes, inner=16, rounds=5):
+    """Differential chained timing, modes interleaved round-robin so slow
+    relay-state drift (measured 1.6x across processes on 2026-08-19)
+    cancels out of the A/B. Returns {mode: seconds_per_iter}."""
+    runs = {m: _make_run(m) for m in modes}
     n1, n2 = jnp.int32(inner), jnp.int32(2 * inner)
-    float(run(q, n1, k, v))
-
-    def wall(n):
-        t0 = time.perf_counter()
-        float(run(q, n, k, v))
-        return time.perf_counter() - t0
-
-    t1 = min(wall(n1) for _ in range(repeats))
-    t2 = min(wall(n2) for _ in range(repeats))
-    return max((t2 - t1) / inner, 1e-9)
+    for m in modes:  # compile pass
+        float(runs[m](q, n1, k, v))
+    t1 = {m: [] for m in modes}
+    t2 = {m: [] for m in modes}
+    for _ in range(rounds):
+        for m in modes:
+            t0 = time.perf_counter()
+            float(runs[m](q, n1, k, v))
+            t1[m].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(runs[m](q, n2, k, v))
+            t2[m].append(time.perf_counter() - t0)
+    return {
+        m: max((min(t2[m]) - min(t1[m])) / inner, 1e-9) for m in modes
+    }
 
 
 def main():
-    seqs = [int(a) for a in sys.argv[1:]] or [2048, 8192]
+    seqs = (
+        [int(a) for a in sys.argv[1].split(",")] if len(sys.argv) > 1
+        else [2048, 8192]
+    )
     batch, heads, d = 1, 32, 128
     for seq in seqs:
         key = jax.random.PRNGKey(0)
@@ -216,16 +256,26 @@ def main():
             q.astype(jnp.float32), k.astype(jnp.float32),
             v.astype(jnp.float32), causal=True, sm_scale=d ** -0.5,
         )
-        for mode in ("base", "fast"):
+        modes_cli = (
+            tuple(sys.argv[2].split(","))
+            if len(sys.argv) > 2 and not sys.argv[2].isdigit()
+            else ("prod", "base", "nomask", "noexp", "mxu", "fast")
+        )
+        exact = [m for m in modes_cli if m not in ("nomask", "noexp", "mxu")]
+        for mode in exact:
             o = proto_forward(q, k, v, mode=mode)
             err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - ref)))
-            print(f"seq={seq} {mode:7s} max_err={err:.3e}", flush=True)
+            print(f"seq={seq} {mode:12s} max_err={err:.3e}", flush=True)
             assert err < 2e-2, (mode, err)
-        for mode in ("base", "nomask", "noexp", "mxu", "fast"):
-            sec = time_mode(q, k, v, mode)
+        modes = ("prod", "base", "nomask", "noexp", "mxu", "fast")
+        if len(sys.argv) > 2 and not sys.argv[2].isdigit():
+            modes = tuple(sys.argv[2].split(","))
+        secs = time_modes_interleaved(q, k, v, modes)
+        for mode in modes:
+            sec = secs[mode]
             tf = useful / sec / 1e12
             print(
-                f"seq={seq} {mode:7s} {sec * 1e6:8.1f} us  {tf:6.1f} TF/s "
+                f"seq={seq} {mode:12s} {sec * 1e6:8.1f} us  {tf:6.1f} TF/s "
                 f"({tf / 197.0 * 100:4.1f}% roofline)",
                 flush=True,
             )

@@ -12,6 +12,8 @@ self-established on the current backend. Configs (BASELINE.md):
   5. long context 32K (per-chip ring-attention compute at INT4-KV decode)
   6. engine-level serving throughput (slow; opt-in)
   7. sliding-window decode 32K ctx / 4K window (Mistral-class serving)
+  8. sliding-window chunked prefill over a deep paged cache
+  9. quantized-cache generation quality (token-match vs bf16-exact)
 
 On a CPU backend the kernels run in interpreter mode: parity rows are
 meaningful, throughput rows are not (they're still emitted, flagged
@@ -412,6 +414,47 @@ def config8_windowed_prefill(iters: int):
     return rows
 
 
+def config9_quant_quality(iters):
+    """Generation-quality gate for quantized KV caches: greedy-decode the
+    same prompts through the serving engine with a bf16 cache and with
+    each quantized dtype; report token-match rates (bench/quality.py).
+    Caveat: TINY_TEST has random weights, so argmax margins are far
+    smaller than a trained model's — rates are a *lower bound* on
+    production quality. int8 is gated (must reproduce bf16 exactly)."""
+    from tpu_flash.bench.quality import quant_quality_report
+    from tpu_flash.models import TINY_TEST, FlashTransformer
+
+    model = FlashTransformer(TINY_TEST)
+    params = model.init(jax.random.PRNGKey(0))
+    prompts = [
+        [3, 14, 15, 9, 2, 6, 53, 58],
+        [97, 93, 23, 84, 62, 64, 33, 83],
+        [11, 200, 47, 5, 130, 77, 8, 99],
+    ]
+    report = quant_quality_report(
+        model, params, prompts, max_new_tokens=32,
+        kv_dtypes=("int8", "int4", "fp8"), baseline_dtype="bfloat16",
+    )
+    rows = []
+    for dt, r in report.items():
+        row = {
+            "config": 9,
+            "name": f"quant quality {dt}-kv greedy token match "
+            "(tiny random-weight model)",
+            "metric": "prefix_match_rate",
+            "value": r["prefix_match"],
+            "positionwise_match_rate": r["positionwise_match"],
+            "n_tokens": r["n_tokens"],
+        }
+        if dt == "int8":
+            row["target"] = 0.95
+            row["pass"] = r["prefix_match"] >= 0.95
+        rows.append(row)
+        _log(f"  {dt}: prefix {r['prefix_match']:.3f} "
+             f"positionwise {r['positionwise_match']:.3f}")
+    return rows
+
+
 CONFIGS = {
     1: lambda iters: config1_parity(),
     2: config2_prefill,
@@ -422,6 +465,7 @@ CONFIGS = {
     6: config4_engine,
     7: config7_windowed_decode,
     8: config8_windowed_prefill,
+    9: config9_quant_quality,
 }
 
 

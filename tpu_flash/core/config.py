@@ -44,6 +44,12 @@ class BlockSizes:
     # scalar-prefetch grid (no predicated dead cells) instead of the
     # rectangular grid. See ops/flash/forward.py::_flash_fwd_tri_kernel.
     triangular: bool = False
+    # Triangular forward only: split each DIAGONAL cell into row-sliced
+    # sub-tiles of this KV width (column chunk [lo, lo+diag_sub) pairs with
+    # q rows [lo:]), shrinking the ~50% masked FLOPs of a square diagonal
+    # tile to ~diag_sub/(2*block) without adding grid cells; strictly
+    # interior cells then skip the causal mask entirely. None = off.
+    diag_sub: Optional[int] = None
 
     def __post_init__(self):
         for f in dataclasses.fields(self):

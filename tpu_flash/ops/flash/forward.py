@@ -260,6 +260,29 @@ def _flash_fwd_kernel(
                   sink_ref)
 
 
+def _online_softmax_update(
+    m_scratch, l_scratch, acc_scratch, s, v, lo, precision
+):
+    """One FA2 online-softmax state update on scratch rows [lo:] — the
+    reference's ``updateSoftmaxState`` + ``multiplyVAccumulateO``
+    (utils.cuh:58-81, 93-113) as a whole-tile MXU/VPU op, with deferred
+    normalization. ``lo`` must be a static row offset."""
+    m_prev = m_scratch[lo:, :]
+    l_prev = l_scratch[lo:, :]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_curr = jnp.sum(p, axis=1, keepdims=True)
+    l_scratch[lo:, :] = l_prev * alpha + l_curr
+    m_scratch[lo:, :] = m_next
+    pv = jax.lax.dot(
+        p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    acc_scratch[lo:, :] = acc_scratch[lo:, :] * alpha[:, :1] + pv
+
+
 def _flash_fwd_tri_kernel(
     # scalar prefetch
     qmap_ref,  # [n_cells] q-block index of each active cell
@@ -286,13 +309,22 @@ def _flash_fwd_tri_kernel(
     mask_kv_tail: bool,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    diag_sub: Optional[int] = None,
 ):
     """Causal forward over a TRIANGULAR cell enumeration: the grid's last
     dimension walks only the active (q, kv) block pairs (qmap/kvmap via
     scalar prefetch), so above-diagonal cells never exist — no predicated
     dead cells, which is what makes small blocks (less diagonal masking
     waste) affordable. With ``window`` the enumeration is a BAND (cells
-    below the window are dropped too). Math identical to _flash_fwd_kernel."""
+    below the window are dropped too). Math identical to _flash_fwd_kernel.
+
+    ``diag_sub`` (launcher-gated: plain causal self-attention, square
+    single-level tiles, q_offset 0, no window/segments/tail): cells are
+    then either exactly on-diagonal (thr == 0) or strictly interior
+    (thr >= block). Interior cells skip the causal mask; diagonal cells
+    run a row-sliced sub-tile walk — column chunk [lo, lo+diag_sub)
+    against q rows [lo:] — so masked FLOPs shrink from ~half the tile to
+    ~diag_sub/(2*block) of it without adding grid cells."""
     block_q = q_ref.shape[2]
     block_kv_major = k_ref.shape[2]
     c = pl.program_id(2)
@@ -321,49 +353,80 @@ def _flash_fwd_tri_kernel(
     q = q_ref[0, 0]
     if sm_scale != 1.0:
         q = q * sm_scale
-    for start in range(0, block_kv_major, block_kv):
-        k = k_ref[0, 0, start : start + block_kv, :]
-        s = jax.lax.dot_general(
-            q, k, TRANS_B_DIM_NUMBERS,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        if softcap is not None:
-            s = softcap * jnp.tanh(s * (1.0 / softcap))
-        kv_base = kv_idx * block_kv_major + start
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-        thr = q_offset + q_idx * block_q - kv_base
-        mask = (col - row) <= thr
-        if window is not None:
-            mask = jnp.logical_and(mask, (col - row) > thr - window)
-        if alibi_ref is not None:
-            s = s + alibi_ref[0:1, 0:1] * (col - row - thr).astype(
-                jnp.float32
-            )
-        if qseg_ref is not None:
-            mask = jnp.logical_and(
-                mask, _seg_mask(qseg_ref, kvseg_ref, start, block_q, block_kv)
-            )
-        if mask_kv_tail:
-            mask = jnp.logical_and(mask, col < kv_len - kv_base)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[...]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_curr = jnp.sum(p, axis=1, keepdims=True)
-        l_scratch[...] = l_prev * alpha + l_curr
-        m_scratch[...] = m_next
+    if diag_sub is not None:
+        # Launcher guarantees: q_offset == 0, block_q == block_kv_major ==
+        # block_kv, no window/segments/alibi/kv-tail. thr is then exactly 0
+        # on diagonal cells and >= block_q on interior ones.
+        thr_cell = q_idx - kv_idx  # 0 <=> diagonal
 
-        v = v_ref[0, 0, start : start + block_kv, :]
-        pv = jax.lax.dot(
-            p.astype(v.dtype), v,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+        @pl.when(thr_cell != 0)
+        def _interior():
+            s = jax.lax.dot_general(
+                q, k_ref[0, 0], TRANS_B_DIM_NUMBERS,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            if softcap is not None:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
+            _online_softmax_update(
+                m_scratch, l_scratch, acc_scratch, s, v_ref[0, 0], 0,
+                precision,
+            )
+
+        @pl.when(thr_cell == 0)
+        def _diagonal():
+            for lo in range(0, block_kv_major, diag_sub):
+                k = k_ref[0, 0, lo : lo + diag_sub, :]
+                s = jax.lax.dot_general(
+                    q[lo:, :], k, TRANS_B_DIM_NUMBERS,
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                if softcap is not None:
+                    s = softcap * jnp.tanh(s * (1.0 / softcap))
+                rows = block_q - lo
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, diag_sub), 1
+                )
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, diag_sub), 0
+                )
+                s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+                _online_softmax_update(
+                    m_scratch, l_scratch, acc_scratch, s,
+                    v_ref[0, 0, lo : lo + diag_sub, :], lo, precision,
+                )
+    else:
+        for start in range(0, block_kv_major, block_kv):
+            k = k_ref[0, 0, start : start + block_kv, :]
+            s = jax.lax.dot_general(
+                q, k, TRANS_B_DIM_NUMBERS,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            if softcap is not None:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
+            kv_base = kv_idx * block_kv_major + start
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            thr = q_offset + q_idx * block_q - kv_base
+            mask = (col - row) <= thr
+            if window is not None:
+                mask = jnp.logical_and(mask, (col - row) > thr - window)
+            if alibi_ref is not None:
+                s = s + alibi_ref[0:1, 0:1] * (col - row - thr).astype(
+                    jnp.float32
+                )
+            if qseg_ref is not None:
+                mask = jnp.logical_and(
+                    mask,
+                    _seg_mask(qseg_ref, kvseg_ref, start, block_q, block_kv),
+                )
+            if mask_kv_tail:
+                mask = jnp.logical_and(mask, col < kv_len - kv_base)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            _online_softmax_update(
+                m_scratch, l_scratch, acc_scratch, s,
+                v_ref[0, 0, start : start + block_kv, :], 0, precision,
+            )
 
     @pl.when(islast_ref[c] == 1)
     def _epilogue():
@@ -548,6 +611,21 @@ def flash_attention_forward(
     ]
 
     if causal and (triangular or block_sizes.triangular):
+        # Diagonal sub-tiling applies only to the plain causal
+        # self-attention cell geometry where thr == 0 identifies diagonal
+        # cells exactly (see _flash_fwd_tri_kernel).
+        diag_sub = getattr(block_sizes, "diag_sub", None)
+        if diag_sub is not None and not (
+            q_offset == 0
+            and kv_len == kv_len_padded
+            and window is None
+            and q_seg is None
+            and alibi is None
+            and block_q == block_kv_major == block_kv
+            and block_q % diag_sub == 0
+            and diag_sub % 128 == 0
+        ):
+            diag_sub = None
         return _forward_triangular(
             q, k, v,
             sm_scale=sm_scale, block_q=block_q,
@@ -557,6 +635,7 @@ def flash_attention_forward(
             q_per_kv=q_per_kv, save_residuals=save_residuals,
             interpret=interpret, window=window, softcap=softcap,
             q_seg=q_seg, kv_seg=kv_seg, sinks=sinks, alibi=alibi,
+            diag_sub=diag_sub,
         )
 
     # 2 matmuls (QK^T and PV), 2*M*N*K flops each.
@@ -632,7 +711,7 @@ def _forward_triangular(
     q, k, v, *, sm_scale, block_q, block_kv_major, block_kv, q_offset,
     kv_len, num_q_blocks, num_kv_blocks, q_per_kv, save_residuals,
     interpret, window=None, softcap=None, q_seg=None, kv_seg=None,
-    sinks=None, alibi=None,
+    sinks=None, alibi=None, diag_sub=None,
 ):
     """Causal forward over the active-cell enumeration (triangular grid)."""
     batch, num_q_heads, q_len, head_dim = q.shape
@@ -725,6 +804,7 @@ def _forward_triangular(
         mask_kv_tail=kv_len < kv_len_padded,
         window=window,
         softcap=softcap,
+        diag_sub=diag_sub,
     )
     def kernel(*refs):
         it = iter(refs)
