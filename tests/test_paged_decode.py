@@ -86,6 +86,96 @@ class TestPagedDecode:
         ref = reference_decode_attention(q, k_dense, v_dense, lengths)
         np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
+    def test_fp8_native_mxu_tier_close_to_exact(self):
+        """The v6e-native fp8 tier (e4m3 operands straight into the MXU,
+        rank-1 renormalized q/P rows) must stay within fp8-class error of
+        the exact f32-dequant tier. Forced on here (the capability probe
+        says off for CPU/v5e) so the path is CI-covered before v6e
+        hardware is available (VERDICT r1 item 10)."""
+        batch, hkv, d, ps, pps = 2, 2, 128, 128, 4
+        key = jax.random.PRNGKey(13)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.array([512, 170], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 32, ps, d, batch, pps, lengths
+        )
+        kq8 = quantize_pages(k_pages, "fp8")
+        vq8 = quantize_pages(v_pages, "fp8")
+        q = jax.random.normal(kq, (batch, 4 * hkv, d))
+        exact = paged_attention(
+            q, kq8, vq8, lengths, page_indices, pages_per_compute_block=2,
+            fp8_native=False,
+        )
+        native = paged_attention(
+            q, kq8, vq8, lengths, page_indices, pages_per_compute_block=2,
+            fp8_native=True,
+        )
+        # q/P rows re-rounded to e4m3 (~2^-4 relative) on top of the
+        # shared KV quantization error.
+        np.testing.assert_allclose(
+            np.asarray(native), np.asarray(exact), atol=8e-2, rtol=8e-2
+        )
+
+    def test_int4_bitwise_unpack_matches_i32_unpack(self):
+        """The bitwise nibble path (i8 AND/XOR planes, bias/x16 folded
+        into matmul corrections and scales) must agree with the classic
+        i32 unpack path within the PV P-quantization split's rounding
+        (K scores are bitwise-identical by construction; only the
+        per-half P scales differ)."""
+        batch, hkv, d, ps, pps = 2, 2, 128, 128, 4
+        key = jax.random.PRNGKey(11)
+        kq, kc = jax.random.split(key)
+        lengths = jnp.array([512, 170], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 32, ps, d, batch, pps, lengths
+        )
+        kq4 = quantize_pages(k_pages, "int4")
+        vq4 = quantize_pages(v_pages, "int4")
+        q = jax.random.normal(kq, (batch, 4 * hkv, d))
+        old = paged_attention(
+            q, kq4, vq4, lengths, page_indices, pages_per_compute_block=2,
+            int4_bitwise_unpack=False,
+        )
+        new = paged_attention(
+            q, kq4, vq4, lengths, page_indices, pages_per_compute_block=2,
+            int4_bitwise_unpack=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new), np.asarray(old), atol=3e-2, rtol=3e-2
+        )
+
+    @pytest.mark.parametrize("slots", [3, 4])
+    @pytest.mark.parametrize("quant", [None, "int8", "int4"])
+    def test_pipeline_slots_exact_vs_double_buffer(self, slots, quant):
+        """Deeper page pipelines (pipeline_slots > 2) rotate through more
+        VMEM buffers with a longer DMA lookahead; results must be bitwise
+        identical to the 2-slot double buffer — interpret mode executes the
+        walk serially, so any slot/lookahead indexing bug shows up as a
+        wrong tile, not a race."""
+        batch, hkv, d, ps, pps = 3, 2, 128, 128, 4
+        key = jax.random.PRNGKey(7)
+        kq, kc = jax.random.split(key)
+        # Ragged lengths so the active-cell walk skips blocks (the slot
+        # rotation is driven by active-cell count, not grid position).
+        lengths = jnp.array([512, 130, 1], dtype=jnp.int32)
+        k_pages, v_pages, page_indices = _make_paged_cache(
+            kc, hkv, 64, ps, d, batch, pps, lengths
+        )
+        if quant is not None:
+            k_pages = quantize_pages(k_pages, quant)
+            v_pages = quantize_pages(v_pages, quant)
+        q = jax.random.normal(kq, (batch, 2 * hkv, d))
+
+        base = paged_attention(
+            q, k_pages, v_pages, lengths, page_indices,
+            pages_per_compute_block=2, pipeline_slots=2,
+        )
+        out = paged_attention(
+            q, k_pages, v_pages, lengths, page_indices,
+            pages_per_compute_block=2, pipeline_slots=slots,
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
     def test_partial_last_block_masked(self):
         # length cuts mid-page and mid-block.
         batch, hkv, d, ps, pps = 1, 1, 128, 128, 4

@@ -68,6 +68,30 @@ class TestQuantizedParity:
         assert err < bound, f"quant error {err} exceeds {bound}"
 
 
+@pytest.mark.parametrize("causal", [False, True])
+class TestFp8NativeTier:
+    def test_fp8_native_close_to_software_tier(self, causal):
+        """The v6e-native fp8 tier (e4m3 straight into the MXU, rank-1
+        renormalized e4m3 P) must stay within fp8-class rounding of the
+        software-cast tier. Forced on (the device probe says off for
+        CPU/v5e) so the path is CI-covered pre-v6e (VERDICT r1 item 10)."""
+        q, k, v = _rand_qkv(jax.random.PRNGKey(2), 1, 4, 2, 256, 256, 128)
+        qi = quantize_attention_inputs(q, k, v, "fp8")
+        soft = flash_attention_quantized(
+            qi, causal=causal, block_sizes=BS, out_dtype=jnp.float32,
+            interpret=True, fp8_native=False,
+        )
+        native = flash_attention_quantized(
+            qi, causal=causal, block_sizes=BS, out_dtype=jnp.float32,
+            interpret=True, fp8_native=True,
+        )
+        # P re-rounded to e4m3 (~2^-4 relative) is the only new rounding;
+        # the scores matmul is the same e4m3 values either way.
+        np.testing.assert_allclose(
+            np.asarray(native), np.asarray(soft), atol=8e-2, rtol=8e-2
+        )
+
+
 class TestQuantizedShapes:
     def test_gqa_grouping(self):
         q, k, v = _rand_qkv(jax.random.PRNGKey(2), 2, 8, 2, 128, 256, 128)

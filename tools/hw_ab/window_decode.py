@@ -23,22 +23,35 @@ lengths = jnp.full((B,), CTX - 3, jnp.int32)
 for mode in ("bf16", "int8"):
     if mode == "bf16":
         kp, vp = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
-        def step(q, window):
-            return paged_attention(q, kp, vp, lengths, tables, window=window)
+        parts = (kp, vp)
+        rebuild = lambda kv, vv: (kv, vv)
     else:
         kq8, vq8 = quantize_pages(kf, "int8"), quantize_pages(vf, "int8")
-        def step(q, window):
-            return paged_attention(q, kq8, vq8, lengths, tables,
-                                   window=window)
+        parts = (kq8.values, kq8.scales, vq8.values, vq8.scales)
+        rebuild = lambda kv, ks, vv, vs: (
+            QuantizedTensor(kv, ks, "int8", "lanes"),
+            QuantizedTensor(vv, vs, "int8", "lanes"),
+        )
 
-    o_full = np.asarray(jax.jit(lambda q: step(q, None))(q))
-    o_win = np.asarray(jax.jit(lambda q: step(q, W))(q))
+    # KV pages ride as jit ARGUMENTS (raw arrays — QuantizedTensor has
+    # static string fields): captured device arrays embed as HLO
+    # constants and blow the relay's remote-compile request limit.
+    def step(q, window, *parts):
+        kp, vp = rebuild(*parts)
+        return paged_attention(q, kp, vp, lengths, tables, window=window)
+
+    o_full = np.asarray(
+        jax.jit(lambda q, *p: step(q, None, *p))(q, *parts))
+    o_win = np.asarray(
+        jax.jit(lambda q, *p: step(q, W, *p))(q, *parts))
     print(f"{mode}: compiled; outputs differ as expected "
           f"(window changes attention set): "
           f"{float(np.max(np.abs(o_full - o_win))):.3f}", flush=True)
 
-    t_full = _time_chained(lambda q: step(q, None), q, inner=32)
-    t_win = _time_chained(lambda q: step(q, W), q, inner=32)
+    t_full = _time_chained(lambda q, *p: step(q, None, *p),
+                           q, *parts, inner=32)
+    t_win = _time_chained(lambda q, *p: step(q, W, *p),
+                          q, *parts, inner=32)
     toks = B / t_win
     print(f"{mode}: full-ctx {t_full*1e6:.0f} us/step, window-{W} "
           f"{t_win*1e6:.0f} us/step ({t_full/t_win:.2f}x faster, "

@@ -136,10 +136,13 @@ def _paged_attn_kernel(
     sm_scale: float,
     kv_quant: Optional[str],  # None | "int8" | "int4"
     int8_mxu: bool = False,  # quantized payloads ride the int8 MXU
+    int4_bitwise_unpack: bool = True,  # nibble planes via i8 AND/XOR
+    fp8_native: bool = False,  # e4m3 pages feed the MXU directly (v6e+)
     skip_scale_dma: bool = False,  # perf diagnostics only (wrong numerics)
     skip_scale_mul: bool = False,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    num_slots: int = 2,  # page-pipeline depth (2 = double buffering)
     sink_ref=None,  # VMEM [1, q_per_kv_p, NUM_LANES] per-head sink or None
     alibi_ref=None,  # VMEM [1, q_per_kv_p, NUM_LANES] per-head slope or None
 ):
@@ -175,17 +178,21 @@ def _paged_attn_kernel(
             page_size=page_size,
         )
 
-    def next_block_indices(b, h, i):
+    def next_block_indices(bb, hh, ii):
         """Next *active* (b, h, block) in grid order; sequences are
         guaranteed length >= 1 so every (b, h) has >= 1 active block.
         With a sliding window the walk starts at the sequence's first
-        in-window block, not 0."""
-        ni = i + 1
-        roll_h = ni >= num_active
-        nh = jnp.where(roll_h, h + 1, h)
+        in-window block, not 0. Safe to chain past the last cell: the
+        batch index grows monotonically past ``batch`` (clamp guards the
+        lengths lookups), so ``nb < batch`` stays the validity test."""
+        ln = lengths_ref[jnp.minimum(bb, batch - 1)]
+        na = pl.cdiv(ln, bk)
+        ni = ii + 1
+        roll_h = ni >= na
+        nh = jnp.where(roll_h, hh + 1, hh)
         roll_b = nh >= num_kv_heads
         nh = jnp.where(roll_b, 0, nh)
-        nb = jnp.where(roll_b, b + 1, b)
+        nb = jnp.where(roll_b, bb + 1, bb)
         # First block of the NEXT (b, h): same b unless rolling batch.
         nfirst = first_block(lengths_ref[jnp.minimum(nb, batch - 1)])
         ni = jnp.where(roll_h, nfirst, ni)
@@ -200,9 +207,10 @@ def _paged_attn_kernel(
             acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
         # --- pipeline bookkeeping ---
-        # The double-buffer slot parity is the count of *active* grid cells
-        # before this one (statelessly recomputed; active cells alternate
-        # slots, inactive cells are skipped by the walk).
+        # The buffer-slot index cycles with the count of *active* grid
+        # cells before this one (statelessly recomputed; active cells
+        # rotate through the ``num_slots`` buffers, inactive cells are
+        # skipped by the walk).
         def count_before(bb):
             def body(x, acc):
                 lx = lengths_ref[x]
@@ -216,33 +224,42 @@ def _paged_attn_kernel(
             + h * (num_active - first_active)
             + (i - first_active)
         )
-        slot = jax.lax.rem(cells_before, 2)
+        slot = jax.lax.rem(cells_before, num_slots)
+
+        def start_copies(bb, hh, ii, ss):
+            make_copy(
+                k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
+                k_scale_sem, bb, hh, ii, ss,
+            ).start()
+            make_copy(
+                v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
+                v_scale_sem, bb, hh, ii, ss,
+            ).start()
 
         @pl.when(cells_before == 0)
         def _prime_first():
-            make_copy(
-                k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
-                k_scale_sem, b, h, i, 0,
-            ).start()
-            make_copy(
-                v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
-                v_scale_sem, b, h, i, 0,
-            ).start()
+            # Fill the pipeline: cells 0 .. num_slots-2 into slots 0..n-2
+            # (each subsequent cell keeps the steady-state lookahead of
+            # num_slots-1 cells).
+            pb, ph, pi = b, h, i
+            start_copies(pb, ph, pi, 0)
+            for s in range(1, num_slots - 1):
+                pb, ph, pi = next_block_indices(pb, ph, pi)
+                sb, sh, si, ss = pb, ph, pi, s
 
-        # --- prefetch next active block ---
-        nb, nh, ni = next_block_indices(b, h, i)
+                @pl.when(sb < batch)
+                def _prime_s(sb=sb, sh=sh, si=si, ss=ss):
+                    start_copies(sb, sh, si, ss)
+
+        # --- prefetch the block num_slots-1 cells ahead ---
+        nb, nh, ni = b, h, i
+        for _ in range(num_slots - 1):
+            nb, nh, ni = next_block_indices(nb, nh, ni)
 
         @pl.when(nb < batch)
         def _prefetch_next():
-            next_slot = 1 - slot
-            make_copy(
-                k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
-                k_scale_sem, nb, nh, ni, next_slot,
-            ).start()
-            make_copy(
-                v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
-                v_scale_sem, nb, nh, ni, next_slot,
-            ).start()
+            next_slot = jax.lax.rem(cells_before + num_slots - 1, num_slots)
+            start_copies(nb, nh, ni, next_slot)
 
         # --- wait K, compute scores ---
         make_copy(
@@ -252,8 +269,39 @@ def _paged_attn_kernel(
 
         q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [q_per_kv, d]
 
+        int4_bitwise = (
+            kv_quant == "int4" and int8_mxu and int4_bitwise_unpack
+            and not skip_scale_mul
+        )
+        # Nibble planes without any i32 round trip (int4 MXU fast path):
+        # Mosaic legalizes AND/XOR on i8 vectors but not shifts/adds
+        # (BENCHLOG 2026-08-17), so the split-packed byte 16*hi + lo
+        # decomposes as
+        #   lo + 8 = (byte & 0x0F) ^ 0x08   (exact, in [0, 15])
+        #   16*hi  =  byte & 0xF0           (exact as signed i8)
+        # and the +8 bias / x16 factor are folded into rank-1 matmul
+        # corrections and the per-token scales — the [tokens, d] VPU
+        # i8->i32 widening + shifts + i32->i8 narrowing of the unpack
+        # path (the measured int4 bottleneck, VERDICT r1 item 5) never
+        # happen.
+        half_rows = (page_size // 2) * pages_per_block if int4_bitwise else 0
+
+        def nibble_planes(raw):
+            # raw: [ppb, ps/2, d] packed i8 -> (lo+8, 16*hi) planes,
+            # each [ppb, ps/2, d] i8 (split layout: plane rows are the
+            # page's token halves [0, ps/2) and [ps/2, ps)).
+            lo = (raw & jnp.int8(0x0F)) ^ jnp.int8(0x08)
+            hi = raw & jnp.int8(-16)  # 0xF0 as signed i8
+            return lo, hi
+
+        def lohi_col_mask(shape):
+            # [*, bk] mask: True where the column's within-page token
+            # index falls in the low-nibble half [0, ps/2).
+            tok = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+            return (tok % page_size) < (page_size // 2)
+
         k_raw = k_buf[slot]  # [ppb, page_rows, head_dim]
-        if kv_quant == "int4":
+        if kv_quant == "int4" and not int4_bitwise:
             # Token-packed nibbles: [ppb, ps/2, d] -> [ppb, ps, d].
             k_raw = _unpack_int4_tokens(k_raw)
 
@@ -265,26 +313,59 @@ def _paged_attn_kernel(
         # the kernel meets the exactness contract vs the oracle.
         native_bf16 = kv_quant is None and k_raw.dtype == jnp.bfloat16
         quant_mxu = quantized and int8_mxu and kv_quant != "fp8"
+        fp8_mxu = kv_quant == "fp8" and fp8_native
         precision = jax.lax.Precision.HIGHEST
-        if quant_mxu:
+        if fp8_mxu:
+            # v6e+ tier: e4m3 K pages feed the MXU directly; q rows are
+            # renormalized into e4m3's range per row (rank-1 dequant, as
+            # the int8-MXU path does with 127). The [bk, d] VPU
+            # fp8->f32 dequant of the exact tier never happens.
+            q_abs = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+            q_scale = jnp.where(q_abs == 0.0, 1.0, q_abs / 448.0)
+            q8 = (q / q_scale).astype(jnp.float8_e4m3fn)
+            s = jax.lax.dot_general(
+                q8, k_raw.reshape(bk, head_dim),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * q_scale
+        elif quant_mxu:
             # int8 MXU scores: quantize the (tiny) q rows in-kernel and
             # dot int8 x int8 -> int32, then rank-1 dequant — the [bk, d]
             # VPU int->f32 conversion (the measured int8-decode bottleneck,
             # BENCHLOG 2026-08-16) never happens; only the [q, bk] result
             # converts. sm_scale is already folded into q, so q_scale
             # carries it through the dequant.
-            k8 = k_raw.reshape(bk, head_dim)
-            if k8.dtype != jnp.int8:
-                k8 = k8.astype(jnp.int8)  # int4 path: unpacked int32 vals
             q_abs = jnp.max(jnp.abs(q), axis=1, keepdims=True)
             q_scale = jnp.where(q_abs == 0.0, 1.0, q_abs / 127.0)
             q8 = jnp.clip(
                 jnp.round(q / q_scale), -127, 127
             ).astype(jnp.int8)
-            s = jax.lax.dot_general(
-                q8, k8, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * q_scale
+            if int4_bitwise:
+                # One bk-wide matmul on the biased nibble planes; the +8
+                # lo bias cancels against 8 * rowsum(q8) (exact int math,
+                # bitwise-identical scores to the unpack path) and the
+                # hi x16 cancels in the column scales below.
+                k_lo, k_hi = nibble_planes(k_raw)
+                k8 = jnp.concatenate([k_lo, k_hi], axis=-2).reshape(
+                    bk, head_dim
+                )
+                rsum_q = jnp.sum(
+                    q8.astype(jnp.int32), axis=1, keepdims=True
+                ).astype(jnp.float32)
+                s_i = jax.lax.dot_general(
+                    q8, k8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                is_lo = lohi_col_mask(s_i.shape).astype(jnp.float32)
+                s = (s_i - 8.0 * rsum_q * is_lo) * q_scale
+            else:
+                k8 = k_raw.reshape(bk, head_dim)
+                if k8.dtype != jnp.int8:
+                    k8 = k8.astype(jnp.int8)  # int4: unpacked int32 vals
+                s = jax.lax.dot_general(
+                    q8, k8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * q_scale
         else:
             if native_bf16:
                 k_f = k_raw.reshape(bk, head_dim)
@@ -298,7 +379,15 @@ def _paged_attn_kernel(
                 preferred_element_type=jnp.float32, precision=precision,
             )  # [q_per_kv, bk]
         if quantized and not skip_scale_mul:
-            s = s * k_scale_buf[slot]  # [1, bk] column scales
+            kscale = k_scale_buf[slot]  # [1, bk] column scales
+            if int4_bitwise:
+                # Hi-nibble columns carry 16x values; 1/16 is a power of
+                # two, so scale/16 rounds identically to dividing the
+                # score — bitwise-equal to the unpack path.
+                kscale = kscale * jnp.where(
+                    lohi_col_mask(kscale.shape), 1.0, 1.0 / 16.0
+                )
+            s = s * kscale
         if softcap is not None:
             s = softcap * jnp.tanh(s * (1.0 / softcap))
 
@@ -333,9 +422,57 @@ def _paged_attn_kernel(
         ).wait()
 
         v_raw = v_buf[slot]
-        if kv_quant == "int4":
+        if kv_quant == "int4" and not int4_bitwise:
             v_raw = _unpack_int4_tokens(v_raw)
-        if quant_mxu:
+        if fp8_mxu:
+            # PV on the fp8 MXU: renormalize each (p * v_scale) row into
+            # e4m3's range; the e4m3 V payload is the matmul operand.
+            pv_f = p * v_scale_buf[slot]
+            c = jnp.max(pv_f, axis=1, keepdims=True)
+            c = jnp.where(c == 0.0, 1.0, c / 448.0)
+            p8 = (pv_f / c).astype(jnp.float8_e4m3fn)
+            out = jax.lax.dot(
+                p8, v_raw.reshape(bk, head_dim),
+                preferred_element_type=jnp.float32,
+            ) * c
+            acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
+        elif quant_mxu and int4_bitwise:
+            # PV without unpacking: one half-width matmul per nibble
+            # plane. P's columns split per page into the (lo, hi) token
+            # halves; each half is scale-folded and quantized separately
+            # (so the hi half's x16 payload costs no P-quantization
+            # bits), the lo half's +8 bias cancels against
+            # 8 * rowsum(p8_lo), and the hi product is rescaled by the
+            # exact power-of-two 1/16 at the end.
+            rows = p.shape[0]
+            v_lo, v_hi = nibble_planes(v_buf[slot])
+            v_lo = v_lo.reshape(half_rows, head_dim)
+            v_hi = v_hi.reshape(half_rows, head_dim)
+            pv = p * v_scale_buf[slot]
+            pv3 = pv.reshape(rows, pages_per_block, page_size)
+            p_lo = pv3[:, :, : page_size // 2].reshape(rows, half_rows)
+            p_hi = pv3[:, :, page_size // 2 :].reshape(rows, half_rows)
+
+            def quant_p(ph):
+                a = jnp.max(ph, axis=1, keepdims=True)
+                sc = jnp.where(a == 0.0, 1.0, a / 127.0)
+                return jnp.clip(
+                    jnp.round(ph / sc), 0, 127
+                ).astype(jnp.int8), sc
+
+            p8_lo, sc_lo = quant_p(p_lo)
+            p8_hi, sc_hi = quant_p(p_hi)
+            corr = 8 * jnp.sum(
+                p8_lo.astype(jnp.int32), axis=1, keepdims=True
+            )
+            out = (
+                jax.lax.dot(p8_lo, v_lo, preferred_element_type=jnp.int32)
+                - corr
+            ).astype(jnp.float32) * sc_lo + jax.lax.dot(
+                p8_hi, v_hi, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (sc_hi * (1.0 / 16.0))
+            acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
+        elif quant_mxu:
             # PV on the int8 MXU: fold the per-token V scales into P's
             # columns (as the f32 path does), quantize the P rows, dot
             # int8, rank-1 dequant. P >= 0 so the int8 range is one-sided.
@@ -402,6 +539,9 @@ def paged_attention(
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
     alibi: Optional[jax.Array] = None,  # [num_q_heads] ALiBi slopes
+    pipeline_slots: int = 2,
+    int4_bitwise_unpack: bool = False,
+    fp8_native: Optional[bool] = None,
     _debug_skip_scale_dma: bool = False,  # perf diagnostics; WRONG numerics
     _debug_skip_dequant_mul: bool = False,
 ) -> jax.Array:
@@ -438,12 +578,36 @@ def paged_attention(
         fully-dequantized scores before masking.
       sinks: [num_q_heads] per-head attention-sink logits (StreamingLLM /
         gpt-oss): each head's softmax denominator gains ``exp(sinks[h])``.
+      pipeline_slots: page-pipeline depth. 2 = classic double buffering
+        (the reference's 2-stage ``cuda::pipeline``, FlashAttention.cuh:
+        68-75); 3 adds one more in-flight block of DMA lookahead at the
+        cost of 1.5x the KV VMEM buffers. Measured on v5e the 2-slot
+        default fully hides DMA latency (BENCHLOG 2026-08-19 A/B).
+      int4_bitwise_unpack: route int4 nibble extraction through i8
+        AND/XOR planes with matmul-folded corrections instead of the
+        i32 unpack. Measured 0.84-0.89x on v5e (the corrections and P
+        relayouts cost more than the converts saved — BENCHLOG
+        2026-08-19); kept as the recorded third dead end, default off.
+      fp8_native: fp8 pages only — feed e4m3 payloads to the MXU
+        directly (rank-1 renormalized q/P rows) instead of the exact
+        f32-dequant tier. Default (None) probes the device: on for
+        v6e+ (native fp8 MXU), off for v5e/CPU.
 
     Returns:
       [batch, num_q_heads, head_dim] attention output in q.dtype.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if fp8_native is None:
+        # fp8 pages ride the MXU natively on v6e+; earlier generations
+        # (and CPU interpret) take the exact f32-dequant tier.
+        from tpu_flash.utils.device import device_info
+
+        fp8_native = (
+            isinstance(k_pages, QuantizedTensor)
+            and k_pages.dtype_name == "fp8"
+            and device_info().native_fp8_matmul
+        )
     if window is not None and window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     if softcap is not None and softcap <= 0:
@@ -501,6 +665,9 @@ def paged_attention(
         )
     num_blocks = pages_per_seq // ppb
     bk = ppb * page_size
+    ns = int(pipeline_slots)
+    if ns < 2:
+        raise ValueError(f"pipeline_slots must be >= 2, got {pipeline_slots}")
 
     q4 = q.reshape(batch, num_kv_heads, q_per_kv, head_dim)
     if q_per_kv_p != q_per_kv:
@@ -548,14 +715,14 @@ def paged_attention(
             pltpu.VMEM((q_per_kv_p, 128), jnp.float32),  # m
             pltpu.VMEM((q_per_kv_p, 128), jnp.float32),  # l
             pltpu.VMEM((q_per_kv_p, head_dim), jnp.float32),  # acc
-            pltpu.VMEM((2, ppb, page_rows, payload_d), k_vals.dtype),
-            pltpu.VMEM((2, 1, bk), jnp.float32),  # k scales (flat rows)
-            pltpu.VMEM((2, ppb, page_rows, payload_d), v_vals.dtype),
-            pltpu.VMEM((2, 1, bk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ns, ppb, page_rows, payload_d), k_vals.dtype),
+            pltpu.VMEM((ns, 1, bk), jnp.float32),  # k scales (flat rows)
+            pltpu.VMEM((ns, ppb, page_rows, payload_d), v_vals.dtype),
+            pltpu.VMEM((ns, 1, bk), jnp.float32),
+            pltpu.SemaphoreType.DMA((ns,)),
+            pltpu.SemaphoreType.DMA((ns,)),
+            pltpu.SemaphoreType.DMA((ns,)),
+            pltpu.SemaphoreType.DMA((ns,)),
         ],
     )
 
@@ -574,6 +741,9 @@ def paged_attention(
         skip_scale_mul=_debug_skip_dequant_mul,
         window=int(window) if window is not None else None,
         softcap=float(softcap) if softcap is not None else None,
+        num_slots=ns,
+        int4_bitwise_unpack=int4_bitwise_unpack,
+        fp8_native=bool(fp8_native),
     )
 
     if kv_quant is None:

@@ -106,6 +106,7 @@ def _quant_fwd_kernel(
     num_kv_blocks: int,
     mask_kv_tail: bool,
     is_int8: bool,
+    fp8_native: bool = False,
     triangular: bool = False,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
@@ -159,10 +160,10 @@ def _quant_fwd_kernel(
 
     @pl.when(should_run)
     def _run():
-        if is_int8:
-            q = q_ref[0, 0]  # stays int8 for the MXU
+        if is_int8 or fp8_native:
+            q = q_ref[0, 0]  # stays int8 / e4m3 for the MXU
         else:
-            q = q_ref[0, 0].astype(jnp.bfloat16)
+            q = q_ref[0, 0].astype(jnp.bfloat16)  # software e4m3 cast
         # Per-row q scale column (lane-replicated input, use one lane),
         # with sm_scale folded in: one multiply covers both.
         q_scale = qs_ref[0, 0][:, :1] * sm_scale  # [block_q, 1]
@@ -174,6 +175,12 @@ def _quant_fwd_kernel(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 ).astype(jnp.float32)
+            elif fp8_native:
+                # v6e+ tier: the MXU consumes e4m3 operands directly.
+                s_raw = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             else:
                 s_raw = jax.lax.dot_general(
                     q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
@@ -222,11 +229,26 @@ def _quant_fwd_kernel(
             # PV with the V dequant folded into P's columns:
             # sum_j p_j (v_j s_vj) = sum_j (p_j s_vj) v_j.
             v_scale = vs_ref[0, 0, :, start : start + block_kv]  # [1, bkv]
-            p_scaled = (p * v_scale).astype(jnp.bfloat16)
-            v = v_ref[0, 0, start : start + block_kv, :].astype(jnp.bfloat16)
-            pv = jax.lax.dot(
-                p_scaled, v, preferred_element_type=jnp.float32
-            )
+            if fp8_native and not is_int8:
+                # PV on the fp8 MXU: renormalize each (p * v_scale) row
+                # into e4m3's range (rank-1, exact to e4m3 rounding) so
+                # the V payload never leaves e4m3.
+                pv_f = p * v_scale
+                c = jnp.max(pv_f, axis=1, keepdims=True)
+                c = jnp.where(c == 0.0, 1.0, c / FP8_MAX)
+                p_f8 = (pv_f / c).astype(jnp.float8_e4m3fn)
+                v = v_ref[0, 0, start : start + block_kv, :]
+                pv = jax.lax.dot(
+                    p_f8, v, preferred_element_type=jnp.float32
+                ) * c
+            else:
+                p_scaled = (p * v_scale).astype(jnp.bfloat16)
+                v = v_ref[0, 0, start : start + block_kv, :].astype(
+                    jnp.bfloat16
+                )
+                pv = jax.lax.dot(
+                    p_scaled, v, preferred_element_type=jnp.float32
+                )
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
 
     if triangular:
@@ -269,6 +291,7 @@ def flash_attention_quantized(
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,  # [num_q_heads] sink logits
     alibi: Optional[jax.Array] = None,  # [num_q_heads] ALiBi slopes
+    fp8_native: Optional[bool] = None,
 ) -> jax.Array:
     """Fused attention over quantized Q/K/V (INT8 or FP8-e4m3 payloads).
 
@@ -279,10 +302,22 @@ def flash_attention_quantized(
     kv % block_kv_major == 0); for a ragged true KV length, zero-pad K/V
     to alignment and pass the true length as ``kv_len`` — the kernel masks
     the padded tail so it contributes no probability mass.
+
+    ``fp8_native`` (fp8 payloads only): feed e4m3 operands to the MXU
+    directly — scores as e4m3 x e4m3 and PV with a rank-1 renormalized
+    e4m3 P — instead of the software e4m3->bf16 cast tier. Default
+    (None) probes the attached device (native fp8 MXU is v6e+,
+    utils/device.py); pass True/False to force a tier.
     """
     qv, qs, kv_, ks, vv, vs, dtype_name = inputs
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if fp8_native is None:
+        from tpu_flash.utils.device import device_info
+
+        fp8_native = (
+            dtype_name == "fp8" and device_info().native_fp8_matmul
+        )
     batch, num_q_heads, q_len, head_dim = qv.shape
     _, num_kv_heads, kv_len_stored, _ = kv_.shape
     if kv_len is None:
@@ -386,6 +421,7 @@ def flash_attention_quantized(
         num_kv_blocks=num_kv_blocks,
         mask_kv_tail=kv_len < kv_len_stored,
         is_int8=dtype_name == "int8",
+        fp8_native=bool(fp8_native) and dtype_name == "fp8",
         triangular=triangular,
         window=int(window) if window is not None else None,
         softcap=float(softcap) if softcap is not None else None,

@@ -15,18 +15,23 @@ from typing import Optional
 import jax
 
 # Per-generation hardware table. Bandwidth in GB/s, VMEM/HBM in bytes,
-# peak dense TFLOP/s at bf16. Sources: public TPU spec sheets.
+# peak dense TFLOP/s at bf16. native_fp8: the MXU multiplies e4m3
+# operands directly (v6e+/Trillium); earlier generations emulate fp8
+# matmuls with a software e4m3->bf16 cast per tile (~2.4x slower than
+# int8 on v5e, BENCHLOG). Sources: public TPU spec sheets.
 _GENERATION_TABLE = {
-    # kind-substring: (hbm_gb, hbm_gbps, vmem_bytes, bf16_tflops, mxus_per_core)
-    "v4": (32, 1228, 128 * 2**20, 275, 4),
-    "v5 lite": (16, 819, 128 * 2**20, 197, 4),
-    "v5e": (16, 819, 128 * 2**20, 197, 4),
-    "v5p": (95, 2765, 128 * 2**20, 459, 8),
-    "v5": (16, 819, 128 * 2**20, 197, 4),
-    "v6e": (32, 1640, 128 * 2**20, 918, 8),
-    "v6 lite": (32, 1640, 128 * 2**20, 918, 8),
+    # kind-substring:
+    #   (hbm_gb, hbm_gbps, vmem_bytes, bf16_tflops, mxus_per_core, native_fp8)
+    "v4": (32, 1228, 128 * 2**20, 275, 4, False),
+    "v5 lite": (16, 819, 128 * 2**20, 197, 4, False),
+    "v5e": (16, 819, 128 * 2**20, 197, 4, False),
+    "v5p": (95, 2765, 128 * 2**20, 459, 8, False),
+    "v5": (16, 819, 128 * 2**20, 197, 4, False),
+    "v6e": (32, 1640, 128 * 2**20, 918, 8, True),
+    "v6 lite": (32, 1640, 128 * 2**20, 918, 8, True),
+    "v7": (192, 7400, 128 * 2**20, 2307, 8, True),
 }
-_DEFAULT_ROW = (16, 819, 128 * 2**20, 197, 4)
+_DEFAULT_ROW = (16, 819, 128 * 2**20, 197, 4, False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +45,8 @@ class DeviceInfo:
     vmem_bytes: int
     peak_bf16_tflops: float
     mxu_shape: tuple = (128, 128)
+    # e4m3 operands feed the MXU directly (no software cast): v6e+.
+    native_fp8_matmul: bool = False
 
     @property
     def peak_fp32_tflops(self) -> float:
@@ -65,7 +72,7 @@ def device_info(device: Optional[jax.Device] = None) -> DeviceInfo:
         if key in kind_l:
             row = _GENERATION_TABLE[key]
             break
-    hbm_gb, hbm_gbps, vmem, tflops, _ = row
+    hbm_gb, hbm_gbps, vmem, tflops, _, native_fp8 = row
     return DeviceInfo(
         kind=kind,
         platform=dev.platform,
@@ -75,6 +82,7 @@ def device_info(device: Optional[jax.Device] = None) -> DeviceInfo:
         hbm_bandwidth_gbps=hbm_gbps,
         vmem_bytes=vmem,
         peak_bf16_tflops=tflops,
+        native_fp8_matmul=native_fp8,
     )
 
 
@@ -89,6 +97,7 @@ def print_device_info() -> None:
     print(f"VMEM               : {info.vmem_bytes / 2**20:.0f} MiB")
     print(f"peak BF16 TFLOP/s  : {info.peak_bf16_tflops:.0f}")
     print(f"MXU                : {info.mxu_shape}")
+    print(f"native fp8 MXU     : {info.native_fp8_matmul}")
 
 
 if __name__ == "__main__":
