@@ -58,6 +58,30 @@ class TestEngineEndToEnd:
         expected = _oracle_generate(model, params, prompt, 5)
         assert outputs[rid] == expected
 
+    @pytest.mark.parametrize("burst", [1, 3, 16])
+    def test_decode_burst_cap_does_not_change_output(
+        self, model_and_params, burst
+    ):
+        """max_decode_burst only changes how many steps fuse per dispatch
+        (EngineConfig knob, re-tunable per attachment); greedy output must
+        be identical at any cap."""
+        model, params = model_and_params
+        cfg = EngineConfig(
+            max_batch_size=2,
+            max_seq_len=256,
+            prefill_chunk=64,
+            max_decode_burst=burst,
+            cache=CacheConfig(
+                page_size=8, num_pages=64, max_pages_per_seq=8,
+                kv_dtype="float32",
+            ),
+        )
+        engine = InferenceEngine(model, params, cfg, interpret=True)
+        prompt = [5, 4, 3, 2, 1]
+        rid = engine.submit(prompt, max_new_tokens=7)
+        outputs = engine.run()
+        assert outputs[rid] == _oracle_generate(model, params, prompt, 7)
+
     def test_concurrent_requests_isolated(self, model_and_params):
         # Two sequences decoding in the same batch must not cross-talk —
         # the bug class of the reference's flattened batch loop

@@ -342,6 +342,7 @@ def bench_engine_tokens_per_s(
     fused_mixed_step="auto",
     lora_rank: int = 0,
     lora_count: int = 2,
+    max_decode_burst: int = 8,
 ):
     """End-to-end continuous-batching engine throughput (full serving stack:
     scheduler, chunked prefill, paged decode, sampling, watchdogs). Returns
@@ -384,6 +385,7 @@ def bench_engine_tokens_per_s(
             kv_dtype=kv_dtype,
         ),
         fused_mixed_step=fused_mixed_step,
+        max_decode_burst=max_decode_burst,
     )
     import numpy as np
 

@@ -193,11 +193,18 @@ class EngineConfig:
     # costs ~a chunk row of extra FLOPs: "auto" fuses only while decode
     # rows <= prefill rows; True always; False never.
     fused_mixed_step: object = "auto"  # "auto" | True | False
+    # Decode burst cap: up to this many single-token steps fuse into one
+    # lax.scan dispatch (one host round-trip per burst). Larger bursts
+    # amortize dispatch latency — the dominant cost on remote/relay
+    # attachments (41x on the axon relay, BENCHLOG 2026-08-16) — but
+    # delay admission of waiting requests by up to burst steps.
+    max_decode_burst: int = 8
 
     def __post_init__(self):
         _check_pos("max_batch_size", self.max_batch_size)
         _check_pos("max_seq_len", self.max_seq_len)
         _check_pos("prefill_chunk", self.prefill_chunk)
+        _check_pos("max_decode_burst", self.max_decode_burst)
         if self.paged_prefill not in ("auto", True, False):
             raise ValueError(
                 f"paged_prefill must be 'auto', True or False, got "

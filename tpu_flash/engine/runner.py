@@ -207,7 +207,7 @@ class InferenceEngine:
         self._next_id = 0
         # Decode runs in fused bursts (lax.scan over single steps): one
         # dispatch + one fetch per burst. Cap keeps admission latency low.
-        self.max_decode_burst = 8
+        self.max_decode_burst = config.max_decode_burst
         self._decode_multi_fns: Dict[int, object] = {}
         self._prefill_fns: Dict[tuple, object] = {}
         # Ragged (mixed-stage) prefill: chunks of requests at DIFFERENT

@@ -273,17 +273,17 @@ def _paged_attn_kernel(
             kv_quant == "int4" and int8_mxu and int4_bitwise_unpack
             and not skip_scale_mul
         )
-        # Nibble planes without any i32 round trip (int4 MXU fast path):
-        # Mosaic legalizes AND/XOR on i8 vectors but not shifts/adds
-        # (BENCHLOG 2026-08-17), so the split-packed byte 16*hi + lo
-        # decomposes as
+        # Nibble planes without any i32 round trip: Mosaic legalizes
+        # AND/XOR on i8 vectors but not shifts/adds (BENCHLOG
+        # 2026-08-17), so the split-packed byte 16*hi + lo decomposes as
         #   lo + 8 = (byte & 0x0F) ^ 0x08   (exact, in [0, 15])
         #   16*hi  =  byte & 0xF0           (exact as signed i8)
-        # and the +8 bias / x16 factor are folded into rank-1 matmul
-        # corrections and the per-token scales — the [tokens, d] VPU
-        # i8->i32 widening + shifts + i32->i8 narrowing of the unpack
-        # path (the measured int4 bottleneck, VERDICT r1 item 5) never
-        # happen.
+        # with the +8 bias / x16 factor folded into rank-1 matmul
+        # corrections and the per-token scales. MEASURED SLOWER than the
+        # i32 unpack (0.84-0.89x, BENCHLOG 2026-08-19: the correction
+        # chain and P-split relayout outweigh the converts saved) —
+        # default-off, kept as the recorded third dead end for the int4
+        # VPU unpack bound (VERDICT r1 item 5).
         half_rows = (page_size // 2) * pages_per_block if int4_bitwise else 0
 
         def nibble_planes(raw):
@@ -539,7 +539,7 @@ def paged_attention(
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
     alibi: Optional[jax.Array] = None,  # [num_q_heads] ALiBi slopes
-    pipeline_slots: int = 2,
+    pipeline_slots: Optional[int] = None,
     int4_bitwise_unpack: bool = False,
     fp8_native: Optional[bool] = None,
     _debug_skip_scale_dma: bool = False,  # perf diagnostics; WRONG numerics
@@ -578,11 +578,13 @@ def paged_attention(
         fully-dequantized scores before masking.
       sinks: [num_q_heads] per-head attention-sink logits (StreamingLLM /
         gpt-oss): each head's softmax denominator gains ``exp(sinks[h])``.
-      pipeline_slots: page-pipeline depth. 2 = classic double buffering
-        (the reference's 2-stage ``cuda::pipeline``, FlashAttention.cuh:
-        68-75); 3 adds one more in-flight block of DMA lookahead at the
-        cost of 1.5x the KV VMEM buffers. Measured on v5e the 2-slot
-        default fully hides DMA latency (BENCHLOG 2026-08-19 A/B).
+      pipeline_slots: page-pipeline depth (2 = classic double buffering,
+        the reference's 2-stage ``cuda::pipeline``, FlashAttention.cuh:
+        68-75; N adds N-2 more in-flight blocks of DMA lookahead at
+        (N/2)x the KV VMEM buffers). Default (None) adapts to the
+        measured v5e optima (BENCHLOG 2026-08-19 A/B): 3 for bf16
+        payloads (bandwidth-saturated; ~5% faster than 2) and 2 for
+        quantized/f32 (deeper pipelines measured neutral-to-slower).
       int4_bitwise_unpack: route int4 nibble extraction through i8
         AND/XOR planes with matmul-folded corrections instead of the
         i32 unpack. Measured 0.84-0.89x on v5e (the corrections and P
@@ -665,7 +667,12 @@ def paged_attention(
         )
     num_blocks = pages_per_seq // ppb
     bk = ppb * page_size
-    ns = int(pipeline_slots)
+    if pipeline_slots is None:
+        # Measured v5e optima (BENCHLOG 2026-08-19): bf16 decode gains
+        # ~5% from one extra lookahead block; quantized/f32 do not.
+        ns = 3 if (kv_quant is None and k_vals.dtype == jnp.bfloat16) else 2
+    else:
+        ns = int(pipeline_slots)
     if ns < 2:
         raise ValueError(f"pipeline_slots must be >= 2, got {pipeline_slots}")
 
