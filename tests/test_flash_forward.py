@@ -261,3 +261,101 @@ class TestDiagSubTiling:
             qs, k, v, causal=True, sm_scale=64**-0.5, q_offset=256
         )
         np.testing.assert_allclose(out2, ref2, **F32_TOL)
+
+
+class TestOnepass:
+    """Single-pass short-sequence forward (BlockSizes.onepass): one masked
+    softmax per q-block over its full causal extent, no online merge.
+    Must match the oracle exactly-in-tolerance on every supported variant
+    and fall through safely when the launcher gates it off."""
+
+    def _fwd(self, q, k, v, bq, *, causal=True, onepass=True, **kw):
+        from tpu_flash.ops.flash.forward import flash_attention_forward
+
+        bs = BlockSizes(
+            block_q=bq, block_kv_major=bq, block_kv=bq,
+            triangular=True, onepass=onepass,
+        )
+        d = q.shape[-1]
+        kw.setdefault("sm_scale", d**-0.5)
+        return flash_attention_forward(
+            q, k, v, causal=causal, block_sizes=bs, interpret=True, **kw,
+        )
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("nb", [1, 2, 4])
+    def test_parity_vs_oracle(self, causal, nb):
+        s = 256 * nb
+        q, k, v = _qkv(jax.random.PRNGKey(0), 1, 2, 2, s, s, 64)
+        out = self._fwd(q, k, v, 256, causal=causal)
+        ref = reference_attention(q, k, v, causal=causal, sm_scale=64**-0.5)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    def test_matches_triangular_path_bitwise(self):
+        q, k, v = _qkv(jax.random.PRNGKey(1), 1, 2, 2, 512, 512, 64)
+        on = self._fwd(q, k, v, 256, onepass=True)
+        off = self._fwd(q, k, v, 256, onepass=False)
+        ref = reference_attention(q, k, v, causal=True, sm_scale=64**-0.5)
+        np.testing.assert_allclose(on, ref, **F32_TOL)
+        np.testing.assert_allclose(off, ref, **F32_TOL)
+
+    def test_gqa_residuals_sinks_softcap_alibi(self):
+        q, k, v = _qkv(jax.random.PRNGKey(2), 2, 4, 2, 512, 512, 64)
+        out, lse = self._fwd(q, k, v, 256, save_residuals=True)
+        ref = reference_gqa_attention(q, k, v, causal=True, sm_scale=64**-0.5)
+        out_t, lse_t = self._fwd(
+            q, k, v, 256, save_residuals=True, onepass=False
+        )
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+        np.testing.assert_allclose(lse, lse_t, **F32_TOL)
+        sinks = jnp.asarray([0.5, 1.5, -0.5, 0.0], jnp.float32)
+        out2 = self._fwd(q, k, v, 256, sinks=sinks)
+        ref2 = reference_gqa_attention(
+            q, k, v, causal=True, sm_scale=64**-0.5, sinks=sinks
+        )
+        np.testing.assert_allclose(out2, ref2, **F32_TOL)
+        out3 = self._fwd(q, k, v, 256, softcap=15.0)
+        ref3 = reference_gqa_attention(
+            q, k, v, causal=True, sm_scale=64**-0.5, softcap=15.0
+        )
+        np.testing.assert_allclose(out3, ref3, **F32_TOL)
+        slopes = jnp.asarray([0.25, 0.5, 0.125, 1.0], jnp.float32)
+        out4 = self._fwd(q, k, v, 256, alibi=slopes)
+        ref4 = reference_gqa_attention(
+            q, k, v, causal=True, sm_scale=64**-0.5, alibi=slopes
+        )
+        np.testing.assert_allclose(out4, ref4, **F32_TOL)
+
+    def test_gated_off_variants_still_exact(self):
+        # window / q_offset / ragged kv tail / segments must fall through
+        # to the tiled grids with onepass=True set on BlockSizes.
+        q, k, v = _qkv(jax.random.PRNGKey(3), 1, 2, 2, 512, 512, 64)
+        out = self._fwd(q, k, v, 256, window=100)
+        ref = reference_attention(
+            q, k, v, causal=True, sm_scale=64**-0.5, window=100
+        )
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+        qs = q[:, :, :256]
+        out2 = self._fwd(qs, k, v, 256, q_offset=256)
+        ref2 = reference_attention(
+            qs, k, v, causal=True, sm_scale=64**-0.5, q_offset=256
+        )
+        np.testing.assert_allclose(out2, ref2, **F32_TOL)
+        out3 = self._fwd(q, k, v, 256, kv_len=384)
+        ref3 = reference_attention(
+            q, k[:, :, :384], v[:, :, :384], causal=True, sm_scale=64**-0.5
+        )
+        np.testing.assert_allclose(out3, ref3[:, :, : q.shape[2]], **F32_TOL)
+
+    def test_bf16_headline_shape_small(self):
+        q, k, v = _qkv(
+            jax.random.PRNGKey(4), 1, 4, 4, 512, 512, 128, jnp.bfloat16
+        )
+        out = self._fwd(q, k, v, 256)
+        ref = reference_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), causal=True, sm_scale=128**-0.5,
+        )
+        np.testing.assert_allclose(
+            out.astype(jnp.float32), ref, **BF16_TOL
+        )

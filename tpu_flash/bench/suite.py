@@ -465,3 +465,122 @@ def bench_engine_tokens_per_s(
     m = engine.metrics.summary()
     total_tokens = batch * new_tokens
     return total_tokens / wall, wall, m, engine.prefix_stats()
+
+
+def bench_engine_device_decode(
+    num_layers: int = 4,
+    hidden: int = 1024,
+    num_q_heads: int = 8,
+    num_kv_heads: int = 8,
+    head_dim: int = 128,
+    batch: int = 8,
+    prompt_len: int = 512,
+    kv_dtype: str = "int8",
+    page_size: int = 128,
+    burst: int = 8,
+    inner: int = 8,
+    max_ctx: int = 1024,
+):
+    """DEVICE-side serving decode throughput: time the engine's own jitted
+    burst program (every layer: RMSNorm, QKV, cache append, paged
+    attention, MLP, sampling) in a chained loop, isolating device time
+    from host dispatch. On relay-attached devices ``bench_engine_tokens_
+    per_s`` measures mostly relay round-trips (~96 ms p50/step, BENCHLOG
+    2026-08-17); this is the number a directly-attached deployment gets,
+    which VERDICT r1 item 4 asks for.
+
+    Methodology: real engine, real prefill (so the cache/page tables are
+    live at batch occupancy), then the burst program re-runs with the
+    LENGTHS HELD CONSTANT — each burst re-appends at the same page
+    offsets, a steady-state-equivalent workload that cannot overflow the
+    page pool however long the timing chain runs. Differential timing
+    (t(2n) - t(n)) cancels the chain's fixed costs; the D2H fetch of the
+    summed tokens is the completion barrier.
+
+    Returns (decode_tokens_per_s, seconds_per_token, seconds_per_step).
+    """
+    import functools as _ft
+
+    import numpy as np
+
+    from tpu_flash.core.config import CacheConfig, EngineConfig
+    from tpu_flash.engine.runner import InferenceEngine
+    from tpu_flash.models import FlashTransformer, ModelConfig
+
+    cfg = ModelConfig(
+        name="bench-engine-dev",
+        vocab_size=8192,
+        hidden_size=hidden,
+        num_layers=num_layers,
+        num_q_heads=num_q_heads,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        intermediate_size=2 * hidden,
+        dtype="bfloat16",
+    )
+    model = FlashTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    pages_per_seq = -(-max_ctx // page_size)
+    ecfg = EngineConfig(
+        max_batch_size=batch,
+        max_seq_len=max_ctx,
+        prefill_chunk=512,
+        cache=CacheConfig(
+            page_size=page_size,
+            num_pages=batch * pages_per_seq + 8,
+            max_pages_per_seq=pages_per_seq,
+            kv_dtype=kv_dtype,
+        ),
+    )
+    engine = InferenceEngine(model, params, ecfg)
+    host_rng = np.random.default_rng(1)
+    for _ in range(batch):
+        engine.submit(
+            host_rng.integers(0, 8192, prompt_len).tolist(),
+            max_new_tokens=max_ctx - prompt_len - 1,
+        )
+    # Step until every request has cleared prefill (generated >= 1) so the
+    # burst program sees live caches at full batch occupancy.
+    for _ in range(64):
+        if engine.scheduler.active and not engine.scheduler.waiting and all(
+            r.generated >= 1 for r in engine.scheduler.active.values()
+        ):
+            break
+        engine.step()
+
+    impl = _ft.partial(engine._decode_multi_impl, burst)
+    active_mask = jnp.asarray(engine.active)
+    keys = jax.random.split(jax.random.PRNGKey(7), burst)
+    consts = (
+        engine.page_tables, active_mask, keys,
+        jnp.asarray(engine.temps), jnp.asarray(engine.top_ks),
+        jnp.asarray(engine.top_ps), jnp.asarray(engine.min_ps),
+        jnp.asarray(engine.lora_ids), engine.logit_bias,
+    )
+
+    @jax.jit
+    def chain(n, cache, tokens, lengths, page_tables, active, keys, temps,
+              tks, tps, mps, lids, lbias):
+        def body(c):
+            i, cache, tokens = c
+            cache, tokens, _, _, _, _ = impl(
+                engine.params, cache, tokens, lengths, page_tables,
+                active, keys, temps, tks, tps, mps, lids, lbias,
+            )
+            return i + 1, cache, tokens
+
+        _, cache, tokens = jax.lax.while_loop(
+            lambda c: c[0] < n, body, (jnp.int32(0), cache, tokens)
+        )
+        return jnp.sum(tokens.astype(jnp.float32))
+
+    args = (engine.cache, engine.last_tokens, engine.lengths, *consts)
+    n1, n2 = jnp.int32(inner), jnp.int32(2 * inner)
+    float(chain(n1, *args))  # compile
+    t1 = min(_wall(lambda: float(chain(n1, *args))) for _ in range(3))
+    t2 = min(_wall(lambda: float(chain(n2, *args))) for _ in range(3))
+    sec_per_chain_step = max((t2 - t1) / inner, 1e-9)
+    n_active = int(active_mask.sum())
+    sec_per_step = sec_per_chain_step / burst
+    toks_per_s = n_active / sec_per_step
+    return toks_per_s, sec_per_step / max(n_active, 1), sec_per_step

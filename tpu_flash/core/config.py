@@ -50,6 +50,14 @@ class BlockSizes:
     # tile to ~diag_sub/(2*block) without adding grid cells; strictly
     # interior cells then skip the causal mask entirely. None = off.
     diag_sub: Optional[int] = None
+    # Short-sequence single-pass forward: when a q-block's FULL (causal)
+    # KV extent fits VMEM, skip the online-softmax merge entirely — one
+    # masked softmax pass per q-block, no (m, l) scratch, no accumulator
+    # rescale, one grid cell per q-block. Measured +17-29% at the 2K
+    # headline on v5e (BENCHLOG 2026-08-20). The launcher applies
+    # feasibility gates (plain self-attention, scores tile <= VMEM
+    # budget); out-of-scope calls fall through to the triangular path.
+    onepass: bool = False
 
     def __post_init__(self):
         for f in dataclasses.fields(self):

@@ -283,6 +283,213 @@ def _online_softmax_update(
     acc_scratch[lo:, :] = acc_scratch[lo:, :] * alpha[:, :1] + pv
 
 
+def _flash_fwd_onepass_kernel(
+    q_ref,  # [1, 1, block_q, head_dim]
+    k_ref,  # [1, 1, kv_len, head_dim]  (the FULL padded KV range)
+    v_ref,  # [1, 1, kv_len, head_dim]
+    sink_ref,  # [1, NUM_LANES] f32 per-head sink logit or None
+    alibi_ref,  # [1, NUM_LANES] f32 per-head ALiBi slope or None
+    o_ref,  # [1, 1, block_q, head_dim]
+    lse_ref,  # [1, 1, block_q, NUM_LANES] or None
+    *,
+    causal: bool,
+    sm_scale: float,
+    num_q_blocks: int,
+    softcap: Optional[float] = None,
+):
+    """Single-pass short-sequence forward: one q-block against its FULL
+    (causal) KV extent, softmax in one masked pass — no online merge, no
+    (m, l)/accumulator scratch, no rescale. This is the shape the
+    reference's streaming loop (kernels/computers.cuh:42-62) degenerates
+    to when the whole KV range is SMEM/VMEM-resident, minus its eager
+    per-tile normalization (utils.cuh:79-80).
+
+    The grid is (batch, heads, q_blocks) with the K/V BlockSpec pinned to
+    block index 0 — Pallas elides refetches of an unchanged block, so K/V
+    cross HBM once per (batch, kv_head) exactly like the tiled grids. Each
+    causal q-block branches to a static-extent slice of the resident K/V,
+    so masked FLOPs match the triangular grid's (only the trailing
+    diagonal block is half-wasted) while the softmax VPU chain runs once.
+    """
+    block_q = q_ref.shape[2]
+    kv_len = k_ref.shape[2]
+    qb = pl.program_id(2)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    q = q_ref[0, 0]
+    if sm_scale != 1.0:
+        q = q * sm_scale
+
+    def _body(extent: int, thr: int):
+        k = k_ref[0, 0, :extent, :]
+        s = jax.lax.dot_general(
+            q, k, TRANS_B_DIM_NUMBERS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+        if causal:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, extent), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, extent), 0)
+            if alibi_ref is not None:
+                s = s + alibi_ref[0:1, 0:1] * (col - row - thr).astype(
+                    jnp.float32
+                )
+            s = jnp.where((col - row) <= thr, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0, 0, :extent, :],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if sink_ref is None:
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = (pv * l_inv).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse = jnp.where(m == -jnp.inf, -jnp.inf, m + jnp.log(l))
+                lse_ref[0, 0] = jnp.broadcast_to(
+                    lse, (block_q, NUM_LANES)
+                ).astype(lse_ref.dtype)
+        else:
+            sk = sink_ref[0:1, 0:1]  # [1, 1] per-head sink logit
+            scale_m, l_tot, m2 = sink_denominator(m, l, sk)
+            o_ref[0, 0] = (pv * (scale_m / l_tot)).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[0, 0] = jnp.broadcast_to(
+                    m2 + jnp.log(l_tot), (block_q, NUM_LANES)
+                ).astype(lse_ref.dtype)
+
+    if causal and num_q_blocks > 1:
+        # Per-q-block static causal extent: q-block i attends columns
+        # [0, (i+1)*block_q). Static branches keep every matmul shape
+        # known to Mosaic; the strictly-interior prefix is mask-free by
+        # construction of the extent.
+        for i in range(num_q_blocks):
+            @pl.when(qb == i)
+            def _branch(i=i):
+                _body((i + 1) * block_q, i * block_q)
+    elif causal:
+        _body(kv_len, 0)
+    else:
+        _body(kv_len, 0)
+
+
+def _forward_onepass(
+    q, k, v, *, causal, sm_scale, block_q, q_per_kv, save_residuals,
+    interpret, softcap=None, sinks=None, alibi=None,
+):
+    """Launch the single-pass kernel (see _flash_fwd_onepass_kernel)."""
+    batch, num_q_heads, q_len, head_dim = q.shape
+    kv_len_padded = k.shape[2]
+    num_q_blocks = q_len // block_q
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, qb: (b, h, qb, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, kv_len_padded, head_dim),
+            lambda b, h, qb: (b, h // q_per_kv, 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, kv_len_padded, head_dim),
+            lambda b, h, qb: (b, h // q_per_kv, 0, 0),
+        ),
+    ]
+    extra_inputs = ()
+    have_sink = sinks is not None
+    if have_sink:
+        sinks_l = jax.lax.broadcast_in_dim(
+            sinks.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+        )
+        in_specs.append(pl.BlockSpec((1, NUM_LANES), lambda b, h, qb: (h, 0)))
+        extra_inputs = extra_inputs + (sinks_l,)
+    have_alibi = alibi is not None
+    if have_alibi:
+        alibi_l = jax.lax.broadcast_in_dim(
+            alibi.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+        )
+        in_specs.append(pl.BlockSpec((1, NUM_LANES), lambda b, h, qb: (h, 0)))
+        extra_inputs = extra_inputs + (alibi_l,)
+
+    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, qb: (b, h, qb, 0)
+        ),
+    ]
+    if save_residuals:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (batch, num_q_heads, q_len, NUM_LANES), jnp.float32
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, NUM_LANES), lambda b, h, qb: (b, h, qb, 0)
+            )
+        )
+
+    base_kernel = functools.partial(
+        _flash_fwd_onepass_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        num_q_blocks=num_q_blocks,
+        softcap=softcap,
+    )
+
+    def kernel(*refs):
+        it = iter(refs)
+        q_r, k_r, v_r = next(it), next(it), next(it)
+        sk_r = next(it) if have_sink else None
+        al_r = next(it) if have_alibi else None
+        o_r = next(it)
+        lse_r = next(it) if save_residuals else None
+        return base_kernel(q_r, k_r, v_r, sk_r, al_r, o_r, lse_r)
+
+    if causal:
+        cell_tokens = block_q * block_q * num_q_blocks * (num_q_blocks + 1) // 2
+    else:
+        cell_tokens = q_len * kv_len_padded
+    cost = pl.CostEstimate(
+        flops=4 * batch * num_q_heads * cell_tokens * head_dim,
+        bytes_accessed=(
+            q.size * q.dtype.itemsize
+            + k.size * k.dtype.itemsize
+            + v.size * v.dtype.itemsize
+            + q.size * q.dtype.itemsize
+        ),
+        transcendentals=batch * num_q_heads * cell_tokens,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(batch, num_q_heads, num_q_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q, k, v, *extra_inputs)
+
+    o = outs[0]
+    if save_residuals:
+        return o, outs[1][..., 0]
+    return o
+
+
+# Largest f32 scores tile ([block_q, kv_extent]) the single-pass kernel may
+# materialize; beyond this the online-softmax grids win (VMEM pressure).
+_ONEPASS_MAX_SCORES_BYTES = 8 * 2**20
+
+
 def _flash_fwd_tri_kernel(
     # scalar prefetch
     qmap_ref,  # [n_cells] q-block index of each active cell
@@ -609,6 +816,25 @@ def flash_attention_forward(
         pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # l
         pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
     ]
+
+    # Single-pass short-sequence path: plain (self-)attention whose f32
+    # scores tile fits VMEM. Gates mirror the diag_sub launcher pattern —
+    # out-of-scope calls fall through to the tiled grids.
+    if (
+        getattr(block_sizes, "onepass", False)
+        and q_offset == 0
+        and kv_len == kv_len_padded
+        and window is None
+        and q_seg is None
+        and block_q * kv_len_padded * 4 <= _ONEPASS_MAX_SCORES_BYTES
+        and (not causal or (q_len == kv_len_padded and num_q_blocks <= 4))
+    ):
+        return _forward_onepass(
+            q, k, v,
+            causal=causal, sm_scale=sm_scale, block_q=block_q,
+            q_per_kv=q_per_kv, save_residuals=save_residuals,
+            interpret=interpret, softcap=softcap, sinks=sinks, alibi=alibi,
+        )
 
     if causal and (triangular or block_sizes.triangular):
         # Diagonal sub-tiling applies only to the plain causal

@@ -198,6 +198,10 @@ def default_block_sizes(
         # 8K-32K from eliminating predicated dead cells, never worse;
         # BENCHLOG 2026-08-17). Non-causal calls ignore the flag.
         triangular=True,
+        # Short sequences take the single-pass kernel (no online-softmax
+        # merge) when the launcher's feasibility gates pass — measured
+        # +17-29% at the 2K headline (BENCHLOG 2026-08-20).
+        onepass=True,
     )
 
 
@@ -336,4 +340,5 @@ def dataclass_from_pair(
         block_q_dq=t.block_q_dq if t else block_q,
         block_kv_dq=t.block_kv_dq if t else block_kv_major,
         triangular=True,
+        onepass=t.onepass if t else True,
     )
