@@ -20,14 +20,17 @@ def main():
     from tpu_flash.bench.suite import bench_flash_prefill
 
     if on_tpu:
-        # Best of 3 measurements — remote-relay timing is noisy-high.
+        # Best of 5 measurements — remote-relay timing is noisy-high (the
+        # same compiled kernel reads 103-112 TF/s across processes; paired
+        # in-process A/Bs are the variant-decision tool, this is the
+        # cross-round record).
         res = max(
             (
                 bench_flash_prefill(
                     batch=1, num_q_heads=32, num_kv_heads=32, seq=2048,
                     head_dim=128, causal=True, iters=64,
                 )
-                for _ in range(3)
+                for _ in range(5)
             ),
             key=lambda r: r.tflops,
         )
@@ -51,6 +54,13 @@ def main():
                 "value": round(res.tflops, 3),
                 "unit": "TFLOP/s",
                 "vs_baseline": round(res.roofline_frac, 4),
+                # Fraction of the MEASURED compute ceiling for this
+                # geometry: 171 TF/s raw-XLA matmul-chain rate x 0.667
+                # causal 1024-tile masked-FLOP waste ~= 114 useful TF/s
+                # (BENCHLOG 2026-08-19/20). vs_baseline keeps the nominal
+                # 197 TF/s roofline denominator for cross-round
+                # comparability.
+                "vs_measured_ceiling": round(res.tflops / 114.0, 4),
             }
         )
     )

