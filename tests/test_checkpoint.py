@@ -241,3 +241,70 @@ class TestAllocExact:
         assert not alloc.alloc_exact(9, [99])
         alloc.release(7)
         assert alloc.num_free == 8
+
+
+class TestLoadHFDir:
+    def test_load_from_directory_bins(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import json as _json
+
+        from tpu_flash.checkpoint import load_hf_dir
+
+        hidden, n_q, n_kv, hd, inter, vocab, layers = 64, 4, 2, 16, 128, 256, 2
+        hf_cfg = {
+            "model_type": "llama",
+            "hidden_size": hidden,
+            "num_attention_heads": n_q,
+            "num_key_value_heads": n_kv,
+            "head_dim": hd,
+            "intermediate_size": inter,
+            "vocab_size": vocab,
+            "num_hidden_layers": layers,
+            "rms_norm_eps": 1e-5,
+            "rope_theta": 10000.0,
+            "max_position_embeddings": 4096,
+        }
+        (tmp_path / "config.json").write_text(_json.dumps(hf_cfg))
+        sd = {
+            "model.embed_tokens.weight": torch.randn(vocab, hidden),
+            "model.norm.weight": torch.ones(hidden),
+            "lm_head.weight": torch.randn(vocab, hidden),
+        }
+        qd, kvd = n_q * hd, n_kv * hd
+        for i in range(layers):
+            p = f"model.layers.{i}."
+            sd[p + "input_layernorm.weight"] = torch.ones(hidden)
+            sd[p + "post_attention_layernorm.weight"] = torch.ones(hidden)
+            sd[p + "self_attn.q_proj.weight"] = torch.randn(qd, hidden)
+            sd[p + "self_attn.k_proj.weight"] = torch.randn(kvd, hidden)
+            sd[p + "self_attn.v_proj.weight"] = torch.randn(kvd, hidden)
+            sd[p + "self_attn.o_proj.weight"] = torch.randn(hidden, qd)
+            sd[p + "mlp.gate_proj.weight"] = torch.randn(inter, hidden)
+            sd[p + "mlp.up_proj.weight"] = torch.randn(inter, hidden)
+            sd[p + "mlp.down_proj.weight"] = torch.randn(hidden, inter)
+        # Two shards: loader must merge them.
+        keys = sorted(sd)
+        torch.save({k: sd[k] for k in keys[: len(keys) // 2]},
+                   tmp_path / "pytorch_model-00001-of-00002.bin")
+        torch.save({k: sd[k] for k in keys[len(keys) // 2:]},
+                   tmp_path / "pytorch_model-00002-of-00002.bin")
+        model, params = load_hf_dir(str(tmp_path), dtype="float32")
+        assert model.config.num_layers == layers
+        logits = model.forward(
+            params, jnp.zeros((1, 8), jnp.int32), interpret=True
+        )
+        assert logits.shape == (1, 8, vocab)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_missing_shards_raises(self, tmp_path):
+        import json as _json
+
+        from tpu_flash.checkpoint import load_hf_dir
+
+        (tmp_path / "config.json").write_text(_json.dumps({
+            "model_type": "llama", "hidden_size": 64,
+            "num_attention_heads": 4, "intermediate_size": 128,
+            "vocab_size": 256, "num_hidden_layers": 2,
+        }))
+        with pytest.raises(FileNotFoundError):
+            load_hf_dir(str(tmp_path))

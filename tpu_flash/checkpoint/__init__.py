@@ -8,6 +8,7 @@ snapshot/restore for the decode engine, and an HF-Llama weight importer.
 """
 
 from tpu_flash.checkpoint.convert import (
+    load_hf_dir,
     model_config_from_hf,
     params_from_hf_llama,
 )
@@ -23,6 +24,7 @@ from tpu_flash.checkpoint.store import (
 
 __all__ = [
     "TrainCheckpointManager",
+    "load_hf_dir",
     "model_config_from_hf",
     "params_from_hf_llama",
     "restore_dp_engine",

@@ -192,3 +192,55 @@ def model_config_from_hf(hf_config: Mapping[str, Any], *,
             or (hf_config.get("attn_config") or {}).get("alibi", False)
         ),
     )
+
+
+def load_hf_dir(path: str, *, dtype: str = "bfloat16"):
+    """(FlashTransformer, params) from an HF checkpoint DIRECTORY
+    (``config.json`` + ``*.safetensors`` or ``pytorch_model*.bin``
+    shards). The weight mapping is :func:`params_from_hf_llama`; the
+    config mapping (incl. sliding window / softcap / rope scaling /
+    ALiBi) is :func:`model_config_from_hf`."""
+    import json
+    import os
+
+    from tpu_flash.models import FlashTransformer
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf_config = json.load(f)
+    config = model_config_from_hf(
+        hf_config, name=hf_config.get("model_type", "hf-import"),
+        dtype=dtype,
+    )
+    files = sorted(os.listdir(path))
+    state: Dict[str, Any] = {}
+    st_files = [f for f in files if f.endswith(".safetensors")]
+    bin_files = [
+        f for f in files if f.endswith(".bin") and "pytorch_model" in f
+    ]
+    if st_files:
+        try:
+            from safetensors.numpy import load_file
+        except ImportError as e:  # pragma: no cover - env dependent
+            raise ImportError(
+                "safetensors checkpoint found but the safetensors package "
+                "is unavailable; convert to pytorch_model*.bin"
+            ) from e
+        for f in st_files:
+            state.update(load_file(os.path.join(path, f)))
+    elif bin_files:
+        import torch
+
+        for f in bin_files:
+            state.update(
+                torch.load(
+                    os.path.join(path, f),
+                    map_location="cpu",
+                    weights_only=True,
+                )
+            )
+    else:
+        raise FileNotFoundError(
+            f"no *.safetensors or pytorch_model*.bin shards under {path}"
+        )
+    params = params_from_hf_llama(state, config)
+    return FlashTransformer(config), params
