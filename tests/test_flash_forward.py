@@ -285,42 +285,42 @@ class TestOnepass:
     @pytest.mark.parametrize("causal", [False, True])
     @pytest.mark.parametrize("nb", [1, 2, 4])
     def test_parity_vs_oracle(self, causal, nb):
-        s = 256 * nb
+        s = 512 * nb
         q, k, v = _qkv(jax.random.PRNGKey(0), 1, 2, 2, s, s, 64)
-        out = self._fwd(q, k, v, 256, causal=causal)
+        out = self._fwd(q, k, v, 512, causal=causal)
         ref = reference_attention(q, k, v, causal=causal, sm_scale=64**-0.5)
         np.testing.assert_allclose(out, ref, **F32_TOL)
 
     def test_matches_triangular_path_bitwise(self):
         q, k, v = _qkv(jax.random.PRNGKey(1), 1, 2, 2, 512, 512, 64)
-        on = self._fwd(q, k, v, 256, onepass=True)
-        off = self._fwd(q, k, v, 256, onepass=False)
+        on = self._fwd(q, k, v, 512, onepass=True)
+        off = self._fwd(q, k, v, 512, onepass=False)
         ref = reference_attention(q, k, v, causal=True, sm_scale=64**-0.5)
         np.testing.assert_allclose(on, ref, **F32_TOL)
         np.testing.assert_allclose(off, ref, **F32_TOL)
 
     def test_gqa_residuals_sinks_softcap_alibi(self):
         q, k, v = _qkv(jax.random.PRNGKey(2), 2, 4, 2, 512, 512, 64)
-        out, lse = self._fwd(q, k, v, 256, save_residuals=True)
+        out, lse = self._fwd(q, k, v, 512, save_residuals=True)
         ref = reference_gqa_attention(q, k, v, causal=True, sm_scale=64**-0.5)
         out_t, lse_t = self._fwd(
-            q, k, v, 256, save_residuals=True, onepass=False
+            q, k, v, 512, save_residuals=True, onepass=False
         )
         np.testing.assert_allclose(out, ref, **F32_TOL)
         np.testing.assert_allclose(lse, lse_t, **F32_TOL)
         sinks = jnp.asarray([0.5, 1.5, -0.5, 0.0], jnp.float32)
-        out2 = self._fwd(q, k, v, 256, sinks=sinks)
+        out2 = self._fwd(q, k, v, 512, sinks=sinks)
         ref2 = reference_gqa_attention(
             q, k, v, causal=True, sm_scale=64**-0.5, sinks=sinks
         )
         np.testing.assert_allclose(out2, ref2, **F32_TOL)
-        out3 = self._fwd(q, k, v, 256, softcap=15.0)
+        out3 = self._fwd(q, k, v, 512, softcap=15.0)
         ref3 = reference_gqa_attention(
             q, k, v, causal=True, sm_scale=64**-0.5, softcap=15.0
         )
         np.testing.assert_allclose(out3, ref3, **F32_TOL)
         slopes = jnp.asarray([0.25, 0.5, 0.125, 1.0], jnp.float32)
-        out4 = self._fwd(q, k, v, 256, alibi=slopes)
+        out4 = self._fwd(q, k, v, 512, alibi=slopes)
         ref4 = reference_gqa_attention(
             q, k, v, causal=True, sm_scale=64**-0.5, alibi=slopes
         )
@@ -359,3 +359,39 @@ class TestOnepass:
         np.testing.assert_allclose(
             out.astype(jnp.float32), ref, **BF16_TOL
         )
+
+    def test_routing_selection(self, monkeypatch):
+        # The launcher must route feasible shapes to the single-pass
+        # kernel with the measured row counts (512 causal; largest
+        # scores-feasible non-causal) and fall through otherwise.
+        import tpu_flash.ops.flash.forward as fwd
+
+        calls = []
+        real = fwd._forward_onepass
+
+        def spy(q, k, v, **kw):
+            calls.append((q.shape[2], k.shape[2], kw["block_q"],
+                          kw["causal"]))
+            return real(q, k, v, **kw)
+
+        monkeypatch.setattr(fwd, "_forward_onepass", spy)
+        bs = BlockSizes(block_q=1024, block_kv_major=1024, block_kv=1024,
+                        triangular=True, onepass=True)
+
+        def run(sq, skv, causal):
+            q, k, v = _qkv(jax.random.PRNGKey(0), 1, 1, 1, sq, skv, 64)
+            fwd.flash_attention_forward(
+                q, k, v, causal=causal, sm_scale=0.125, block_sizes=bs,
+                interpret=True,
+            )
+
+        run(2048, 2048, True)
+        assert calls[-1] == (2048, 2048, 512, True)
+        run(4096, 4096, True)
+        assert calls[-1] == (4096, 4096, 512, True)
+        run(2048, 2048, False)
+        assert calls[-1] == (2048, 2048, 1024, False)
+        n = len(calls)
+        run(8192, 8192, True)   # nb > 8 -> triangular grid
+        run(512, 8192, False)   # scores tile over budget at op_bq >= 512
+        assert len(calls) == n

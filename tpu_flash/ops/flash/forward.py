@@ -819,22 +819,41 @@ def flash_attention_forward(
 
     # Single-pass short-sequence path: plain (self-)attention whose f32
     # scores tile fits VMEM. Gates mirror the diag_sub launcher pattern —
-    # out-of-scope calls fall through to the tiled grids.
+    # out-of-scope calls fall through to the tiled grids. Row-count
+    # selection (paired v5e A/Bs, BENCHLOG 2026-08-20): causal prefers
+    # 512-row q blocks — the shrinking diagonal waste beats bigger-M MXU
+    # occupancy at every seq (2K: 103.1 vs 99.4 TF/s; 4K: 142.9 vs the
+    # tri grid's 112.4) while 256 rows lose (88.2) — so 256-row tiles are
+    # accepted only when they hold the WHOLE q. Non-causal has no
+    # diagonal waste and keeps the largest scores-feasible row count
+    # (158.9 vs rect 134.7 at 2K, bq1024).
     if (
         getattr(block_sizes, "onepass", False)
         and q_offset == 0
         and kv_len == kv_len_padded
         and window is None
         and q_seg is None
-        and block_q * kv_len_padded * 4 <= _ONEPASS_MAX_SCORES_BYTES
-        and (not causal or (q_len == kv_len_padded and num_q_blocks <= 4))
+        and (not causal or q_len == kv_len_padded)
     ):
-        return _forward_onepass(
-            q, k, v,
-            causal=causal, sm_scale=sm_scale, block_q=block_q,
-            q_per_kv=q_per_kv, save_residuals=save_residuals,
-            interpret=interpret, softcap=softcap, sinks=sinks, alibi=alibi,
-        )
+        op_bq = min(512 if causal else 1024, block_q)
+        while (
+            op_bq > 128
+            and op_bq * kv_len_padded * 4 > _ONEPASS_MAX_SCORES_BYTES
+        ):
+            op_bq //= 2
+        if (
+            op_bq >= min(512, q_len)
+            and q_len % op_bq == 0
+            and op_bq * kv_len_padded * 4 <= _ONEPASS_MAX_SCORES_BYTES
+            and (not causal or q_len // op_bq <= 8)
+        ):
+            return _forward_onepass(
+                q, k, v,
+                causal=causal, sm_scale=sm_scale, block_q=op_bq,
+                q_per_kv=q_per_kv, save_residuals=save_residuals,
+                interpret=interpret, softcap=softcap, sinks=sinks,
+                alibi=alibi,
+            )
 
     if causal and (triangular or block_sizes.triangular):
         # Diagonal sub-tiling applies only to the plain causal
