@@ -55,12 +55,12 @@ def main():
                 "unit": "TFLOP/s",
                 "vs_baseline": round(res.roofline_frac, 4),
                 # Fraction of the MEASURED compute ceiling for this
-                # geometry: 171 TF/s raw-XLA matmul-chain rate x 0.667
-                # causal 1024-tile masked-FLOP waste ~= 114 useful TF/s
-                # (BENCHLOG 2026-08-19/20). vs_baseline keeps the nominal
-                # 197 TF/s roofline denominator for cross-round
-                # comparability.
-                "vs_measured_ceiling": round(res.tflops / 114.0, 4),
+                # geometry: 171 TF/s raw-XLA matmul-chain rate x 0.8
+                # useful/computed FLOPs of the single-pass bq512 causal
+                # walk ~= 137 useful TF/s (BENCHLOG 2026-08-19/20).
+                # vs_baseline keeps the nominal 197 TF/s roofline
+                # denominator for cross-round comparability.
+                "vs_measured_ceiling": round(res.tflops / 137.0, 4),
             }
         )
     )
