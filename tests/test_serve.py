@@ -167,3 +167,57 @@ def test_engine_server_direct_api():
     assert kind == "done"
     assert len(payload["choices"][0]["tokens"]) == 5
     es.close()
+
+
+def test_engine_cancel():
+    # cancel() of an active request frees its pages and stops decoding;
+    # a waiting request is dropped before admission.
+    eng = _engine()
+    r1 = eng.submit([1, 2, 3], max_new_tokens=64)
+    for _ in range(3):
+        eng.step()
+    assert r1 in eng.scheduler.active
+    emitted = len(eng.outputs[r1])
+    assert eng.cancel(r1)
+    eng.step()
+    assert r1 not in eng.scheduler.active
+    assert not eng.scheduler.has_work()
+    assert len(eng.outputs[r1]) <= emitted + eng.config.max_decode_burst
+    # pool fully recovered: a new request admits and completes
+    r2 = eng.submit([4, 5, 6], max_new_tokens=4)
+    out = eng.run()
+    assert len(out[r2]) == 4
+    # waiting-queue cancellation
+    r3 = eng.submit([7, 8], max_new_tokens=4)
+    assert eng.cancel(r3)
+    assert not eng.scheduler.has_work()
+    assert not eng.cancel(r3)  # nothing live anymore
+
+
+def test_server_cancel_request():
+    es = EngineServer(_engine())
+    q = es.submit({"prompt": [3, 3, 3], "max_tokens": 200}, stream=True)
+    kind, rid = q.get(timeout=300)
+    assert kind == "accepted"
+    # wait for first tokens, then cancel mid-generation
+    while True:
+        ev = q.get(timeout=300)
+        if ev[0] == "tokens":
+            break
+    es.cancel_request(rid)
+    # worker acknowledges with a non-internal error event
+    while True:
+        ev = q.get(timeout=300)
+        if ev[0] == "error":
+            assert ev[1] == "cancelled"
+            break
+        assert ev[0] == "tokens"
+    # engine is idle afterwards (pages released, nothing decoding)
+    import time as _t
+
+    for _ in range(100):
+        if not es.engine.scheduler.has_work():
+            break
+        _t.sleep(0.05)
+    assert not es.engine.scheduler.has_work()
+    es.close()

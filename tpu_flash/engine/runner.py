@@ -408,6 +408,38 @@ class InferenceEngine:
         finished requests alike."""
         return list(self._branch_ids.get(req_id, [req_id]))
 
+    def cancel(self, req_id: int) -> bool:
+        """Cancel a submitted request and its parallel-sampling branches
+        (serving tier: client disconnects). Waiting requests are dropped
+        immediately; active ones are marked stopped and retire on the
+        next step through the scheduler's normal retirement (pages,
+        slots, and prefix refcounts released there). Already-emitted
+        tokens remain in ``outputs``. Returns True if anything was live
+        to cancel."""
+        sched = self.scheduler
+        comp = set(self.branches(req_id))
+        hit = False
+        for cid in comp:
+            req = sched.active.get(cid)
+            if req is not None:
+                req.stopped = True
+                slot = req.batch_slot
+                if slot is not None and sched.slots[slot] == cid:
+                    self.active[slot] = False
+                hit = True
+        kept = [
+            r for r in sched.waiting
+            if r.req_id not in comp
+            and getattr(r, "parent_id", None) != req_id
+        ]
+        if len(kept) != len(sched.waiting):
+            sched.waiting.clear()
+            sched.waiting.extend(kept)
+            hit = True
+        if self._swapped.pop(req_id, None) is not None:
+            hit = True
+        return hit
+
     def run(self) -> Dict[int, List[int]]:
         """Drive the engine until all requests finish."""
         while self.scheduler.has_work():

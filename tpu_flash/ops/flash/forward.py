@@ -372,9 +372,9 @@ def _flash_fwd_onepass_kernel(
             @pl.when(qb == i)
             def _branch(i=i):
                 _body((i + 1) * block_q, i * block_q)
-    elif causal:
-        _body(kv_len, 0)
     else:
+        # Non-causal (any nb), or a single causal block: full extent;
+        # thr=0 masks the lone diagonal when causal.
         _body(kv_len, 0)
 
 
@@ -686,6 +686,44 @@ def flash_attention_forward(
     num_q_blocks = q_len // block_q
     num_kv_blocks = kv_len_padded // block_kv_major
 
+    # Single-pass short-sequence path: plain (self-)attention whose f32
+    # scores tile fits VMEM. Gates mirror the diag_sub launcher pattern —
+    # out-of-scope calls fall through to the tiled grids. Row-count
+    # selection (paired v5e A/Bs, BENCHLOG 2026-08-20): causal prefers
+    # 512-row q blocks — the shrinking diagonal waste beats bigger-M MXU
+    # occupancy at every seq (2K: 103.1 vs 99.4 TF/s; 4K: 142.9 vs the
+    # tri grid's 112.4) while 256 rows lose (88.2) — so 256-row tiles are
+    # accepted only when they hold the WHOLE q. Non-causal has no
+    # diagonal waste and keeps the largest scores-feasible row count
+    # (158.9 vs rect 134.7 at 2K, bq1024).
+    if (
+        getattr(block_sizes, "onepass", False)
+        and q_offset == 0
+        and kv_len == kv_len_padded
+        and window is None
+        and q_seg is None
+        and (not causal or q_len == kv_len_padded)
+    ):
+        op_bq = min(512 if causal else 1024, block_q)
+        while (
+            op_bq > 128
+            and op_bq * kv_len_padded * 4 > _ONEPASS_MAX_SCORES_BYTES
+        ):
+            op_bq //= 2
+        if (
+            op_bq >= min(512, q_len)
+            and q_len % op_bq == 0
+            and op_bq * kv_len_padded * 4 <= _ONEPASS_MAX_SCORES_BYTES
+            and (not causal or q_len // op_bq <= 8)
+        ):
+            return _forward_onepass(
+                q, k, v,
+                causal=causal, sm_scale=sm_scale, block_q=op_bq,
+                q_per_kv=q_per_kv, save_residuals=save_residuals,
+                interpret=interpret, softcap=softcap, sinks=sinks,
+                alibi=alibi,
+            )
+
     if causal:
         # Clamp the KV index past the diagonal so masked-out blocks re-map to
         # the diagonal block — Pallas elides refetches of an unchanged block,
@@ -817,43 +855,6 @@ def flash_attention_forward(
         pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
     ]
 
-    # Single-pass short-sequence path: plain (self-)attention whose f32
-    # scores tile fits VMEM. Gates mirror the diag_sub launcher pattern —
-    # out-of-scope calls fall through to the tiled grids. Row-count
-    # selection (paired v5e A/Bs, BENCHLOG 2026-08-20): causal prefers
-    # 512-row q blocks — the shrinking diagonal waste beats bigger-M MXU
-    # occupancy at every seq (2K: 103.1 vs 99.4 TF/s; 4K: 142.9 vs the
-    # tri grid's 112.4) while 256 rows lose (88.2) — so 256-row tiles are
-    # accepted only when they hold the WHOLE q. Non-causal has no
-    # diagonal waste and keeps the largest scores-feasible row count
-    # (158.9 vs rect 134.7 at 2K, bq1024).
-    if (
-        getattr(block_sizes, "onepass", False)
-        and q_offset == 0
-        and kv_len == kv_len_padded
-        and window is None
-        and q_seg is None
-        and (not causal or q_len == kv_len_padded)
-    ):
-        op_bq = min(512 if causal else 1024, block_q)
-        while (
-            op_bq > 128
-            and op_bq * kv_len_padded * 4 > _ONEPASS_MAX_SCORES_BYTES
-        ):
-            op_bq //= 2
-        if (
-            op_bq >= min(512, q_len)
-            and q_len % op_bq == 0
-            and op_bq * kv_len_padded * 4 <= _ONEPASS_MAX_SCORES_BYTES
-            and (not causal or q_len // op_bq <= 8)
-        ):
-            return _forward_onepass(
-                q, k, v,
-                causal=causal, sm_scale=sm_scale, block_q=op_bq,
-                q_per_kv=q_per_kv, save_residuals=save_residuals,
-                interpret=interpret, softcap=softcap, sinks=sinks,
-                alibi=alibi,
-            )
 
     if causal and (triangular or block_sizes.triangular):
         # Diagonal sub-tiling applies only to the plain causal

@@ -47,7 +47,8 @@ class ByteTokenizer:
         return [b + self.offset for b in text.encode("utf-8")]
 
     def decode(self, ids: List[int]) -> str:
-        data = bytes(i - self.offset for i in ids if i >= self.offset)
+        lo, hi = self.offset, self.offset + 256
+        data = bytes(i - lo for i in ids if lo <= i < hi)
         return data.decode("utf-8", errors="replace")
 
 
@@ -72,7 +73,7 @@ class EngineServer:
       ("accepted", req_id)
       ("tokens", completion_index, [new tokens])     (streaming only)
       ("done", {"choices": [...], "usage": {...}})
-      ("error", message)
+      ("error", message, internal)   internal=True -> HTTP 500, else 400
     """
 
     def __init__(self, engine, tokenizer=None, model_name: str = "tpu-flash"):
@@ -80,6 +81,7 @@ class EngineServer:
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.inbox: "queue.Queue[_Submission]" = queue.Queue()
+        self.cancels: "queue.Queue[int]" = queue.Queue()
         self._stop = False
         self._error: Optional[str] = None
         # req_id (root) -> submission bookkeeping; worker-thread-only.
@@ -93,6 +95,7 @@ class EngineServer:
 
     def _loop(self):
         while not self._stop:
+            self._drain_cancels()
             self._drain_inbox(block=not self.engine.scheduler.has_work())
             if self._stop:
                 return
@@ -103,11 +106,18 @@ class EngineServer:
             except Exception as e:  # surface to every waiting client
                 msg = f"{type(e).__name__}: {e}"
                 for st in self._live.values():
-                    st["q"].put(("error", msg))
+                    st["q"].put(("error", msg, True))
                 self._live.clear()
                 self._error = msg  # fail fast on future submits
                 self._stop = True
-                return
+                # Anything enqueued concurrently must still get a reply —
+                # handlers block on their queue.
+                while True:
+                    try:
+                        sub = self.inbox.get_nowait()
+                    except queue.Empty:
+                        return
+                    sub.out.put(("error", msg, True))
             self._publish()
 
     def _drain_inbox(self, block: bool):
@@ -140,11 +150,22 @@ class EngineServer:
                     "seen": {},  # completion rid -> tokens published
                 }
             except Exception as e:
-                sub.out.put(("error", f"{type(e).__name__}: {e}"))
+                sub.out.put(("error", f"{type(e).__name__}: {e}", False))
             try:
                 sub = self.inbox.get_nowait()
             except queue.Empty:
                 return
+
+    def _drain_cancels(self):
+        while True:
+            try:
+                rid = self.cancels.get_nowait()
+            except queue.Empty:
+                return
+            self.engine.cancel(rid)
+            st = self._live.pop(rid, None)
+            if st is not None:
+                st["q"].put(("error", "cancelled", False))
 
     def _publish(self):
         eng = self.engine
@@ -158,9 +179,9 @@ class EngineServer:
                     if len(toks) > seen:
                         st["q"].put(("tokens", idx, toks[seen:]))
                         st["seen"][cid] = len(toks)
-            live = (
-                rid in waiting_ids
-                or any(c in eng.scheduler.active for c in comp_ids)
+            live = any(
+                c in waiting_ids or c in eng.scheduler.active
+                for c in comp_ids
             )
             if live:
                 continue
@@ -198,6 +219,8 @@ class EngineServer:
         queue. Raises ValueError on bad input (handler maps it to 400)."""
         if self._error is not None:
             raise ValueError(f"engine failed: {self._error}")
+        if not isinstance(body, dict):
+            raise ValueError("request body must be a JSON object")
         prompt = body.get("prompt")
         if isinstance(prompt, str):
             if self.tokenizer is None:
@@ -243,6 +266,11 @@ class EngineServer:
             )
         )
         return out
+
+    def cancel_request(self, req_id: int):
+        """Thread-safe: ask the worker to cancel (client disconnected).
+        The engine stops decoding it on the next step."""
+        self.cancels.put(req_id)
 
     def close(self):
         self._stop = True
@@ -297,20 +325,37 @@ def _make_handler(server: EngineServer):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(body, dict):
+                    raise ValueError("request body must be a JSON object")
                 stream = bool(body.get("stream", False))
                 q = server.submit(body, stream)
-            except (ValueError, json.JSONDecodeError) as e:
+            except (ValueError, TypeError, KeyError, AttributeError,
+                    json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
             rid = str(uuid.uuid4())[:8]
+            root_rid = None
             if not stream:
                 while True:
-                    kind, payload = q.get()
+                    try:
+                        event = q.get(timeout=600)
+                    except queue.Empty:
+                        if root_rid is not None:
+                            server.cancel_request(root_rid)
+                        self._json(504, {"error": "generation timed out"})
+                        return
+                    kind, *payload = event
                     if kind == "accepted":
+                        root_rid = payload[0]
                         continue
                     if kind == "error":
-                        self._json(400, {"error": payload})
+                        internal = len(payload) > 1 and payload[1]
+                        self._json(
+                            500 if internal else 400,
+                            {"error": payload[0]},
+                        )
                         return
+                    payload = payload[0]
                     break  # done
                 resp = {
                     "id": f"cmpl-{rid}",
@@ -336,9 +381,26 @@ def _make_handler(server: EngineServer):
                 )
                 self.wfile.flush()
 
+            try:
+                self._stream_events(q, rid, emit)
+            except (BrokenPipeError, ConnectionResetError):
+                # Client went away: stop decoding for it.
+                if self._root_rid is not None:
+                    server.cancel_request(self._root_rid)
+
+        _root_rid = None
+
+        def _stream_events(self, q, rid, emit):
             while True:
-                kind, *payload = q.get()
+                try:
+                    kind, *payload = q.get(timeout=600)
+                except queue.Empty:
+                    if self._root_rid is not None:
+                        server.cancel_request(self._root_rid)
+                    emit({"error": "generation timed out"})
+                    return
                 if kind == "accepted":
+                    self._root_rid = payload[0]
                     continue
                 if kind == "error":
                     emit({"error": payload[0]})
