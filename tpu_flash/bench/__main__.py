@@ -14,6 +14,8 @@ self-established on the current backend. Configs (BASELINE.md):
   7. sliding-window decode 32K ctx / 4K window (Mistral-class serving)
   8. sliding-window chunked prefill over a deep paged cache
   9. quantized-cache generation quality (token-match vs bf16-exact)
+  10. device-side engine decode throughput (engine program, no dispatch)
+  11. attention training step (forward + FA2 backward) TFLOP/s
 
 On a CPU backend the kernels run in interpreter mode: parity rows are
 meaningful, throughput rows are not (they're still emitted, flagged
@@ -495,6 +497,34 @@ def config10_engine_device(iters: int):
     return rows
 
 
+def config11_train(iters: int):
+    """Attention training step (forward + FA2 backward kernels) — the
+    throughput a fine-tune/pretrain step sees from this library's
+    custom_vjp path. Useful-FLOPs convention: 3.5x forward."""
+    from tpu_flash.bench.suite import bench_train_step
+
+    rows = []
+    for kwargs in (
+        dict(),                                            # 2K h32 headline
+        dict(num_q_heads=8, num_kv_heads=8, seq=8192),     # 8K h8
+    ):
+        res = bench_train_step(iters=max(4, iters // 4), **kwargs)
+        _log(f"  {res.name}: {res.tflops:.1f} TFLOP/s "
+             f"({100 * res.roofline_frac:.1f}% roofline), "
+             f"{res.seconds * 1e3:.2f} ms/step")
+        rows.append(
+            {
+                "config": 11,
+                "name": res.name,
+                "metric": "train_tflops",
+                "value": res.tflops,
+                "roofline_frac": res.roofline_frac,
+                "ms_per_step": res.seconds * 1e3,
+            }
+        )
+    return rows
+
+
 CONFIGS = {
     1: lambda iters: config1_parity(),
     2: config2_prefill,
@@ -507,6 +537,7 @@ CONFIGS = {
     8: config8_windowed_prefill,
     9: config9_quant_quality,
     10: config10_engine_device,
+    11: config11_train,
 }
 
 

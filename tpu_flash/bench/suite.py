@@ -584,3 +584,60 @@ def bench_engine_device_decode(
     sec_per_step = sec_per_chain_step / burst
     toks_per_s = n_active / sec_per_step
     return toks_per_s, sec_per_step / max(n_active, 1), sec_per_step
+
+
+def bench_train_step(
+    batch: int = 1,
+    num_q_heads: int = 32,
+    num_kv_heads: int = 32,
+    seq: int = 2048,
+    head_dim: int = 128,
+    dtype=jnp.bfloat16,
+    causal: bool = True,
+    iters: int = 8,
+) -> BenchResult:
+    """Attention TRAINING throughput: forward + the FA2 custom_vjp
+    backward kernels (dq + dk + dv), chained through dq. Useful FLOPs =
+    3.5x the forward's (fwd 2 matmuls; bwd 5: score recompute, dp, ds*k,
+    ds^T*q, p^T*do), causal halves both."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (batch, num_q_heads, seq, head_dim), dtype)
+    k = jax.random.normal(kk, (batch, num_kv_heads, seq, head_dim), dtype)
+    v = jax.random.normal(kv, (batch, num_kv_heads, seq, head_dim), dtype)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(
+            flash_attention(q_, k_, v_, causal=causal).astype(jnp.float32)
+        )
+
+    grad = jax.grad(loss, argnums=(0, 1, 2))
+
+    def step(x, k, v):
+        dq, dk, dv = grad(x, k, v)
+        # dk/dv fold into the carrier so the backward kernels can't be
+        # dead-code-eliminated (MHA default: all three share x's shape).
+        out = dq
+        if dk.shape == out.shape:
+            out = out + 0.001 * (dk + dv)
+        return out.astype(x.dtype)
+
+    seconds = _time_chained(step, q, k, v, inner=iters)
+    causal_frac = 0.5 if causal else 1.0
+    fwd_flops = 4 * batch * num_q_heads * seq * seq * head_dim * causal_frac
+    flops = 3.5 * fwd_flops
+    from tpu_flash.utils.device import device_info
+
+    roofline = (
+        device_info().peak_bf16_tflops if dtype == jnp.bfloat16 else 0.0
+    )
+    bytes_moved = 2 * (q.size + k.size + v.size) * q.dtype.itemsize * 2
+    return BenchResult(
+        name=(
+            f"flash_train b{batch} h{num_q_heads} s{seq} d{head_dim} "
+            f"{jnp.dtype(dtype).name}{' causal' if causal else ''}"
+        ),
+        seconds=seconds,
+        tflops=flops / seconds / 1e12,
+        roofline_tflops=roofline,
+        hbm_gbps=bytes_moved / seconds / 1e9,
+    )

@@ -136,3 +136,66 @@ TINY_TEST = ModelConfig(
     intermediate_size=128,
     dtype="float32",
 )
+
+
+GEMMA2_9B = ModelConfig(
+    name="gemma2-9b",
+    vocab_size=256000,
+    hidden_size=3584,
+    num_layers=42,
+    num_q_heads=16,
+    num_kv_heads=8,
+    head_dim=256,
+    intermediate_size=14336,
+    rms_eps=1e-6,
+    # Gemma-2: local/global alternation, tanh logit soft-capping, and
+    # query scaling by 1/sqrt(query_pre_attn_scalar).
+    sliding_window=4096,
+    sliding_window_pattern=2,
+    attn_softcap=50.0,
+    query_pre_attn_scalar=256.0,
+)
+
+QWEN2_7B = ModelConfig(
+    name="qwen2-7b",
+    vocab_size=152064,
+    hidden_size=3584,
+    num_layers=28,
+    num_q_heads=28,
+    num_kv_heads=4,
+    head_dim=128,
+    intermediate_size=18944,
+    rms_eps=1e-6,
+    rope_theta=1000000.0,
+)
+
+LLAMA31_8B = ModelConfig(
+    name="llama3.1-8b",
+    vocab_size=128256,
+    hidden_size=4096,
+    num_layers=32,
+    num_q_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    intermediate_size=14336,
+    rope_theta=500000.0,
+    # Llama-3.1's 128K context: wavelength-threshold rope interpolation.
+    rope_scaling="llama3",
+    rope_scaling_factor=8.0,
+    rope_orig_context=8192,
+    rope_low_freq_factor=1.0,
+    rope_high_freq_factor=4.0,
+)
+
+BLOOM_7B = ModelConfig(
+    name="bloom-7b",
+    vocab_size=250880,
+    hidden_size=4096,
+    num_layers=30,
+    num_q_heads=32,
+    num_kv_heads=32,
+    head_dim=128,
+    intermediate_size=16384,
+    # BLOOM: ALiBi distance bias instead of rotary embeddings.
+    attn_alibi=True,
+)
