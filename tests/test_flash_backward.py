@@ -105,3 +105,59 @@ class TestGradParity:
         g = step(q, k, v)
         assert g.shape == q.shape
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestBackwardOnepass:
+    """Single-pass backward routing: qualifying shapes must take
+    _backward_onepass; gated variants must fall through — both exact."""
+
+    def test_routing_and_parity(self, monkeypatch):
+        import tpu_flash.ops.flash.backward as bwd
+        from tpu_flash.core.config import BlockSizes
+        from tpu_flash.ops.flash import flash_attention
+
+        calls = []
+        real = bwd._backward_onepass
+
+        def spy(*a, **kw):
+            calls.append(kw["block"])
+            return real(*a, **kw)
+
+        monkeypatch.setattr(bwd, "_backward_onepass", spy)
+        bs = BlockSizes(
+            block_q=512, block_kv_major=512, block_kv=512,
+            block_q_dkv=512, block_kv_dkv=512, block_q_dq=512,
+            block_kv_dq=512, triangular=True, onepass=True,
+        )
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 1024, 64))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 1024, 64))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 1024, 64))
+
+        def loss(q_, k_, v_, **kw):
+            return flash_attention(
+                q_, k_, v_, causal=True, block_sizes=bs, interpret=True,
+                **kw,
+            ).astype(jnp.float32).sum()
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        assert calls == [512]
+
+        bs_off = BlockSizes(
+            block_q=512, block_kv_major=512, block_kv=512,
+            block_q_dkv=512, block_kv_dkv=512, block_q_dq=512,
+            block_kv_dq=512, triangular=True, onepass=False,
+        )
+
+        def loss_off(q_, k_, v_):
+            return flash_attention(
+                q_, k_, v_, causal=True, block_sizes=bs_off,
+                interpret=True,
+            ).astype(jnp.float32).sum()
+
+        grads_off = jax.grad(loss_off, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(grads, grads_off):
+            np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+        # windowed call must NOT take onepass
+        n = len(calls)
+        jax.grad(lambda q_: loss(q_, k, v, window=100))(q)
+        assert len(calls) == n

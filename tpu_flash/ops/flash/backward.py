@@ -312,6 +312,250 @@ def _flash_bwd_dq_kernel(
         dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
 
 
+def _bwd_dq_onepass_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, alibi_ref, dq_ref,
+    *, causal: bool, sm_scale: float, num_q_blocks: int,
+    softcap: Optional[float] = None,
+):
+    """Single-pass dQ: one q-block against its FULL (causal) KV extent —
+    resident K/V, p recomputed once, dq written directly (no scratch
+    accumulation). The backward face of the forward single-pass kernel
+    (measured +31% on the 2K grad step vs bt1024, BENCHLOG 2026-08-20)."""
+    block_q = q_ref.shape[2]
+    kv_len = k_ref.shape[2]
+    qb = pl.program_id(2)
+    precision = _precision(q_ref.dtype)
+    q = q_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse_col = lse_ref[0, 0][:, :1]
+    di_col = di_ref[0, 0][:, :1]
+
+    def _body(extent: int, thr: int):
+        k = k_ref[0, 0, :extent, :]
+        v = v_ref[0, 0, :extent, :]
+        s = jax.lax.dot_general(
+            q, k, TRANS_B, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        dcap = None
+        if softcap is not None:
+            t = jnp.tanh(s * (1.0 / softcap))
+            s = softcap * t
+            dcap = 1.0 - t * t
+        if causal or alibi_ref is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, extent), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, extent), 0)
+            if alibi_ref is not None:
+                s = s + alibi_ref[0:1, 0:1] * (col - row - thr).astype(
+                    jnp.float32
+                )
+        p = jnp.exp(s - lse_col)
+        if causal:
+            p = jnp.where((col - row) <= thr, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), TRANS_B,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - di_col)
+        if dcap is not None:
+            ds = ds * dcap
+        if sm_scale != 1.0:
+            ds = ds * sm_scale
+        dq_ref[0, 0] = jax.lax.dot(
+            ds.astype(k.dtype), k,
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(dq_ref.dtype)
+
+    if causal and num_q_blocks > 1:
+        for i in range(num_q_blocks):
+            @pl.when(qb == i)
+            def _branch(i=i):
+                _body((i + 1) * block_q, i * block_q)
+    else:
+        _body(kv_len, 0)
+
+
+def _bwd_dkv_onepass_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, alibi_ref, dk_ref,
+    dv_ref, *, causal: bool, sm_scale: float, num_kv_blocks: int,
+    q_len: int, softcap: Optional[float] = None,
+):
+    """Single-pass dKV (kv-major): one kv-block against its FULL causal
+    q extent — resident Q/dO/residuals, dk/dv written directly."""
+    block_kv = k_ref.shape[2]
+    kvb = pl.program_id(2)
+    precision = _precision(q_ref.dtype)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    def _body(start: int):
+        rows = q_len - start
+        qs = q_ref[0, 0, start:, :]
+        do = do_ref[0, 0, start:, :].astype(jnp.float32)
+        lse_col = lse_ref[0, 0, start:, :][:, :1]
+        di_col = di_ref[0, 0, start:, :][:, :1]
+        s = jax.lax.dot_general(
+            qs, k, TRANS_B, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        dcap = None
+        if softcap is not None:
+            t = jnp.tanh(s * (1.0 / softcap))
+            s = softcap * t
+            dcap = 1.0 - t * t
+        if causal or alibi_ref is not None:
+            # global q row = start + row; global kv col = start + col
+            # (causal start aligns the diagonal: col <= row).
+            col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 0)
+            if alibi_ref is not None:
+                s = s + alibi_ref[0:1, 0:1] * (col - row).astype(
+                    jnp.float32
+                )
+        p = jnp.exp(s - lse_col)
+        if causal:
+            p = jnp.where(col <= row, p, 0.0)
+        dv_ref[0, 0] = jax.lax.dot_general(
+            p.astype(do.dtype), do, CONTRACT_0,
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), TRANS_B,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - di_col)
+        if dcap is not None:
+            ds = ds * dcap
+        if sm_scale != 1.0:
+            ds = ds * sm_scale
+        dk_ref[0, 0] = jax.lax.dot_general(
+            ds.astype(qs.dtype), qs, CONTRACT_0,
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(dk_ref.dtype)
+
+    if causal and num_kv_blocks > 1:
+        for j in range(num_kv_blocks):
+            @pl.when(kvb == j)
+            def _branch(j=j):
+                _body(j * block_kv)
+    else:
+        _body(0)
+
+
+def _backward_onepass(
+    q, k, v, do, lse_rep, di_rep, *, causal, sm_scale, block, q_per_kv,
+    interpret, softcap=None, alibi_l=None,
+):
+    """Launch the single-pass backward pair (see the kernels above)."""
+    batch, num_q_heads, q_len, head_dim = q.shape
+    kv_len_padded = k.shape[2]
+    nb_q = q_len // block
+    nb_kv = kv_len_padded // block
+    have_alibi = alibi_l is not None
+
+    def specs(maps):
+        out = [
+            pl.BlockSpec((1, 1, n, head_dim), m)
+            for n, m in maps
+        ]
+        return out
+
+    qb = lambda b_, h, c: (b_, h, c, 0)  # noqa: E731
+    full_q = lambda b_, h, c: (b_, h, 0, 0)  # noqa: E731
+    kv_full = lambda b_, h, c: (b_, h // q_per_kv, 0, 0)  # noqa: E731
+    kvb = lambda b_, h, c: (b_, h // q_per_kv, c, 0)  # noqa: E731
+
+    dq_in = specs([
+        (block, qb), (kv_len_padded, kv_full), (kv_len_padded, kv_full),
+        (block, qb),
+    ]) + [
+        pl.BlockSpec((1, 1, block, NUM_LANES), qb),
+        pl.BlockSpec((1, 1, block, NUM_LANES), qb),
+    ]
+    dq_inputs = (q, k, v, do, lse_rep, di_rep)
+    if have_alibi:
+        dq_in.append(pl.BlockSpec((1, NUM_LANES), lambda b_, h, c: (h, 0)))
+        dq_inputs = dq_inputs + (alibi_l,)
+
+    def dq_kernel(*refs):
+        it = iter(refs)
+        q_r, k_r, v_r, do_r, lse_r, di_r = (
+            next(it), next(it), next(it), next(it), next(it), next(it),
+        )
+        al_r = next(it) if have_alibi else None
+        dq_r = next(it)
+        return _bwd_dq_onepass_kernel(
+            q_r, k_r, v_r, do_r, lse_r, di_r, al_r, dq_r,
+            causal=causal, sm_scale=sm_scale, num_q_blocks=nb_q,
+            softcap=softcap,
+        )
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(batch, num_q_heads, nb_q),
+        in_specs=dq_in,
+        out_specs=pl.BlockSpec((1, 1, block, head_dim), qb),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*dq_inputs)
+
+    dkv_in = specs([
+        (q_len, full_q), (block, kvb), (block, kvb), (q_len, full_q),
+    ]) + [
+        pl.BlockSpec((1, 1, q_len, NUM_LANES), full_q),
+        pl.BlockSpec((1, 1, q_len, NUM_LANES), full_q),
+    ]
+    dkv_inputs = (q, k, v, do, lse_rep, di_rep)
+    if have_alibi:
+        dkv_in.append(pl.BlockSpec((1, NUM_LANES), lambda b_, h, c: (h, 0)))
+        dkv_inputs = dkv_inputs + (alibi_l,)
+
+    def dkv_kernel(*refs):
+        it = iter(refs)
+        q_r, k_r, v_r, do_r, lse_r, di_r = (
+            next(it), next(it), next(it), next(it), next(it), next(it),
+        )
+        al_r = next(it) if have_alibi else None
+        dk_r, dv_r = next(it), next(it)
+        return _bwd_dkv_onepass_kernel(
+            q_r, k_r, v_r, do_r, lse_r, di_r, al_r, dk_r, dv_r,
+            causal=causal, sm_scale=sm_scale, num_kv_blocks=nb_kv,
+            q_len=q_len, softcap=softcap,
+        )
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(batch, num_q_heads, nb_kv),
+        in_specs=dkv_in,
+        out_specs=[
+            pl.BlockSpec((1, 1, block, head_dim), qb),
+            pl.BlockSpec((1, 1, block, head_dim), qb),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, num_q_heads, kv_len_padded, head_dim), k.dtype
+            )
+        ] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*dkv_inputs)
+    return dq, dk, dv
+
+
+# Largest [rows, cols] f32 transient the single-pass backward may build
+# (s/p/dp/ds chains): beyond this the tiled grids win on VMEM pressure.
+_BWD_ONEPASS_MAX_SCORES_BYTES = 4 * 2**20
+
+
 def _build_dkv_cells(
     num_q_blocks: int,
     num_kv_blocks: int,
@@ -412,6 +656,34 @@ def flash_attention_backward(
         alibi_l = jax.lax.broadcast_in_dim(
             alibi.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
         )
+
+    # Single-pass short-sequence backward: same gates as the forward's
+    # onepass path (plain (self-)attention, scores transient fits VMEM).
+    # Measured grad step at 2K h32: bt1024 tri 1.67 ms -> onepass 1.27 ms
+    # (+31%); dlse folds into di above, so the ring path qualifies too.
+    if (
+        getattr(block_sizes, "onepass", False)
+        and q_offset == 0
+        and not mask_kv_tail
+        and window is None
+        and q_seg is None
+        and (not causal or q_len == kv_len_padded)
+    ):
+        op_b = min(512, block_sizes.block_q_dkv, q_len)
+        if (
+            op_b >= min(512, q_len)
+            and q_len % op_b == 0
+            and kv_len_padded % op_b == 0
+            and q_len * op_b * 4 <= _BWD_ONEPASS_MAX_SCORES_BYTES
+            and op_b * kv_len_padded * 4 <= _BWD_ONEPASS_MAX_SCORES_BYTES
+            and (not causal or q_len // op_b <= 4)
+        ):
+            return _backward_onepass(
+                q, k, v, do, lse_rep, di_rep,
+                causal=causal, sm_scale=sm_scale, block=op_b,
+                q_per_kv=q_per_kv, interpret=interpret, softcap=softcap,
+                alibi_l=alibi_l if have_alibi else None,
+            )
 
     # ---- dKV kernel ----
     block_q = min(block_sizes.block_q_dkv, q_len)

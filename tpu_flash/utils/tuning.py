@@ -174,9 +174,15 @@ def default_block_sizes(
 
     # Backward tiles match the forward's (cap-limited): with the triangular
     # grid, 1024 tiles beat 256 by 1.4x at 8K (BENCHLOG 2026-08-17 backward
-    # tile sweep) — small tiles were only ever a dead-cell mitigation. The
-    # backward cell is ~3x the forward's VMEM, so it gets its own shrink.
+    # tile sweep) — small tiles were only ever a dead-cell mitigation. At
+    # <= 2K the sweep (and the 2026-08-20 grad-step A/B: bt512 1.42 ms vs
+    # bt1024 1.67) says 512 tiles win — less diagonal waste at few cells.
+    # The backward cell is ~3x the forward's VMEM, so it gets its own
+    # shrink.
     bwd_q, bwd_kv = block_q, block_kv_major
+    if max(q_len, kv_len) <= 2048:
+        bwd_q = min(bwd_q, 512)
+        bwd_kv = min(bwd_kv, 512)
     while (
         bwd_vmem_bytes(bwd_q, bwd_kv, head_dim, dtype) > vmem_budget
         and max(bwd_q, bwd_kv) > NUM_LANES
