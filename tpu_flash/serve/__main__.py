@@ -41,7 +41,7 @@ def main():
     else:
         cfg = ModelConfig(
             name="demo", vocab_size=512, hidden_size=256, num_layers=2,
-            num_q_heads=8, num_kv_heads=4, head_dim=64,
+            num_q_heads=8, num_kv_heads=4, head_dim=128,
             intermediate_size=512, dtype="bfloat16",
         )
         model = FlashTransformer(cfg)
