@@ -37,7 +37,7 @@ from tpu_flash.checkpoint import TrainCheckpointManager
 from tpu_flash.core.config import MeshConfig
 from tpu_flash.models import FlashTransformer, ModelConfig
 from tpu_flash.parallel import build_mesh
-from tpu_flash.parallel.train import make_train_step, param_specs
+from tpu_flash.parallel.train import make_train_step
 
 
 def main():

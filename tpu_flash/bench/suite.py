@@ -326,6 +326,44 @@ def bench_paged_prefill_chunk(
     return secs, kv_bytes / secs / 1e9
 
 
+def _bench_engine(
+    num_layers, hidden, num_q_heads, num_kv_heads, head_dim, batch, ctx,
+    page_size, kv_dtype, **engine_kwargs
+):
+    """Shared engine construction for the engine-level benches."""
+    from tpu_flash.core.config import CacheConfig, EngineConfig
+    from tpu_flash.engine.runner import InferenceEngine
+    from tpu_flash.models import FlashTransformer, ModelConfig
+
+    cfg = ModelConfig(
+        name="bench-engine",
+        vocab_size=8192,
+        hidden_size=hidden,
+        num_layers=num_layers,
+        num_q_heads=num_q_heads,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        intermediate_size=2 * hidden,
+        dtype="bfloat16",
+    )
+    model = FlashTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    pages_per_seq = -(-ctx // page_size)
+    ecfg = EngineConfig(
+        max_batch_size=batch,
+        max_seq_len=ctx,
+        prefill_chunk=512,
+        cache=CacheConfig(
+            page_size=page_size,
+            num_pages=batch * pages_per_seq + 8,
+            max_pages_per_seq=pages_per_seq,
+            kv_dtype=kv_dtype,
+        ),
+        **engine_kwargs,
+    )
+    return InferenceEngine(model, params, ecfg)
+
+
 def bench_engine_tokens_per_s(
     num_layers: int = 4,
     hidden: int = 1024,
@@ -355,41 +393,15 @@ def bench_engine_tokens_per_s(
     dominates, e.g. relay-attached devices)."""
     import time
 
-    from tpu_flash.core.config import CacheConfig, EngineConfig
-    from tpu_flash.engine.runner import InferenceEngine
-    from tpu_flash.models import FlashTransformer, ModelConfig
+    import numpy as np
 
-    cfg = ModelConfig(
-        name="bench-engine",
-        vocab_size=8192,
-        hidden_size=hidden,
-        num_layers=num_layers,
-        num_q_heads=num_q_heads,
-        num_kv_heads=num_kv_heads,
-        head_dim=head_dim,
-        intermediate_size=2 * hidden,
-        dtype="bfloat16",
-    )
-    model = FlashTransformer(cfg)
-    params = model.init(jax.random.PRNGKey(0))
-    ctx = prompt_len + new_tokens
-    pages_per_seq = -(-ctx // page_size)
-    ecfg = EngineConfig(
-        max_batch_size=batch,
-        max_seq_len=ctx,
-        prefill_chunk=512,
-        cache=CacheConfig(
-            page_size=page_size,
-            num_pages=batch * pages_per_seq + 8,
-            max_pages_per_seq=pages_per_seq,
-            kv_dtype=kv_dtype,
-        ),
+    engine = _bench_engine(
+        num_layers, hidden, num_q_heads, num_kv_heads, head_dim, batch,
+        prompt_len + new_tokens, page_size, kv_dtype,
         fused_mixed_step=fused_mixed_step,
         max_decode_burst=max_decode_burst,
     )
-    import numpy as np
-
-    engine = InferenceEngine(model, params, ecfg)
+    model, cfg = engine.model, engine.model.config
     # Host-side prompt generation: device arrays here would mean one D2H
     # fetch per TOKEN on remote/relay backends (minutes of pure latency).
     host_rng = np.random.default_rng(1)
@@ -503,36 +515,10 @@ def bench_engine_device_decode(
 
     import numpy as np
 
-    from tpu_flash.core.config import CacheConfig, EngineConfig
-    from tpu_flash.engine.runner import InferenceEngine
-    from tpu_flash.models import FlashTransformer, ModelConfig
-
-    cfg = ModelConfig(
-        name="bench-engine-dev",
-        vocab_size=8192,
-        hidden_size=hidden,
-        num_layers=num_layers,
-        num_q_heads=num_q_heads,
-        num_kv_heads=num_kv_heads,
-        head_dim=head_dim,
-        intermediate_size=2 * hidden,
-        dtype="bfloat16",
+    engine = _bench_engine(
+        num_layers, hidden, num_q_heads, num_kv_heads, head_dim, batch,
+        max_ctx, page_size, kv_dtype,
     )
-    model = FlashTransformer(cfg)
-    params = model.init(jax.random.PRNGKey(0))
-    pages_per_seq = -(-max_ctx // page_size)
-    ecfg = EngineConfig(
-        max_batch_size=batch,
-        max_seq_len=max_ctx,
-        prefill_chunk=512,
-        cache=CacheConfig(
-            page_size=page_size,
-            num_pages=batch * pages_per_seq + 8,
-            max_pages_per_seq=pages_per_seq,
-            kv_dtype=kv_dtype,
-        ),
-    )
-    engine = InferenceEngine(model, params, ecfg)
     host_rng = np.random.default_rng(1)
     for _ in range(batch):
         engine.submit(

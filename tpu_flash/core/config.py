@@ -53,8 +53,9 @@ class BlockSizes:
     # Short-sequence single-pass forward: when a q-block's FULL (causal)
     # KV extent fits VMEM, skip the online-softmax merge entirely — one
     # masked softmax pass per q-block, no (m, l) scratch, no accumulator
-    # rescale, one grid cell per q-block. Measured +17-29% at the 2K
-    # headline on v5e (BENCHLOG 2026-08-20). The launcher applies
+    # rescale, one grid cell per q-block. Measured +18-32% at 2K and
+    # +27% at 4K on v5e (BENCHLOG 2026-08-20); the backward pair has a
+    # matching single-pass path (+31% on the 2K grad step). The launcher applies
     # feasibility gates (plain self-attention, scores tile <= VMEM
     # budget); out-of-scope calls fall through to the triangular path.
     onepass: bool = False

@@ -333,27 +333,12 @@ def _bwd_dq_onepass_kernel(
     def _body(extent: int, thr: int):
         k = k_ref[0, 0, :extent, :]
         v = v_ref[0, 0, :extent, :]
-        s = jax.lax.dot_general(
-            q, k, TRANS_B, preferred_element_type=jnp.float32,
-            precision=precision,
+        p, dcap = _recompute_p(
+            q, k, lse_col,
+            sm_scale=sm_scale, causal=causal, mask_kv_tail=False,
+            kv_len=extent, q_pos0=thr, kv_pos0=0, precision=precision,
+            softcap=softcap, alibi_ref=alibi_ref,
         )
-        if sm_scale != 1.0:
-            s = s * sm_scale
-        dcap = None
-        if softcap is not None:
-            t = jnp.tanh(s * (1.0 / softcap))
-            s = softcap * t
-            dcap = 1.0 - t * t
-        if causal or alibi_ref is not None:
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, extent), 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, extent), 0)
-            if alibi_ref is not None:
-                s = s + alibi_ref[0:1, 0:1] * (col - row - thr).astype(
-                    jnp.float32
-                )
-        p = jnp.exp(s - lse_col)
-        if causal:
-            p = jnp.where((col - row) <= thr, p, 0.0)
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), TRANS_B,
             preferred_element_type=jnp.float32, precision=precision,
@@ -391,34 +376,18 @@ def _bwd_dkv_onepass_kernel(
     v = v_ref[0, 0]
 
     def _body(start: int):
-        rows = q_len - start
         qs = q_ref[0, 0, start:, :]
         do = do_ref[0, 0, start:, :].astype(jnp.float32)
         lse_col = lse_ref[0, 0, start:, :][:, :1]
         di_col = di_ref[0, 0, start:, :][:, :1]
-        s = jax.lax.dot_general(
-            qs, k, TRANS_B, preferred_element_type=jnp.float32,
-            precision=precision,
+        # Global positions: q rows start at `start`, kv cols at
+        # kvb*block_kv == start for causal (the diagonal aligns).
+        p, dcap = _recompute_p(
+            qs, k, lse_col,
+            sm_scale=sm_scale, causal=causal, mask_kv_tail=False,
+            kv_len=block_kv, q_pos0=start, kv_pos0=start,
+            precision=precision, softcap=softcap, alibi_ref=alibi_ref,
         )
-        if sm_scale != 1.0:
-            s = s * sm_scale
-        dcap = None
-        if softcap is not None:
-            t = jnp.tanh(s * (1.0 / softcap))
-            s = softcap * t
-            dcap = 1.0 - t * t
-        if causal or alibi_ref is not None:
-            # global q row = start + row; global kv col = start + col
-            # (causal start aligns the diagonal: col <= row).
-            col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 0)
-            if alibi_ref is not None:
-                s = s + alibi_ref[0:1, 0:1] * (col - row).astype(
-                    jnp.float32
-                )
-        p = jnp.exp(s - lse_col)
-        if causal:
-            p = jnp.where(col <= row, p, 0.0)
         dv_ref[0, 0] = jax.lax.dot_general(
             p.astype(do.dtype), do, CONTRACT_0,
             preferred_element_type=jnp.float32, precision=precision,
