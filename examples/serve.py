@@ -12,9 +12,15 @@ engine snapshot/resume, and scale-out (tensor-parallel and data-parallel
 serving) when multiple devices are present.
 """
 
+import os
 import tempfile
 
 import jax
+
+# CPU unless explicitly pointed at TPU hardware (the example must run on
+# boxes where the TPU is busy or absent); mirrors examples/train.py.
+if os.environ.get("TPU_FLASH_EXAMPLE_BACKEND", "cpu") != "tpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from tpu_flash.checkpoint import restore_engine, snapshot_engine
 from tpu_flash.core.config import CacheConfig, EngineConfig

@@ -448,9 +448,12 @@ def config9_quant_quality(iters):
         [97, 93, 23, 84, 62, 64, 33, 83],
         [11, 200, 47, 5, 130, 77, 8, 99],
     ]
+    # Hardware page/lane minimums: 128-token pages (scale slices are
+    # lane-aligned per page); the d=16/ps=8 CI sizing is interpret-only.
     report = quant_quality_report(
         model, params, prompts, max_new_tokens=32,
         kv_dtypes=("int8", "int4", "fp8"), baseline_dtype="bfloat16",
+        page_size=128, max_seq_len=512, prefill_chunk=64,
     )
     rows = []
     for dt, r in report.items():
