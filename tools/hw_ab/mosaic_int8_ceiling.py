@@ -1,3 +1,18 @@
+"""int8-MXU ceiling probes: raw XLA vs Mosaic lowering (2026-08-20).
+
+Measured on v5e: raw-XLA int8 x int8 -> int32 batched matmuls run 2.17x
+bf16 at K=2048 and 2.19x at K=128 (276.9 / 325.7 TOP/s), but the SAME
+dot through a Pallas kernel at the flash kernel's tile shapes measures
+only 1.38x (121.2 vs 87.7) — Mosaic's int8 lowering does not reach the
+XLA fast path. This bounds the quantized-input prefill kernel (config
+4): its int8 score matmul saves ~14% of matmul time, which the i32->f32
+convert + rank-1 rescale of the [1024, 1024] scores then cancels —
+matching the long-recorded ~0.93-1.0x "int8-MXU for prefill" result.
+The config-4 ">= 90% roofline" target needs either Mosaic int8-dot
+parity with XLA or a native-fp8 generation (v6e). Chained-measurement
+pitfalls (CSE hoisting, sliced-feedback DCE) are noted in BENCHLOG.
+"""
+
 import sys, time, functools
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
