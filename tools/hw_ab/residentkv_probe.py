@@ -100,6 +100,9 @@ def residentkv_forward(q, k, v, *, block_q=512, chunk=2048):
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # The 16 MiB scoped-vmem default is far below the 128 MiB
+            # physical VMEM; resident K/V + chunk transients need more.
+            vmem_limit_bytes=100 * 2**20,
         ),
     )(q, k, v)
     return o
