@@ -20,11 +20,15 @@ def main():
     from tpu_flash.bench.suite import bench_flash_prefill
 
     if on_tpu:
-        # Best of 5 measurements — remote-relay timing is noisy-high (the
-        # same compiled kernel reads 103-112 TF/s across processes; paired
-        # in-process A/Bs are the variant-decision tool, this is the
-        # cross-round record).
-        res = max(
+        # MEDIAN of 5 measurements. Relay timing drifts in BOTH
+        # directions: dispatch congestion deflates a differential
+        # reading, but drift BETWEEN the t(n) and t(2n) runs can inflate
+        # one past the physical ceiling (a best-of-5 once recorded 186.7
+        # TF/s — above the 171 TF/s raw-XLA matmul ceiling, so plainly a
+        # timing artifact; BENCHLOG 2026-08-20). The median is robust to
+        # both tails; paired in-process A/Bs remain the variant-decision
+        # tool.
+        runs = sorted(
             (
                 bench_flash_prefill(
                     batch=1, num_q_heads=32, num_kv_heads=32, seq=2048,
@@ -34,6 +38,7 @@ def main():
             ),
             key=lambda r: r.tflops,
         )
+        res = runs[len(runs) // 2]
     else:
         # CPU fallback (no TPU attached): tiny shape, still one JSON line.
         res = bench_flash_prefill(
