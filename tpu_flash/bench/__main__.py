@@ -486,16 +486,23 @@ def config10_engine_device(iters: int):
     from tpu_flash.bench.suite import bench_engine_device_decode
 
     rows = []
-    for kv_dtype in ("bfloat16", "int8"):
+    # MHA (hkv=8, M=1 decode matmuls — worst case) and GQA-4 (hkv=2,
+    # the production shape class: 4 q rows share each kv head's cell).
+    for kv_dtype, hkv, label in (
+        ("bfloat16", 8, "mha"),
+        ("int8", 8, "mha"),
+        ("bfloat16", 2, "gqa4"),
+    ):
         tps, sec_tok, sec_step = bench_engine_device_decode(
-            kv_dtype=kv_dtype, inner=max(4, iters // 4),
+            kv_dtype=kv_dtype, num_kv_heads=hkv,
+            inner=max(4, iters // 4),
         )
         rows.append(
             {
                 "config": 10,
                 "name": (
-                    "engine device-side decode b8 4L h8 d128 "
-                    f"{kv_dtype}-kv (per-layer rates scale)"
+                    f"engine device-side decode b8 4L h8/{hkv}kv d128 "
+                    f"{label} {kv_dtype}-kv (per-layer rates scale)"
                 ),
                 "metric": "device_decode_tokens_per_s",
                 "value": tps,
