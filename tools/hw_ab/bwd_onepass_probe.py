@@ -207,16 +207,18 @@ def main():
     k = jax.random.normal(kk, (b, h, seq, d), jnp.bfloat16)
     v = jax.random.normal(kv, (b, h, seq, d), jnp.bfloat16)
 
-    # parity: onepass proto vs production grads
-    dq0, dk0, dv0 = grad_step_prod(q, k, v, 512)
-    dq1, dk1, dv1 = grad_step_onepass(q, k, v)
-    for name, a, bb in (("dq", dq0, dq1), ("dk", dk0, dk1),
-                        ("dv", dv0, dv1)):
-        err = float(jnp.max(jnp.abs(
-            a.astype(jnp.float32) - bb.astype(jnp.float32)
-        )))
-        print(f"{name} max|prod - onepass| = {err:.3e}", flush=True)
-        assert err < 0.12, (name, err)  # bf16 grad accumulation noise
+    # parity: onepass proto vs production grads (only when the proto is
+    # among the modes — its transients exceed scoped vmem past 2K)
+    if any(m.startswith("one") for m in modes):
+        dq0, dk0, dv0 = grad_step_prod(q, k, v, 512)
+        dq1, dk1, dv1 = grad_step_onepass(q, k, v)
+        for name, a, bb in (("dq", dq0, dq1), ("dk", dk0, dk1),
+                            ("dv", dv0, dv1)):
+            err = float(jnp.max(jnp.abs(
+                a.astype(jnp.float32) - bb.astype(jnp.float32)
+            )))
+            print(f"{name} max|prod - onepass| = {err:.3e}", flush=True)
+            assert err < 0.12, (name, err)  # bf16 grad accum noise
 
     def _make_run(mode):
         @jax.jit
