@@ -20,14 +20,12 @@ def main():
     from tpu_flash.bench.suite import bench_flash_prefill
 
     if on_tpu:
-        # MEDIAN of 5 measurements. Relay timing drifts in BOTH
-        # directions: dispatch congestion deflates a differential
-        # reading, but drift BETWEEN the t(n) and t(2n) runs can inflate
-        # one past the physical ceiling (a best-of-5 once recorded 186.7
-        # TF/s — above the 171 TF/s raw-XLA matmul ceiling, so plainly a
-        # timing artifact; BENCHLOG 2026-08-20). The median is robust to
-        # both tails; paired in-process A/Bs remain the variant-decision
-        # tool.
+        # MEDIAN of 5 measurements with the auto-calibrated large-window
+        # differential (suite._time_chained: >=150 ms walls cancel the
+        # ~23 ms relay dispatch overhead and its multi-ms jitter — the
+        # source of r3's 111-157 TF/s cross-process band; BENCHLOG
+        # 2026-08-20 round 4). min/max of the 5 go out as "spread" so
+        # every headline row carries its own error bars.
         runs = sorted(
             (
                 bench_flash_prefill(
@@ -39,12 +37,18 @@ def main():
             key=lambda r: r.tflops,
         )
         res = runs[len(runs) // 2]
+        spread = {
+            "min": round(runs[0].tflops, 3),
+            "max": round(runs[-1].tflops, 3),
+            "n": len(runs),
+        }
     else:
         # CPU fallback (no TPU attached): tiny shape, still one JSON line.
         res = bench_flash_prefill(
             batch=1, num_q_heads=2, num_kv_heads=2, seq=256, head_dim=64,
             causal=True, iters=3,
         )
+        spread = None
 
     print(
         f"[bench] {res.name}: {res.seconds * 1e3:.3f} ms/iter, "
@@ -52,23 +56,22 @@ def main():
         f"{res.roofline_frac * 100:.1f}%), HBM {res.hbm_gbps:.1f} GB/s",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "attention TFLOP/s/chip (Llama-2-7B 2K causal BF16 prefill)",
-                "value": round(res.tflops, 3),
-                "unit": "TFLOP/s",
-                "vs_baseline": round(res.roofline_frac, 4),
-                # Fraction of the MEASURED compute ceiling for this
-                # geometry: 171 TF/s raw-XLA matmul-chain rate x 0.8
-                # useful/computed FLOPs of the single-pass bq512 causal
-                # walk ~= 137 useful TF/s (BENCHLOG 2026-08-19/20).
-                # vs_baseline keeps the nominal 197 TF/s roofline
-                # denominator for cross-round comparability.
-                "vs_measured_ceiling": round(res.tflops / 137.0, 4),
-            }
-        )
-    )
+    out = {
+        "metric": "attention TFLOP/s/chip (Llama-2-7B 2K causal BF16 prefill)",
+        "value": round(res.tflops, 3),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(res.roofline_frac, 4),
+        # Fraction of the MEASURED compute ceiling for this
+        # geometry: 167 TF/s raw-XLA score->pv matmul-chain rate
+        # (stable large-window protocol, BENCHLOG 2026-08-20 r4) x
+        # 0.8 useful/computed FLOPs of the 512-row causal staircase
+        # ~= 133.6 useful TF/s. vs_baseline keeps the nominal 197
+        # TF/s roofline denominator for cross-round comparability.
+        "vs_measured_ceiling": round(res.tflops / 133.6, 4),
+    }
+    if spread is not None:
+        out["spread"] = spread
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -386,7 +386,9 @@ class TestOnepass:
             )
 
         run(2048, 2048, True)
-        assert calls[-1] == (2048, 2048, 512, True)
+        # <=2K causal fuses the whole q range into one staircase cell
+        # (block_q == q_len, 512-row stairs).
+        assert calls[-1] == (2048, 2048, 2048, True)
         run(4096, 4096, True)
         assert calls[-1] == (4096, 4096, 512, True)
         run(2048, 2048, False)

@@ -42,7 +42,9 @@ def _time_chained(
     x0: jax.Array,
     *rest: jax.Array,
     inner: int = 16,
-    repeats: int = 3,
+    repeats: int = 4,
+    target_window: float = 0.15,
+    max_inner: int = 4096,
 ) -> float:
     """Seconds per op via differential timing of in-jit chained loops.
 
@@ -53,6 +55,14 @@ def _time_chained(
     Timing inner vs 2*inner iterations cancels dispatch/transfer overhead.
     ``rest`` operands are explicit jit args (closure capture would embed
     them as constants in the compile payload).
+
+    The chain length auto-calibrates upward until one wall covers
+    ``target_window`` seconds: the relay's fixed dispatch overhead is
+    ~23 ms with multi-ms jitter (BENCHLOG 2026-08-20 round 4), so a
+    differential over ~15-30 ms windows measures the jitter, not the
+    kernel (the r3 headline's 111-157 TF/s cross-process band). With
+    >=150 ms windows the same kernel repeats within +-1% in-process and
+    a few % across processes. ``inner`` is the calibration floor.
     """
 
     @jax.jit
@@ -66,15 +76,24 @@ def _time_chained(
         _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), x))
         return jnp.sum(out.astype(jnp.float32))
 
-    n1, n2 = jnp.int32(inner), jnp.int32(2 * inner)
-    float(run(x0, n1, *rest))  # compile once (dynamic trip count)
+    n = max(inner, 1)
+    float(run(x0, jnp.int32(n), *rest))  # compile once (dynamic trip count)
+    # Calibrate the window (dynamic trip count: no recompiles).
+    while n < max_inner:
+        w = _wall(lambda: float(run(x0, jnp.int32(n), *rest)))
+        if w >= target_window:
+            break
+        # Jump straight to the projected target, minus the overhead share.
+        grow = max(2.0, target_window / max(w, 1e-6))
+        n = min(max_inner, max(n + 1, int(n * min(grow, 16.0))))
+    n1, n2 = jnp.int32(n), jnp.int32(2 * n)
     t1 = min(
         _wall(lambda: float(run(x0, n1, *rest))) for _ in range(repeats)
     )
     t2 = min(
         _wall(lambda: float(run(x0, n2, *rest))) for _ in range(repeats)
     )
-    return max((t2 - t1) / inner, 1e-9)
+    return max((t2 - t1) / n, 1e-9)
 
 
 def _wall(fn) -> float:

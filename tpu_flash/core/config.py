@@ -59,6 +59,13 @@ class BlockSizes:
     # feasibility gates (plain self-attention, scores tile <= VMEM
     # budget); out-of-scope calls fall through to the triangular path.
     onepass: bool = False
+    # Single-pass causal only: row-slice each q-block's trailing DIAGONAL
+    # block into sub-extents of this many q rows (the onepass analogue of
+    # ``diag_sub``): slice s computes only its (s+1)*onepass_diag diagonal
+    # columns and merges once with the mask-free full-row prefix state,
+    # cutting the diagonal's masked FLOPs ~1/2 → ~1/(2r). None = launcher
+    # default (measured per-geometry policy); 0 = force off.
+    onepass_diag: Optional[int] = None
 
     def __post_init__(self):
         for f in dataclasses.fields(self):

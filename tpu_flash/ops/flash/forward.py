@@ -296,6 +296,8 @@ def _flash_fwd_onepass_kernel(
     sm_scale: float,
     num_q_blocks: int,
     softcap: Optional[float] = None,
+    diag_rows: Optional[int] = None,
+    diag_min_block: int = 0,
 ):
     """Single-pass short-sequence forward: one q-block against its FULL
     (causal) KV extent, softmax in one masked pass — no online merge, no
@@ -310,6 +312,14 @@ def _flash_fwd_onepass_kernel(
     causal q-block branches to a static-extent slice of the resident K/V,
     so masked FLOPs match the triangular grid's (only the trailing
     diagonal block is half-wasted) while the softmax VPU chain runs once.
+
+    ``diag_rows`` (causal only): split the trailing diagonal block into
+    row slices of this many q rows; slice ``s`` computes only its own
+    ``(s+1)*diag_rows`` diagonal columns and merges with the mask-free
+    prefix state once (one rescale per slice). This cuts the diagonal's
+    computed-but-masked FLOPs from ~1/2 to ~1/(2r) of a block — the
+    single-pass analogue of the triangular grid's ``diag_sub`` — while
+    the prefix matmul keeps the full block_q MXU row count.
     """
     block_q = q_ref.shape[2]
     kv_len = k_ref.shape[2]
@@ -323,46 +333,133 @@ def _flash_fwd_onepass_kernel(
     if sm_scale != 1.0:
         q = q * sm_scale
 
-    def _body(extent: int, thr: int):
-        k = k_ref[0, 0, :extent, :]
-        s = jax.lax.dot_general(
-            q, k, TRANS_B_DIM_NUMBERS,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        if softcap is not None:
-            s = softcap * jnp.tanh(s * (1.0 / softcap))
-        if causal:
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, extent), 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, extent), 0)
-            if alibi_ref is not None:
-                s = s + alibi_ref[0:1, 0:1] * (col - row - thr).astype(
-                    jnp.float32
-                )
-            s = jnp.where((col - row) <= thr, s, DEFAULT_MASK_VALUE)
-        m = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot(
-            p.astype(v_ref.dtype), v_ref[0, 0, :extent, :],
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+    def _write(lo, hi, m, l, pv):
+        """Finalize rows [lo, hi): normalize, fold sinks, write o/lse."""
         if sink_ref is None:
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0, 0] = (pv * l_inv).astype(o_ref.dtype)
+            o_ref[0, 0, lo:hi] = (pv * l_inv).astype(o_ref.dtype)
             if lse_ref is not None:
                 lse = jnp.where(m == -jnp.inf, -jnp.inf, m + jnp.log(l))
-                lse_ref[0, 0] = jnp.broadcast_to(
-                    lse, (block_q, NUM_LANES)
+                lse_ref[0, 0, lo:hi] = jnp.broadcast_to(
+                    lse, (hi - lo, NUM_LANES)
                 ).astype(lse_ref.dtype)
         else:
             sk = sink_ref[0:1, 0:1]  # [1, 1] per-head sink logit
             scale_m, l_tot, m2 = sink_denominator(m, l, sk)
-            o_ref[0, 0] = (pv * (scale_m / l_tot)).astype(o_ref.dtype)
+            o_ref[0, 0, lo:hi] = (pv * (scale_m / l_tot)).astype(o_ref.dtype)
             if lse_ref is not None:
-                lse_ref[0, 0] = jnp.broadcast_to(
-                    m2 + jnp.log(l_tot), (block_q, NUM_LANES)
+                lse_ref[0, 0, lo:hi] = jnp.broadcast_to(
+                    m2 + jnp.log(l_tot), (hi - lo, NUM_LANES)
                 ).astype(lse_ref.dtype)
 
+    def _scores(qs, start: int, extent: int, thr: Optional[int]):
+        """[rows, extent] scaled scores of q rows ``qs`` against KV columns
+        [start, start+extent). ``thr`` None = no mask (strict prefix);
+        else mask col_global - row_local <= thr (row_local 0 sits at
+        global row ``thr``)."""
+        rows = qs.shape[0]
+        k = k_ref[0, 0, start : start + extent, :]
+        s = jax.lax.dot_general(
+            qs, k, TRANS_B_DIM_NUMBERS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+        if thr is not None or alibi_ref is not None:
+            col = start + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, extent), 1
+            )
+            row = jax.lax.broadcasted_iota(jnp.int32, (rows, extent), 0)
+            if alibi_ref is not None:
+                base = thr if thr is not None else 0
+                s = s + alibi_ref[0:1, 0:1] * (col - row - base).astype(
+                    jnp.float32
+                )
+            if thr is not None:
+                s = jnp.where((col - row) <= thr, s, DEFAULT_MASK_VALUE)
+        return s
+
+    def _softmax_pv(s, start: int, extent: int):
+        m = jnp.max(s, axis=1, keepdims=True)  # [rows, 1]
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0, 0, start : start + extent, :],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        return m, l, pv
+
+    def _body(extent: int, thr: int):
+        s = _scores(q, 0, extent, thr if causal else None)
+        m, l, pv = _softmax_pv(s, 0, extent)
+        _write(0, block_q, m, l, pv)
+
+    def _body_diag_split(i: int, rs: int):
+        """Causal q-block ``i`` with the diagonal block row-sliced: the
+        mask-free prefix [0, i*block_q) runs at full block_q rows; each
+        rs-row slice computes only its (s+1)*rs diagonal columns and
+        merges with its prefix rows once."""
+        pre = i * block_q
+        if pre > 0:
+            s1 = _scores(q, 0, pre, i * block_q if alibi_ref is not None
+                         else None)
+            # alibi needs col/row offsets even without a mask; _scores
+            # masks only when thr covers reachable (col - row) deltas —
+            # in the strict prefix col < every global row, so the
+            # threshold i*block_q never masks anything.
+            m1, l1, pv1 = _softmax_pv(s1, 0, pre)
+        for sidx in range(block_q // rs):
+            lo, hi = sidx * rs, (sidx + 1) * rs
+            qs = q[lo:hi]
+            ext = hi  # (s+1)*rs diagonal columns
+            s2 = _scores(qs, pre, ext, i * block_q + lo)
+            m2, l2, pv2 = _softmax_pv(s2, pre, ext)
+            if pre > 0:
+                m1s, l1s, pv1s = m1[lo:hi], l1[lo:hi], pv1[lo:hi]
+                m = jnp.maximum(m1s, m2)
+                a1 = jnp.exp(m1s - m)
+                a2 = jnp.exp(m2 - m)
+                _write(lo, hi, m, l1s * a1 + l2 * a2,
+                       pv1s * a1 + pv2 * a2)
+            else:
+                _write(lo, hi, m2, l2, pv2)
+
+    # diag_rows == block_q degenerates to a "two-part" body: unmasked
+    # full-M prefix + one full-width masked diagonal block, merged once —
+    # mask iotas shrink from [bq, extent] to [bq, bq] with no slice
+    # granularity cost.
+    split = (
+        causal
+        and diag_rows is not None
+        and diag_rows <= block_q
+        and block_q % diag_rows == 0
+    )
+    if causal and num_q_blocks == 1 and split and diag_rows < block_q:
+        # Fused staircase: the whole (padded) q range is ONE grid cell;
+        # each diag_rows-row stair runs a two-part body (unmasked prefix
+        # [0, s*rs) at stair row count + masked diagonal [s*rs, (s+1)*rs)),
+        # merged once. Identical matmul/mask shapes to the per-q-block
+        # two-part grid, minus (num_stairs - 1)/num_stairs of the grid
+        # cells.
+        rs = diag_rows
+        for sidx in range(block_q // rs):
+            lo, hi = sidx * rs, (sidx + 1) * rs
+            qs = q[lo:hi]
+            if sidx == 0:
+                s2 = _scores(qs, 0, rs, 0)
+                m2, l2, pv2 = _softmax_pv(s2, 0, rs)
+                _write(lo, hi, m2, l2, pv2)
+            else:
+                s1 = _scores(qs, 0, lo, lo if alibi_ref is not None
+                             else None)
+                m1, l1, pv1 = _softmax_pv(s1, 0, lo)
+                s2 = _scores(qs, lo, rs, lo)
+                m2, l2, pv2 = _softmax_pv(s2, lo, rs)
+                m = jnp.maximum(m1, m2)
+                a1 = jnp.exp(m1 - m)
+                a2 = jnp.exp(m2 - m)
+                _write(lo, hi, m, l1 * a1 + l2 * a2, pv1 * a1 + pv2 * a2)
+        return
     if causal and num_q_blocks > 1:
         # Per-q-block static causal extent: q-block i attends columns
         # [0, (i+1)*block_q). Static branches keep every matmul shape
@@ -371,7 +468,12 @@ def _flash_fwd_onepass_kernel(
         for i in range(num_q_blocks):
             @pl.when(qb == i)
             def _branch(i=i):
-                _body((i + 1) * block_q, i * block_q)
+                if split and i >= diag_min_block:
+                    _body_diag_split(i, diag_rows)
+                else:
+                    _body((i + 1) * block_q, i * block_q)
+    elif split and diag_min_block == 0:
+        _body_diag_split(0, diag_rows)
     else:
         # Non-causal (any nb), or a single causal block: full extent;
         # thr=0 masks the lone diagonal when causal.
@@ -380,7 +482,8 @@ def _flash_fwd_onepass_kernel(
 
 def _forward_onepass(
     q, k, v, *, causal, sm_scale, block_q, q_per_kv, save_residuals,
-    interpret, softcap=None, sinks=None, alibi=None,
+    interpret, softcap=None, sinks=None, alibi=None, diag_rows=None,
+    diag_min_block=0,
 ):
     """Launch the single-pass kernel (see _flash_fwd_onepass_kernel)."""
     batch, num_q_heads, q_len, head_dim = q.shape
@@ -440,6 +543,8 @@ def _forward_onepass(
         sm_scale=sm_scale,
         num_q_blocks=num_q_blocks,
         softcap=softcap,
+        diag_rows=diag_rows,
+        diag_min_block=diag_min_block,
     )
 
     def kernel(*refs):
@@ -452,7 +557,15 @@ def _forward_onepass(
         return base_kernel(q_r, k_r, v_r, sk_r, al_r, o_r, lse_r)
 
     if causal:
-        cell_tokens = block_q * block_q * num_q_blocks * (num_q_blocks + 1) // 2
+        if diag_rows and diag_rows < block_q:
+            r = block_q // diag_rows
+            diag_tokens = block_q * block_q * (r + 1) // (2 * r)
+        else:
+            diag_tokens = block_q * block_q
+        cell_tokens = (
+            block_q * block_q * num_q_blocks * (num_q_blocks - 1) // 2
+            + num_q_blocks * diag_tokens
+        )
     else:
         cell_tokens = q_len * kv_len_padded
     cost = pl.CostEstimate(
@@ -710,18 +823,57 @@ def flash_attention_forward(
             and op_bq * kv_len_padded * 4 > _ONEPASS_MAX_SCORES_BYTES
         ):
             op_bq //= 2
+        # Causal <=2K: fuse ALL q-blocks of a head into one grid cell
+        # (staircase of 512-row two-part bodies). Same matmul/mask
+        # shapes as the per-q-block grid, 1/4 the grid cells: 2K causal
+        # 119.5 -> 127.1 TF/s on v5e (BENCHLOG 2026-08-20 round 4). At
+        # 4K+ the stairs' scores tiles exceed scoped VMEM (Mosaic does
+        # not reuse the stack across stairs: 29.7M > 16M) and the
+        # per-block grid is already at the measured matmul-mix ceiling.
+        fuse_stairs = (
+            causal
+            and block_sizes.onepass_diag is None
+            and q_len <= 2048
+            and q_len % 512 == 0
+            and q_len > 512
+            and op_bq == 512
+            and q_len == kv_len_padded
+        )
+        if fuse_stairs:
+            return _forward_onepass(
+                q, k, v,
+                causal=causal, sm_scale=sm_scale, block_q=q_len,
+                q_per_kv=q_per_kv, save_residuals=save_residuals,
+                interpret=interpret, softcap=softcap, sinks=sinks,
+                alibi=alibi, diag_rows=512,
+            )
         if (
             op_bq >= min(512, q_len)
             and q_len % op_bq == 0
             and op_bq * kv_len_padded * 4 <= _ONEPASS_MAX_SCORES_BYTES
             and (not causal or q_len // op_bq <= 8)
         ):
+            # Diagonal treatment policy (paired v5e A/Bs, BENCHLOG
+            # 2026-08-20 round 4): "two-part" — unmasked full-M prefix +
+            # one full-width masked diagonal block, merged once
+            # (diag_rows == block_q) — wins at every seq: mask iotas/
+            # where shrink from [bq, extent] to [bq, bq] (4K causal
+            # 136.1 → 149.9 TF/s, 2K 117.2 → 120.6). Row-sliced
+            # diagonals (diag_rows < block_q) cut the diagonal's masked
+            # FLOPs too but their slice granularity costs more than the
+            # cut saves (4K rs128: 146.1 < 149.9; 2K rs128: 111 < 121).
+            # BlockSizes.onepass_diag overrides; 0 forces off.
+            diag_rows = getattr(block_sizes, "onepass_diag", None)
+            if diag_rows is None and causal:
+                diag_rows = op_bq
+            if not diag_rows or diag_rows > op_bq or op_bq % diag_rows:
+                diag_rows = None
             return _forward_onepass(
                 q, k, v,
                 causal=causal, sm_scale=sm_scale, block_q=op_bq,
                 q_per_kv=q_per_kv, save_residuals=save_residuals,
                 interpret=interpret, softcap=softcap, sinks=sinks,
-                alibi=alibi,
+                alibi=alibi, diag_rows=diag_rows,
             )
 
     if causal:
