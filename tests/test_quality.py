@@ -12,10 +12,14 @@ divergence is attributable to KV quantization error alone.
 
 int8 per-token/per-head absmax (ops/quant/quantize.py) introduces
 ~2e-3 logit-scale error — far below the argmax margins even of this
-random-weight tiny model, so the gate is exact-match. int4 (~1.6e-1)
-and fp8 measurably diverge on random weights (prefix-match 0.09 / 0.59,
-BENCHLOG 2026-08-19) — they are *reported* by bench config 9, not gated
-here, because random-weight logit margins overstate production error.
+random-weight tiny model, so the gate is exact-match. int4/fp8 were
+unusable on this stress model (prefix-match 0.09 / 0.59, BENCHLOG
+2026-08-19) until the exact recent-window ring (CacheConfig.
+recent_window, engine/cache.py): decode reads the last W tokens from a
+bf16 ring that mirrors the bf16 kernel's numerics, so contexts inside
+the window now gate at >= 0.90 for EVERY quantized dtype (config-9
+stress geometry, d=128). Beyond-window behavior is reported (not gated)
+by bench config 9's stress row.
 """
 
 from tpu_flash.bench.quality import quant_quality_report
@@ -44,3 +48,28 @@ def test_int8_cache_reproduces_fp_generation():
     assert r["n_tokens"] == 16.0
     assert r["prefix_match"] >= 0.95, report
     assert r["positionwise_match"] >= 0.95, report
+
+
+def test_int4_fp8_within_window_gate():
+    """The config-9 stress geometry (d=128 model, 128-token pages,
+    recent_window default 128): int4 and fp8 greedy generation must hold
+    >= 0.90 prefix match vs the bf16 engine — the VERDICT r3 gate. The
+    exact recent-window ring is what passes this (0.104 before)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_TEST, head_dim=128)
+    model = FlashTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    report = quant_quality_report(
+        model,
+        params,
+        PROMPTS,
+        max_new_tokens=32,
+        kv_dtypes=("int4", "fp8"),
+        baseline_dtype="bfloat16",
+        page_size=128,
+        max_seq_len=512,
+        prefill_chunk=64,
+    )
+    for dt in ("int4", "fp8"):
+        assert report[dt]["prefix_match"] >= 0.90, report

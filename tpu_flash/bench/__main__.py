@@ -466,12 +466,31 @@ def config9_quant_quality(iters):
             "positionwise_match_rate": r["positionwise_match"],
             "n_tokens": r["n_tokens"],
         }
-        # The asserted >=0.95 int8 gate lives in CI (tests/test_quality.py)
-        # on the calibrated d=16 interpret config; this row's d=128 model
-        # (TPU lane alignment) has even smaller random-weight argmax
-        # margins, so rates here are a stress lower bound, not a gate.
         rows.append(row)
         _log(f"  {dt}: prefix {r['prefix_match']:.3f} "
+             f"positionwise {r['positionwise_match']:.3f}")
+    # Beyond-window stress: shrink the exact recent ring (32 tokens) below
+    # the generated context (8 + 96) so most attention reads QUANTIZED
+    # pages — the honest lower bound on the raw quantizer (the production
+    # default recent_window=128 covers short contexts entirely, which is
+    # the point of the mechanism, but would make this row trivial).
+    report_bw = quant_quality_report(
+        model, params, prompts, max_new_tokens=96,
+        kv_dtypes=("int8", "int4"), baseline_dtype="bfloat16",
+        page_size=128, max_seq_len=512, prefill_chunk=64,
+        recent_window=32,
+    )
+    for dt, r in report_bw.items():
+        rows.append({
+            "config": 9,
+            "name": f"quant quality {dt}-kv beyond-window stress "
+            "(ring 32 << context 104, random-weight model)",
+            "metric": "prefix_match_rate",
+            "value": r["prefix_match"],
+            "positionwise_match_rate": r["positionwise_match"],
+            "n_tokens": r["n_tokens"],
+        })
+        _log(f"  {dt} beyond-window: prefix {r['prefix_match']:.3f} "
              f"positionwise {r['positionwise_match']:.3f}")
     return rows
 

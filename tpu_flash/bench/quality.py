@@ -40,6 +40,7 @@ def generate_greedy(
     prefill_chunk: int = 64,
     max_batch_size: int = 4,
     interpret: Optional[bool] = None,
+    recent_window: Optional[int] = None,  # None = CacheConfig default
 ) -> List[List[int]]:
     """Greedy-decode ``prompts`` through the paged engine with the given
     KV cache dtype. Returns one token list per prompt, in prompt order."""
@@ -57,6 +58,11 @@ def generate_greedy(
             num_pages=n_pages_seq * max_batch_size + 8,
             max_pages_per_seq=n_pages_seq,
             kv_dtype=kv_dtype,
+            **(
+                {}
+                if recent_window is None
+                else {"recent_window": recent_window}
+            ),
         ),
     )
     engine = InferenceEngine(model, params, cfg, interpret=interpret)

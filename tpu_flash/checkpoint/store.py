@@ -157,10 +157,18 @@ def snapshot_engine(path, engine) -> None:
     if cache.quantized:
         arrays["k_scales"] = np.asarray(cache.k_scales)
         arrays["v_scales"] = np.asarray(cache.v_scales)
+    if cache.k_recent is not None:
+        # Exact recent-window rings (engine/cache.py): per-slot state, so
+        # they restore positionally with the slot arrays above.
+        arrays["k_recent"] = _np_save(cache.k_recent)
+        arrays["v_recent"] = _np_save(cache.v_recent)
     # Swapped-out KV stashes (preemption="swap"): already host-side numpy.
     for rid, stash in getattr(engine, "_swapped", {}).items():
         for j, a in enumerate(stash["arrays"]):
             arrays[f"swap_{rid}_{j}"] = _np_save(a)
+        if "recent" in stash:
+            arrays[f"swap_{rid}_rk"] = _np_save(stash["recent"][0])
+            arrays[f"swap_{rid}_rv"] = _np_save(stash["recent"][1])
     np.savez_compressed(path / _ENGINE_ARRAYS, **arrays)
 
     sched = engine.scheduler
@@ -270,6 +278,20 @@ def restore_engine(path, engine) -> None:
         ),
         v_scales=(
             jnp.asarray(data["v_scales"]) if engine.cache.quantized else None
+        ),
+        k_recent=(
+            jnp.asarray(data["k_recent"]).astype(
+                engine.cache.k_recent.dtype
+            )
+            if engine.cache.k_recent is not None and "k_recent" in data
+            else engine.cache.k_recent
+        ),
+        v_recent=(
+            jnp.asarray(data["v_recent"]).astype(
+                engine.cache.v_recent.dtype
+            )
+            if engine.cache.v_recent is not None and "v_recent" in data
+            else engine.cache.v_recent
         ),
     )
     if engine.mesh is not None:
@@ -414,7 +436,18 @@ def restore_engine(path, engine) -> None:
             if j < 2:
                 a = a.astype(pay_dtype)
             arrays.append(a)
-        engine._swapped[int(rid)] = {"n": info["n"], "arrays": arrays}
+        stash = {"n": info["n"], "arrays": arrays}
+        if f"swap_{rid}_rk" in data:
+            rdt = (
+                np.asarray(engine.cache.k_recent).dtype
+                if engine.cache.k_recent is not None
+                else np.float32
+            )
+            stash["recent"] = (
+                data[f"swap_{rid}_rk"].astype(rdt),
+                data[f"swap_{rid}_rv"].astype(rdt),
+            )
+        engine._swapped[int(rid)] = stash
 
 
 # ---------------------------------------------------------------------------

@@ -138,6 +138,15 @@ class CacheConfig:
     max_pages_per_seq: int = 64
     kv_dtype: str = "bfloat16"  # payload: bfloat16 | int8 | int4 | fp8
     scale_dtype: str = "float32"
+    # Quantized caches only: keep the last ``recent_window`` tokens of each
+    # sequence ALSO in an exact bf16 ring (KIVI-style residual window);
+    # burst decode attends pages for [0, L - W) and the ring for the rest,
+    # cutting the dominant quantization-error feedback path of generation
+    # (stress-model int4 token match 0.10 -> ~1.0 within the window,
+    # 0.66-0.79 beyond it; BENCHLOG 2026-08-20). Memory cost: W tokens
+    # bf16 per slot per layer (~3-6% of an int4 cache at 8K context).
+    # 0 disables. Ignored for fp caches.
+    recent_window: int = 128
 
     def __post_init__(self):
         _check_pos("page_size", self.page_size)
@@ -147,6 +156,10 @@ class CacheConfig:
             "bfloat16", "float32", "int8", "int4", "fp8"
         ):
             raise ValueError(f"unsupported kv_dtype {self.kv_dtype!r}")
+        if self.recent_window < 0:
+            raise ValueError(
+                f"recent_window must be >= 0, got {self.recent_window}"
+            )
 
     @property
     def quantized(self) -> bool:

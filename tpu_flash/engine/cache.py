@@ -31,7 +31,20 @@ from tpu_flash.ops.quant.quantize import (
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PagedKVCache:
-    """Device arrays of one model's KV pages across layers."""
+    """Device arrays of one model's KV pages across layers.
+
+    ``k_recent``/``v_recent`` (quantized caches with
+    CacheConfig.recent_window > 0): a per-slot bf16 ring of the last
+    ``recent_window`` tokens' exact K/V — the KIVI-style residual window.
+    Every append dual-writes (quantized page + ring), so the pages always
+    hold the full context and any reader may ignore the ring; the decode
+    path attends pages for [0, L - W) and the ring for [L - W, L), which
+    is where 4-bit noise otherwise feeds back into generation (measured:
+    int4 stress token-match 0.10 -> 0.66-1.0 depending on W vs context;
+    BENCHLOG 2026-08-20 round 4). Ring layout: [layers, slots, hkv, W, d],
+    token at position p lives at ring row p % W; validity is derived from
+    lengths, so no positions are stored.
+    """
 
     k_pages: jax.Array
     v_pages: jax.Array
@@ -39,15 +52,18 @@ class PagedKVCache:
     v_scales: Optional[jax.Array]
     page_size: int
     kv_dtype: str  # "bfloat16" | "float32" | "int8" | "int4" | "fp8"
+    k_recent: Optional[jax.Array] = None
+    v_recent: Optional[jax.Array] = None
 
     def tree_flatten(self):
-        children = (self.k_pages, self.v_pages, self.k_scales, self.v_scales)
+        children = (self.k_pages, self.v_pages, self.k_scales,
+                    self.v_scales, self.k_recent, self.v_recent)
         aux = (self.page_size, self.kv_dtype)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:4], *aux, *children[4:])
 
     # -- construction -------------------------------------------------------
 
@@ -58,6 +74,7 @@ class PagedKVCache:
         num_kv_heads: int,
         head_dim: int,
         config: CacheConfig,
+        num_slots: int = 0,
     ) -> "PagedKVCache":
         quant = config.quantized
         page_rows = config.page_size
@@ -86,6 +103,12 @@ class PagedKVCache:
                        config.page_size)
         k_scales = jnp.ones(scale_shape, jnp.float32) if quant else None
         v_scales = jnp.ones(scale_shape, jnp.float32) if quant else None
+        k_recent = v_recent = None
+        if quant and config.recent_window and num_slots:
+            ring_shape = (num_layers, num_slots, num_kv_heads,
+                          config.recent_window, head_dim)
+            k_recent = jnp.zeros(ring_shape, jnp.bfloat16)
+            v_recent = jnp.zeros(ring_shape, jnp.bfloat16)
         return cls(
             k_pages=k_pages,
             v_pages=v_pages,
@@ -93,6 +116,8 @@ class PagedKVCache:
             v_scales=v_scales,
             page_size=config.page_size,
             kv_dtype=config.kv_dtype,
+            k_recent=k_recent,
+            v_recent=v_recent,
         )
 
     @property
@@ -120,6 +145,10 @@ class PagedKVCache:
 
     # -- appends ------------------------------------------------------------
 
+    @property
+    def recent_window(self) -> int:
+        return 0 if self.k_recent is None else self.k_recent.shape[3]
+
     def append(
         self,
         layer: int,
@@ -127,8 +156,19 @@ class PagedKVCache:
         new_v: jax.Array,
         page_ids: jax.Array,  # [num_tokens] physical page per token
         offsets: jax.Array,  # [num_tokens] slot within the page
+        slots: Optional[jax.Array] = None,  # [num_tokens] batch slot per token
+        positions: Optional[jax.Array] = None,  # [num_tokens] absolute pos
     ) -> "PagedKVCache":
-        """Scatter new tokens' K/V into their pages (pure update)."""
+        """Scatter new tokens' K/V into their pages (pure update).
+
+        When the cache carries a recent ring and the caller provides
+        (slots, positions), the tokens are ALSO written into their slots'
+        rings at row ``position % recent_window`` (dual write). Callers
+        that cannot attribute tokens to slots may omit them — the pages
+        alone stay complete and correct; those tokens just won't be
+        readable from the ring (pass slots=None on paths that do not
+        consume the ring).
+        """
         kq, ks = _quantize_rows(new_k, self.kv_dtype)
         vq, vs = _quantize_rows(new_v, self.kv_dtype)
         if self.kv_dtype == "int4":
@@ -165,12 +205,66 @@ class PagedKVCache:
         if self.quantized:
             k_scales = k_scales.at[layer, :, page_ids, offsets].set(ks)
             v_scales = v_scales.at[layer, :, page_ids, offsets].set(vs)
+        k_recent, v_recent = self.k_recent, self.v_recent
+        if k_recent is not None and slots is not None:
+            ring_row = positions % self.recent_window
+            k_recent = k_recent.at[layer, slots, :, ring_row, :].set(
+                new_k.astype(k_recent.dtype)
+            )
+            v_recent = v_recent.at[layer, slots, :, ring_row, :].set(
+                new_v.astype(v_recent.dtype)
+            )
         return dataclasses.replace(
             self,
             k_pages=k_pages,
             v_pages=v_pages,
             k_scales=k_scales,
             v_scales=v_scales,
+            k_recent=k_recent,
+            v_recent=v_recent,
+        )
+
+    def write_recent(
+        self,
+        layer: int,
+        new_k: jax.Array,  # [num_tokens, num_kv_heads, head_dim]
+        new_v: jax.Array,
+        slots: jax.Array,  # [num_tokens] (trash slot for discarded tokens)
+        positions: jax.Array,  # [num_tokens]
+    ) -> "PagedKVCache":
+        """Ring-only write (speculative verify: pages were appended before
+        acceptance was known; accepted tokens' ring rows are healed here,
+        rejected ones route to the trash slot)."""
+        if self.k_recent is None:
+            return self
+        row = positions % self.recent_window
+        return dataclasses.replace(
+            self,
+            k_recent=self.k_recent.at[layer, slots, :, row, :].set(
+                new_k.astype(self.k_recent.dtype)
+            ),
+            v_recent=self.v_recent.at[layer, slots, :, row, :].set(
+                new_v.astype(self.v_recent.dtype)
+            ),
+        )
+
+    def copy_recent(self, src_slot: int, dst_slots) -> "PagedKVCache":
+        """Copy one slot's recent ring into other slots (sampling forks:
+        branches start from the parent's context, so they inherit its
+        exact-tail window)."""
+        if self.k_recent is None:
+            return self
+        dst = jnp.asarray(dst_slots)
+        k_recent = self.k_recent.at[:, dst].set(
+            self.k_recent[:, src_slot][:, None]
+            if dst.ndim else self.k_recent[:, src_slot]
+        )
+        v_recent = self.v_recent.at[:, dst].set(
+            self.v_recent[:, src_slot][:, None]
+            if dst.ndim else self.v_recent[:, src_slot]
+        )
+        return dataclasses.replace(
+            self, k_recent=k_recent, v_recent=v_recent
         )
 
 

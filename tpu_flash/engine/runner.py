@@ -131,9 +131,14 @@ class InferenceEngine:
                 self.scheduler.allocator, config.cache.page_size
             )
             self.scheduler.prefix_index = self.prefix_index
+        # +1 ring slot: row max_batch_size is the trash slot for tokens
+        # that must not land in any live sequence's recent ring (prefill
+        # padding, rejected speculative drafts).
         self.cache = PagedKVCache.create(
-            cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, config.cache
+            cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, config.cache,
+            num_slots=config.max_batch_size + 1,
         )
+        self.trash_slot = config.max_batch_size
         if mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
@@ -247,6 +252,8 @@ class InferenceEngine:
 
         quant = self.cache.quantized
         kv_spec = P(None, "model")
+        ring = self.cache.k_recent is not None
+        ring_spec = P(None, None, "model")  # [L, slots, hkv, W, d]
         return PagedKVCache(
             k_pages=kv_spec,
             v_pages=kv_spec,
@@ -254,6 +261,8 @@ class InferenceEngine:
             v_scales=kv_spec if quant else None,
             page_size=self.cache.page_size,
             kv_dtype=self.cache.kv_dtype,
+            k_recent=ring_spec if ring else None,
+            v_recent=ring_spec if ring else None,
         )
 
     def _jit_impl(self, impl, in_kinds: str, out_kinds: str, donate):
@@ -600,7 +609,7 @@ class InferenceEngine:
         )
 
     def _chunked_prefill_impl(self, hist_len, params, cache, tokens,
-                              table_rows, n_valids, lora_ids):
+                              table_rows, n_valids, lora_ids, slots):
         """One BATCH of same-stage prefill chunks: tokens [B, bucket], all
         at absolute positions [hist_len, hist_len + bucket) of their own
         sequences (same-stage = same static hist_len, so one compiled
@@ -641,6 +650,13 @@ class InferenceEngine:
             drop_pages = max(0, hist_len - self._window + 1) // ps
         hist_keep = hist_len - drop_pages * ps
 
+        ring = cache.k_recent is not None
+        tok_slots = (
+            jnp.where(valid, slots[:, None], self.trash_slot).reshape(-1)
+            if ring else None
+        )
+        tok_pos = jnp.broadcast_to(positions, (b, bucket)).reshape(-1)
+
         def kv_hook(li, k, v):
             if hist_len and not use_paged:
                 hk, hv = self._gather_history(
@@ -657,6 +673,7 @@ class InferenceEngine:
                 k.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
                 v.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
                 page_ids.reshape(-1), offsets.reshape(-1),
+                slots=tok_slots, positions=tok_pos,
             )
             li_cell[0] = li
             return k_all, v_all
@@ -707,10 +724,11 @@ class InferenceEngine:
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._jit_impl(
                 functools.partial(self._chunked_prefill_impl, start),
-                "pcrrrr", "crr", donate=(1,),
+                "pcrrrrr", "crr", donate=(1,),
             )
         pps = self.config.cache.max_pages_per_seq
         tok_rows, table_rs, n_valids, tables, lids = [], [], [], [], []
+        slot_rows = []
         for c in chunks:
             req = self.scheduler.active[c.req_id]
             toks = req._prompt[c.start : c.start + c.length]
@@ -722,6 +740,9 @@ class InferenceEngine:
             )
             n_valids.append(c.length)
             lids.append(req.lora_id)
+            slot_rows.append(
+                req.batch_slot if req.batch_slot >= 0 else self.trash_slot
+            )
         for _ in range(bb - len(chunks)):
             # Pad rows write only the trash page; 1 valid token keeps the
             # last-logits gather index in range.
@@ -729,12 +750,14 @@ class InferenceEngine:
             table_rs.append([self.trash_page] * pps)
             n_valids.append(1)
             lids.append(0)
+            slot_rows.append(self.trash_slot)
         self.cache, last_logits, finite = self._prefill_fns[key](
             self.params, self.cache,
             jnp.asarray(tok_rows, jnp.int32),
             jnp.asarray(table_rs, jnp.int32),
             jnp.asarray(n_valids, jnp.int32),
             jnp.asarray(lids, jnp.int32),
+            jnp.asarray(slot_rows, jnp.int32),
         )
         if self.health_config.check_numerics:
             watchdog_check(
@@ -749,7 +772,8 @@ class InferenceEngine:
             )
 
     def _ragged_prefill_impl(self, hist_cap, params, cache, tokens,
-                             table_rows, starts, n_valids, lora_ids):
+                             table_rows, starts, n_valids, lora_ids,
+                             slots):
         """A BATCH of prefill chunks at DIFFERENT stages in one dispatch:
         row b's tokens sit at absolute positions [starts[b],
         starts[b] + n_valids[b]) of its own sequence. Every row's history
@@ -779,6 +803,13 @@ class InferenceEngine:
         li_cell = [0]
         use_paged = self._paged_enabled() and hist_cap % ps == 0
 
+        ring = cache.k_recent is not None
+        tok_slots = (
+            jnp.where(valid, slots[:, None], self.trash_slot).reshape(-1)
+            if ring else None
+        )
+        tok_pos = positions.reshape(-1)
+
         def kv_hook(li, k, v):
             if use_paged:
                 k_all, v_all = k, v  # history stays paged
@@ -794,6 +825,7 @@ class InferenceEngine:
                 k.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
                 v.transpose(0, 2, 1, 3).reshape(b * bucket, hkv, d),
                 page_ids.reshape(-1), offsets.reshape(-1),
+                slots=tok_slots, positions=tok_pos,
             )
             li_cell[0] = li
             return k_all, v_all
@@ -879,10 +911,10 @@ class InferenceEngine:
         if key not in self._ragged_fns:
             self._ragged_fns[key] = self._jit_impl(
                 functools.partial(self._ragged_prefill_impl, hist_cap),
-                "pcrrrrr", "crr", donate=(1,),
+                "pcrrrrrr", "crr", donate=(1,),
             )
         tok_rows, table_rs, starts, n_valids, tables = [], [], [], [], []
-        lids = []
+        lids, slot_rows = [], []
         for c in chunks:
             req = self.scheduler.active[c.req_id]
             toks = req._prompt[c.start : c.start + c.length]
@@ -893,6 +925,9 @@ class InferenceEngine:
             starts.append(c.start)
             n_valids.append(c.length)
             lids.append(req.lora_id)
+            slot_rows.append(
+                req.batch_slot if req.batch_slot >= 0 else self.trash_slot
+            )
         for req, _s, feed in ditems:
             tok_rows.append(
                 [self.outputs[req.req_id][-1]] + [0] * (bucket - 1)
@@ -902,12 +937,14 @@ class InferenceEngine:
             starts.append(feed)
             n_valids.append(1)
             lids.append(req.lora_id)
+            slot_rows.append(_s)
         for _ in range(bb - len(chunks) - len(ditems)):
             tok_rows.append([0] * bucket)
             table_rs.append([self.trash_page] * pps)
             starts.append(0)
             n_valids.append(1)
             lids.append(0)
+            slot_rows.append(self.trash_slot)
         self.cache, last_logits, finite = self._ragged_fns[key](
             self.params, self.cache,
             jnp.asarray(tok_rows, jnp.int32),
@@ -915,6 +952,7 @@ class InferenceEngine:
             jnp.asarray(starts, jnp.int32),
             jnp.asarray(n_valids, jnp.int32),
             jnp.asarray(lids, jnp.int32),
+            jnp.asarray(slot_rows, jnp.int32),
         )
         if self.health_config.check_numerics:
             watchdog_check(
@@ -1137,6 +1175,11 @@ class InferenceEngine:
             "n": len(pages),
             "arrays": [np.asarray(a) for a in data],
         }
+        if self.cache.k_recent is not None and req.batch_slot >= 0:
+            self._swapped[rid]["recent"] = (
+                np.asarray(self.cache.k_recent[:, req.batch_slot]),
+                np.asarray(self.cache.v_recent[:, req.batch_slot]),
+            )
 
     def _swap_restore(self, req: Request) -> None:
         """Write a swapped-out sequence's KV back into its newly-allocated
@@ -1155,6 +1198,20 @@ class InferenceEngine:
             )
         self.cache = self._swap_scatter_fns[m](self.cache, idx, *arrays)
         slot = req.batch_slot
+        if "recent" in stash and self.cache.k_recent is not None \
+                and slot >= 0:
+            kr, vr = stash["recent"]
+            import dataclasses as _dc
+
+            self.cache = _dc.replace(
+                self.cache,
+                k_recent=self.cache.k_recent.at[:, slot].set(
+                    jnp.asarray(kr)
+                ),
+                v_recent=self.cache.v_recent.at[:, slot].set(
+                    jnp.asarray(vr)
+                ),
+            )
         self._install_table_row(slot, rid)
         sp = req.sampling
         self.temps[slot] = sp.temperature
@@ -1236,6 +1293,12 @@ class InferenceEngine:
                 jnp.asarray(src, jnp.int32),
                 jnp.asarray(dst, jnp.int32),
             )
+        if self.cache.k_recent is not None and req.batch_slot >= 0:
+            # Branches inherit the parent's exact-tail ring (the prompt's
+            # last recent_window tokens) along with its pages.
+            self.cache = self.cache.copy_recent(
+                req.batch_slot, [ch.batch_slot for ch in children]
+            )
         # One batched draw: n independent samples from the same logits
         # (categorical draws rows iid), same sampling params as the parent.
         sp = req.sampling
@@ -1310,21 +1373,62 @@ class InferenceEngine:
         offsets = positions % ps
         attn_lengths = jnp.maximum(jnp.where(active_mask, lengths + 1, 1), 1)
 
+        mb = tokens.shape[0]
+        slot_ids = jnp.arange(mb, dtype=jnp.int32)  # decode row == slot
+        ring = cache.k_recent is not None
         for li, layer in enumerate(params["layers"]):
             xn = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
             q, k_new, v_new = model.decode_qkv(
                 params, li, xn, positions, proj_hook=hook
             )
-            cache = cache.append(li, k_new, v_new, page_ids, offsets)
+            cache = cache.append(
+                li, k_new, v_new, page_ids, offsets,
+                slots=slot_ids if ring else None, positions=positions,
+            )
             k_view, v_view = cache.layer_view(li)
             from tpu_flash.ops.decode import paged_attention
 
-            attn = paged_attention(
-                q, k_view, v_view, attn_lengths, page_tables,
-                interpret=self.interpret, window=self._windows[li],
-                softcap=cfg.attn_softcap, sinks=layer.get("sinks"),
-                alibi=model.alibi_for(q.shape[1], self._tp_axis),
-            )  # [mb, hq, d]
+            # Exact recent-window tail (KIVI-style): quantized caches with
+            # a ring attend pages for [0, L - W) and the ring for
+            # [L - W, L), merged once — generation stops feeding 4-bit
+            # noise back through the newest (highest-attention) tokens.
+            # Sliding-window layers keep the plain path (the clipped-
+            # length kernel call would mis-place the window).
+            use_tail = ring and self._windows[li] is None
+            if use_tail:
+                from tpu_flash.ops.decode.tail import (
+                    merge_attention_states,
+                    recent_tail_state,
+                )
+
+                w = cache.recent_window
+                quant_len = jnp.maximum(attn_lengths - w, 0)
+                o1, m1, l1 = paged_attention(
+                    q, k_view, v_view, jnp.maximum(quant_len, 1),
+                    page_tables, interpret=self.interpret,
+                    softcap=cfg.attn_softcap, sinks=None,
+                    alibi=model.alibi_for(q.shape[1], self._tp_axis),
+                    return_state=True,
+                )
+                o2, m2, l2 = recent_tail_state(
+                    q, cache.k_recent[li, :mb], cache.v_recent[li, :mb],
+                    attn_lengths, quant_len,
+                    sm_scale=cfg.head_dim ** -0.5,
+                    softcap=cfg.attn_softcap,
+                    alibi=model.alibi_for(q.shape[1], self._tp_axis),
+                )
+                attn = merge_attention_states(
+                    o1, m1, l1, o2, m2, l2,
+                    part1_valid=quant_len > 0,
+                    sinks=layer.get("sinks"),
+                )
+            else:
+                attn = paged_attention(
+                    q, k_view, v_view, attn_lengths, page_tables,
+                    interpret=self.interpret, window=self._windows[li],
+                    softcap=cfg.attn_softcap, sinks=layer.get("sinks"),
+                    alibi=model.alibi_for(q.shape[1], self._tp_axis),
+                )  # [mb, hq, d]
             attn = attn.reshape(x.shape[0], -1)
             proj = attn @ layer["wo"]
             if hook is not None:
@@ -1474,7 +1578,7 @@ class InferenceEngine:
 
     def _verify_impl(self, n_tok, params, cache, tokens, lengths_b,
                      table_rows, key, temps, top_ks, top_ps, draft_lens,
-                     min_ps, lora_ids, logit_bias):
+                     min_ps, lora_ids, logit_bias, slots):
         """Verify a BATCH of [last_token, draft...] rows ([B, n_tok]) in
         one forward over the paged cache at per-row dynamic offsets
         ``lengths_b``, then run exact speculative rejection sampling
@@ -1504,14 +1608,21 @@ class InferenceEngine:
         # attending it with a head-replicated f32 einsum.
         use_paged = self._paged_enabled(verify=True)
 
+        kv_stash = {}
+
         def kv_hook(li, k, v):
             hkv, d = k.shape[1], k.shape[3]
+            kn = k.transpose(0, 2, 1, 3).reshape(b * n_tok, hkv, d)
+            vn = v.transpose(0, 2, 1, 3).reshape(b * n_tok, hkv, d)
+            # Pages take every draft row now (rejected entries are masked
+            # by lengths and later overwritten); the recent ring must NOT
+            # — acceptance is unknown until the rejection sampler runs, so
+            # the ring write happens after it (see the heal below).
             cache_cell[0] = cache_cell[0].append(
-                li,
-                k.transpose(0, 2, 1, 3).reshape(b * n_tok, hkv, d),
-                v.transpose(0, 2, 1, 3).reshape(b * n_tok, hkv, d),
-                page_ids.reshape(-1), offsets.reshape(-1),
+                li, kn, vn, page_ids.reshape(-1), offsets.reshape(-1),
             )
+            if cache_cell[0].k_recent is not None:
+                kv_stash[li] = (kn, vn)
             li_cell[0] = li
             if use_paged:
                 return k, v  # history stays paged
@@ -1607,6 +1718,20 @@ class InferenceEngine:
             jax.nn.log_softmax(logits, axis=-1), emit[..., None], axis=-1
         )[..., 0]
         finite = jnp.all(jnp.isfinite(logits))
+        if kv_stash:
+            # Ring heal: this round fills positions [L, L + n_emit) with
+            # correct K/V (row = [last_token, accepted drafts...]); route
+            # those offsets to the row's slot, the rest to the trash slot
+            # so rejected drafts never shadow live ring rows.
+            accept = jnp.arange(n_tok)[None, :] < n_emit[:, None]
+            wslots = jnp.where(
+                accept, slots[:, None], self.trash_slot
+            ).reshape(-1)
+            wpos = positions.reshape(-1)
+            for li, (kn, vn) in kv_stash.items():
+                cache_cell[0] = cache_cell[0].write_recent(
+                    li, kn, vn, wslots, wpos
+                )
         return cache_cell[0], emit, n_emit, finite, logps
 
     def _run_speculative(self, items) -> int:
@@ -1624,7 +1749,7 @@ class InferenceEngine:
         if fn_key not in self._verify_fns:
             self._verify_fns[fn_key] = self._jit_impl(
                 functools.partial(self._verify_impl, n_tok),
-                "pcrrrrrrrrrrr", "crrrr", donate=(1,),
+                "pcrrrrrrrrrrrr", "crrrr", donate=(1,),
             )
         pps = self.config.cache.max_pages_per_seq
         tok_rows, dlens, temps, tks, tps, mps = [], [], [], [], [], []
@@ -1674,6 +1799,12 @@ class InferenceEngine:
                     jnp.zeros(
                         (n_pad, self.logit_bias.shape[1]), jnp.float32
                     ),
+                ]
+            ),
+            jnp.concatenate(
+                [
+                    slots_arr,
+                    jnp.full((n_pad,), self.trash_slot, jnp.int32),
                 ]
             ),
         )

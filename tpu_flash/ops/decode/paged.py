@@ -145,6 +145,8 @@ def _paged_attn_kernel(
     num_slots: int = 2,  # page-pipeline depth (2 = double buffering)
     sink_ref=None,  # VMEM [1, q_per_kv_p, NUM_LANES] per-head sink or None
     alibi_ref=None,  # VMEM [1, q_per_kv_p, NUM_LANES] per-head slope or None
+    m_out_ref=None,  # [1, 1, q_per_kv_p, 128] softmax state out (merging)
+    l_out_ref=None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -507,6 +509,12 @@ def _paged_attn_kernel(
 
         @pl.when(i == num_active - 1)
         def _epilogue():
+            if m_out_ref is not None:
+                # State out for an external softmax merge (recent-window
+                # tail): o normalized as usual, plus (m, l). Sinks are the
+                # caller's job at the merge (launcher enforces sinks=None).
+                m_out_ref[0, 0] = m_scratch[...]
+                l_out_ref[0, 0] = l_scratch[...]
             if sink_ref is None:
                 l = l_scratch[:, :1]
                 l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -542,9 +550,10 @@ def paged_attention(
     pipeline_slots: Optional[int] = None,
     int4_bitwise_unpack: bool = False,
     fp8_native: Optional[bool] = None,
+    return_state: bool = False,
     _debug_skip_scale_dma: bool = False,  # perf diagnostics; WRONG numerics
     _debug_skip_dequant_mul: bool = False,
-) -> jax.Array:
+):
     """Single-token GQA decode attention over a paged (optionally quantized)
     KV cache.
 
@@ -596,8 +605,18 @@ def paged_attention(
         v6e+ (native fp8 MXU), off for v5e/CPU.
 
     Returns:
-      [batch, num_q_heads, head_dim] attention output in q.dtype.
+      [batch, num_q_heads, head_dim] attention output in q.dtype; with
+      ``return_state=True``, a tuple ``(o, m, l)`` with m/l
+      [batch, num_q_heads] f32 — the online-softmax state for an external
+      merge (the recent-window exact tail). ``return_state`` requires
+      ``sinks=None``: the sink logit must be folded exactly once, at the
+      caller's final merge.
     """
+    if return_state and sinks is not None:
+        raise ValueError(
+            "return_state=True requires sinks=None (fold the sink at the "
+            "external merge)"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if fp8_native is None:
@@ -715,8 +734,26 @@ def paged_attention(
             if alibi is not None
             else []
         ),
-        out_specs=pl.BlockSpec(
-            (1, 1, q_per_kv_p, head_dim), lambda b, h, i, *_: (b, h, 0, 0)
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, q_per_kv_p, head_dim),
+                lambda b, h, i, *_: (b, h, 0, 0),
+            )
+            if not return_state
+            else [
+                pl.BlockSpec(
+                    (1, 1, q_per_kv_p, head_dim),
+                    lambda b, h, i, *_: (b, h, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, q_per_kv_p, 128),
+                    lambda b, h, i, *_: (b, h, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, q_per_kv_p, 128),
+                    lambda b, h, i, *_: (b, h, 0, 0),
+                ),
+            ]
         ),
         scratch_shapes=[
             pltpu.VMEM((q_per_kv_p, 128), jnp.float32),  # m
@@ -775,7 +812,7 @@ def paged_attention(
         call_args = call_args + (_per_row_lanes(sinks),)
     if have_alibi:
         call_args = call_args + (_per_row_lanes(alibi),)
-    if have_sink or have_alibi:
+    if have_sink or have_alibi or return_state:
         base_kernel = kernel
 
         def kernel(lengths_r, pidx_r, q_r, kv_r, ks_r, vv_r, vs_r, *rest):
@@ -783,20 +820,36 @@ def paged_attention(
             sink_in = next(it) if have_sink else None
             alibi_in = next(it) if have_alibi else None
             o_r = next(it)
+            m_r = next(it) if return_state else None
+            l_r = next(it) if return_state else None
             return base_kernel(
                 lengths_r, pidx_r, q_r, kv_r, ks_r, vv_r, vs_r, o_r,
                 *list(it), sink_ref=sink_in, alibi_ref=alibi_in,
+                m_out_ref=m_r, l_out_ref=l_r,
             )
+
+    out_shape = jax.ShapeDtypeStruct(q4.shape, q.dtype)
+    if return_state:
+        state_shape = jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, q_per_kv_p, 128), jnp.float32
+        )
+        out_shape = [out_shape, state_shape, state_shape]
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q4.shape, q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*call_args)
 
+    if return_state:
+        out, m, l = out
+        o = out[:, :, :q_per_kv, :].reshape(batch, num_q_heads, head_dim)
+        m = m[:, :, :q_per_kv, 0].reshape(batch, num_q_heads)
+        l = l[:, :, :q_per_kv, 0].reshape(batch, num_q_heads)
+        return o, m, l
     out = out[:, :, :q_per_kv, :]
     return out.reshape(batch, num_q_heads, head_dim)

@@ -172,7 +172,12 @@ def _paged_prefill_kernel(
         if kv_quant is not None:
             tile = tile.astype(jnp.float32) * scale_row.reshape(bk, 1)
             return tile.astype(q_ref.dtype)
-        return tile  # bf16/f32 pages feed the MXU natively
+        if tile.dtype != q_ref.dtype:
+            # f32 model over bf16 pages: Mosaic rejects mixed-dtype
+            # matmuls on hardware ("Bad rhs type"); promote to the model
+            # dtype, as the gather path does.
+            return tile.astype(q_ref.dtype)
+        return tile  # pages in the model dtype feed the MXU natively
 
     def softmax_update(s, v_tile):
         m_prev = m_scratch[...]
