@@ -445,8 +445,13 @@ class InferenceEngine:
             sched.waiting.clear()
             sched.waiting.extend(kept)
             hit = True
-        if self._swapped.pop(req_id, None) is not None:
-            hit = True
+        # Drop host-side swap stashes for EVERY branch of the group: a
+        # swap-preempted child cancelled via its parent would otherwise
+        # leak its stash forever (and snapshots serialize _swapped, so the
+        # dead stash would ride along into every later snapshot).
+        for cid in comp | {req_id}:
+            if self._swapped.pop(cid, None) is not None:
+                hit = True
         return hit
 
     def run(self) -> Dict[int, List[int]]:

@@ -1007,7 +1007,6 @@ def flash_attention_forward(
         pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
     ]
 
-
     if causal and (triangular or block_sizes.triangular):
         # Diagonal sub-tiling applies only to the plain causal
         # self-attention cell geometry where thr == 0 identifies diagonal

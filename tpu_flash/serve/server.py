@@ -265,6 +265,20 @@ class EngineServer:
                 stream=stream,
             )
         )
+        if self._error is not None:
+            # TOCTOU with the worker's failure drain: if the engine died
+            # between the check above and our put, the worker's final
+            # inbox drain may already have run — drain again ourselves so
+            # this (and any concurrent) submission gets a prompt error
+            # instead of blocking until the handler timeout. A submission
+            # answered twice is harmless (handlers take the first event).
+            msg = self._error
+            while True:
+                try:
+                    sub = self.inbox.get_nowait()
+                except queue.Empty:
+                    break
+                sub.out.put(("error", msg, True))
         return out
 
     def cancel_request(self, req_id: int):
@@ -398,12 +412,18 @@ def _make_handler(server: EngineServer):
                     if self._root_rid is not None:
                         server.cancel_request(self._root_rid)
                     emit({"error": "generation timed out"})
+                    # OpenAI-style clients read until the DONE sentinel;
+                    # end the stream cleanly on failure paths too.
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
                     return
                 if kind == "accepted":
                     self._root_rid = payload[0]
                     continue
                 if kind == "error":
                     emit({"error": payload[0]})
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
                     break
                 if kind == "tokens":
                     idx, toks = payload
