@@ -530,6 +530,32 @@ def config10_engine_device(iters: int):
         )
         _log(f"  {rows[-1]['name']}: {tps:.0f} tok/s "
              f"({sec_step * 1e6:.0f} us/step)")
+    # PRODUCTION shape (VERDICT r3 item 7): Llama-3-8B-class decode —
+    # hq32/hkv8 GQA-4, d128, hidden 4096, 8 layers (per-layer rates
+    # scale linearly to 32L), batch sweep. The toy rows above isolate
+    # per-op floors; this row is the serving-scale datapoint.
+    for batch, kv_dtype in ((8, "bfloat16"), (8, "int8"),
+                            (16, "int8"), (32, "int8")):
+        tps, sec_tok, sec_step = bench_engine_device_decode(
+            num_layers=8, hidden=4096, num_q_heads=32, num_kv_heads=8,
+            batch=batch, kv_dtype=kv_dtype, page_size=128,
+            inner=max(4, iters // 4),
+        )
+        rows.append(
+            {
+                "config": 10,
+                "name": (
+                    f"engine device-side decode b{batch} 8L h32/8kv "
+                    f"d128 hidden4096 gqa4 {kv_dtype}-kv (production "
+                    f"shape; per-layer rates scale)"
+                ),
+                "metric": "device_decode_tokens_per_s",
+                "value": tps,
+                "step_us": sec_step * 1e6,
+            }
+        )
+        _log(f"  {rows[-1]['name']}: {tps:.0f} tok/s "
+             f"({sec_step * 1e6:.0f} us/step)")
     return rows
 
 

@@ -580,10 +580,21 @@ def bench_engine_device_decode(
         return jnp.sum(tokens.astype(jnp.float32))
 
     args = (engine.cache, engine.last_tokens, engine.lengths, *consts)
-    n1, n2 = jnp.int32(inner), jnp.int32(2 * inner)
-    float(chain(n1, *args))  # compile
-    t1 = min(_wall(lambda: float(chain(n1, *args))) for _ in range(3))
-    t2 = min(_wall(lambda: float(chain(n2, *args))) for _ in range(3))
+    float(chain(jnp.int32(inner), *args))  # compile (dynamic trip count)
+    # Auto-calibrate the window like _time_chained: small-window
+    # differentials measure relay dispatch jitter, not the program
+    # (BENCHLOG 2026-08-20 round 4).
+    n = inner
+    while n < 512:
+        w = _wall(lambda: float(chain(jnp.int32(n), *args)))
+        if w >= 0.15:
+            break
+        n = min(512, max(n + 1, int(n * min(max(2.0, 0.15 / max(w, 1e-6)),
+                                            16.0))))
+    n1, n2 = jnp.int32(n), jnp.int32(2 * n)
+    inner = n
+    t1 = min(_wall(lambda: float(chain(n1, *args))) for _ in range(4))
+    t2 = min(_wall(lambda: float(chain(n2, *args))) for _ in range(4))
     sec_per_chain_step = max((t2 - t1) / inner, 1e-9)
     n_active = int(active_mask.sum())
     sec_per_step = sec_per_chain_step / burst

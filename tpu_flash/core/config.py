@@ -46,9 +46,11 @@ class BlockSizes:
     triangular: bool = False
     # Triangular forward only: split each DIAGONAL cell into row-sliced
     # sub-tiles of this KV width (column chunk [lo, lo+diag_sub) pairs with
-    # q rows [lo:]), shrinking the ~50% masked FLOPs of a square diagonal
-    # tile to ~diag_sub/(2*block) without adding grid cells; strictly
-    # interior cells then skip the causal mask entirely. None = off.
+    # q rows [lo:]); strictly interior cells then skip the causal mask
+    # entirely. None = launcher default: diag_sub == block (interior
+    # mask-skip, one full-width masked diagonal chunk — the measured
+    # winner; real row-slicing loses to its granularity tax, BENCHLOG
+    # 2026-08-20). 0 = force the mask-everywhere path.
     diag_sub: Optional[int] = None
     # Short-sequence single-pass forward: when a q-block's FULL (causal)
     # KV extent fits VMEM, skip the online-softmax merge entirely — one

@@ -1010,8 +1010,18 @@ def flash_attention_forward(
     if causal and (triangular or block_sizes.triangular):
         # Diagonal sub-tiling applies only to the plain causal
         # self-attention cell geometry where thr == 0 identifies diagonal
-        # cells exactly (see _flash_fwd_tri_kernel).
+        # cells exactly (see _flash_fwd_tri_kernel). Default (None) is the
+        # measured winner diag_sub == block: interior cells skip the mask
+        # iotas/where entirely and the diagonal stays one full-width
+        # masked chunk (8K causal 119.7 -> 125.7 TF/s on v5e, BENCHLOG
+        # 2026-08-20 round 4; genuine row-slicing like 512 loses, 112.9 —
+        # same granularity tax the onepass A/Bs measured). 0 forces the
+        # mask-everywhere path.
         diag_sub = getattr(block_sizes, "diag_sub", None)
+        if diag_sub is None:
+            diag_sub = block_q
+        elif diag_sub == 0:
+            diag_sub = None
         if diag_sub is not None and not (
             q_offset == 0
             and kv_len == kv_len_padded
