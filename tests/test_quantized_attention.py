@@ -276,3 +276,72 @@ class TestQuantizedSinksAlibi:
         np.testing.assert_array_equal(
             np.asarray(o1, np.float32), np.asarray(o2, np.float32)
         )
+
+
+class TestQuantOnepass:
+    """INT8 single-pass short-seq path (quantized.py::_quant_onepass_
+    kernel): the bf16 onepass geometry with rank-1 dequant + int8-MXU PV.
+    Parity family: must stay within the tiled int8 kernel's own
+    quantization tolerance of the fp oracle (the int8 P rows add
+    ~1/127-scale rounding on top of the tiled path's bf16 P)."""
+
+    @pytest.mark.parametrize("q_len", [1024, 2048])  # fused staircase
+    def test_staircase_matches_oracle(self, q_len):
+        from tpu_flash.core.reference import alibi_slopes
+
+        q, k, v = _rand_qkv(
+            jax.random.PRNGKey(3), 1, 4, 2, q_len, q_len, 128
+        )
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        bs_on = BlockSizes(
+            block_q=512, block_kv_major=512, block_kv=512, onepass=True
+        )
+        bs_off = BlockSizes(
+            block_q=512, block_kv_major=512, block_kv=512, onepass=False
+        )
+        sinks = jax.random.normal(jax.random.PRNGKey(9), (4,), jnp.float32)
+        for extras in ({}, {"softcap": 20.0}, {"sinks": sinks},
+                       {"alibi": alibi_slopes(4)}):
+            want = reference_gqa_attention(
+                q, k, v, causal=True, sm_scale=0.125, **extras
+            )
+            tiled = flash_attention_quantized(
+                qi, causal=True, sm_scale=0.125, block_sizes=bs_off,
+                out_dtype=jnp.float32, interpret=True, **extras
+            )
+            one = flash_attention_quantized(
+                qi, causal=True, sm_scale=0.125, block_sizes=bs_on,
+                out_dtype=jnp.float32, interpret=True, **extras
+            )
+            e_tiled = float(jnp.max(jnp.abs(tiled - want)))
+            e_one = float(jnp.max(jnp.abs(one - want)))
+            # Same error family as the tiled quantized path.
+            assert e_one < max(2.0 * e_tiled, 0.03), (
+                list(extras), e_one, e_tiled
+            )
+
+    def test_short_seq_falls_through_to_tiled(self, monkeypatch):
+        import tpu_flash.ops.flash.quantized as qz
+
+        called = []
+        real = qz._forward_onepass_quant
+        monkeypatch.setattr(
+            qz, "_forward_onepass_quant",
+            lambda *a, **kw: called.append(1) or real(*a, **kw),
+        )
+        q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 2, 2, 512, 512, 128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        bs_on = BlockSizes(
+            block_q=512, block_kv_major=512, block_kv=512, onepass=True
+        )
+        flash_attention_quantized(
+            qi, causal=True, block_sizes=bs_on, interpret=True
+        )
+        assert not called  # 512 stays tiled
+        q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 2, 2, 1024, 1024,
+                            128)
+        qi = quantize_attention_inputs(q, k, v, "int8")
+        flash_attention_quantized(
+            qi, causal=True, block_sizes=bs_on, interpret=True
+        )
+        assert called

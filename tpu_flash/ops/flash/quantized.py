@@ -278,6 +278,221 @@ def _quant_fwd_kernel(
             ).astype(o_ref.dtype)
 
 
+def _quant_onepass_kernel(
+    q_ref,  # [1, 1, block_q, head_dim] int8
+    qs_ref,  # [1, 1, block_q, NUM_LANES] f32 lane-replicated row scales
+    k_ref,  # [1, 1, kv_len, head_dim] int8 (FULL padded KV range)
+    ks_ref,  # [1, 1, 1, kv_len] f32 per-token scales
+    v_ref,
+    vs_ref,
+    sink_ref,  # [1, NUM_LANES] f32 or None
+    alibi_ref,  # [1, NUM_LANES] f32 or None
+    o_ref,  # [1, 1, block_q, head_dim]
+    *,
+    sm_scale: float,
+    num_q_blocks: int,
+    diag_rows: int,
+    softcap: Optional[float] = None,
+):
+    """INT8-input single-pass causal forward: the two-part / staircase
+    geometry of ops/flash/forward.py's onepass kernel (mask-free full-M
+    prefix + one masked diagonal block per 512-row stair, merged once)
+    with the quantized kernel's rank-1 dequant fused in. Scores run on
+    the int8 MXU; PV re-quantizes the (V-scale-folded) P rows one-sided
+    to int8 — the decode kernel's quant_mxu scheme — so V payloads never
+    convert on the VPU. This is what makes the int8 MXU's higher matmul
+    rate visible at short seq: the tiled int8 kernel is VPU-bound
+    (module docstring) and measures ~0.93x bf16, while this geometry
+    strips the per-cell mask iotas and per-tile bf16 casts."""
+    block_q = q_ref.shape[2]
+    qb = pl.program_id(2)
+
+    def _write(lo, hi, m, l, pv):
+        if sink_ref is None:
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0, lo:hi] = (pv * l_inv).astype(o_ref.dtype)
+        else:
+            from tpu_flash.ops.flash.forward import sink_denominator
+
+            sk = sink_ref[0:1, 0:1]
+            scale_m, l_tot, _ = sink_denominator(m, l, sk)
+            o_ref[0, 0, lo:hi] = (pv * (scale_m / l_tot)).astype(
+                o_ref.dtype
+            )
+
+    def _scores(lo, hi, start, extent, thr):
+        """Rank-1-dequantized scores of q rows [lo, hi) against KV columns
+        [start, start+extent); thr None = mask-free strict prefix."""
+        rows = hi - lo
+        q8 = q_ref[0, 0, lo:hi, :]
+        k8 = k_ref[0, 0, start : start + extent, :]
+        s = jax.lax.dot_general(
+            q8, k8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        q_scale = qs_ref[0, 0, lo:hi, :1] * sm_scale
+        s = s * q_scale * ks_ref[0, 0, :, start : start + extent]
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+        if thr is not None or alibi_ref is not None:
+            col = start + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, extent), 1
+            )
+            row = jax.lax.broadcasted_iota(jnp.int32, (rows, extent), 0)
+            if alibi_ref is not None:
+                base = thr if thr is not None else 0
+                s = s + alibi_ref[0:1, 0:1] * (col - row - base).astype(
+                    jnp.float32
+                )
+            if thr is not None:
+                s = jnp.where((col - row) <= thr, s, DEFAULT_MASK_VALUE)
+        return s
+
+    def _softmax_pv(s, start, extent):
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        # PV on the int8 MXU: fold V's per-token scales into P's columns,
+        # one-sided row quantization (P >= 0), rank-1 dequant.
+        pv_f = p * vs_ref[0, 0, :, start : start + extent]
+        p_abs = jnp.max(pv_f, axis=1, keepdims=True)
+        p_scale = jnp.where(p_abs == 0.0, 1.0, p_abs / INT8_MAX)
+        p8 = jnp.clip(
+            jnp.round(pv_f / p_scale), 0, INT8_MAX
+        ).astype(jnp.int8)
+        pv = jax.lax.dot(
+            p8, v_ref[0, 0, start : start + extent, :],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * p_scale
+        return m, l, pv
+
+    def _stair(lo, base, rs):
+        """One rs-row stair at global rows [base+lo, base+lo+rs): prefix
+        [0, base+lo) mask-free, diagonal [base+lo, base+lo+rs) masked,
+        merged once."""
+        pre = base + lo
+        s2 = _scores(lo, lo + rs, pre, rs, pre)
+        m2, l2, pv2 = _softmax_pv(s2, pre, rs)
+        if pre > 0:
+            s1 = _scores(lo, lo + rs, 0, pre,
+                         pre if alibi_ref is not None else None)
+            m1, l1, pv1 = _softmax_pv(s1, 0, pre)
+            m = jnp.maximum(m1, m2)
+            a1 = jnp.exp(m1 - m)
+            a2 = jnp.exp(m2 - m)
+            _write(lo, lo + rs, m, l1 * a1 + l2 * a2,
+                   pv1 * a1 + pv2 * a2)
+        else:
+            _write(lo, lo + rs, m2, l2, pv2)
+
+    if num_q_blocks > 1:
+        # Per-q-block two-part grid (4K: the fused staircase's scores
+        # tiles exceed scoped VMEM, as for the bf16 kernel).
+        for i in range(num_q_blocks):
+            @pl.when(qb == i)
+            def _branch(i=i):
+                _stair(0, i * block_q, block_q)
+    else:
+        # Fused staircase: the whole q range in ONE grid cell.
+        for lo in range(0, block_q, diag_rows):
+            _stair(lo, 0, diag_rows)
+
+
+def _forward_onepass_quant(
+    qv, qs, kv_, ks, vv, vs, *, sm_scale, block_q, q_per_kv, out_dtype,
+    interpret, softcap=None, sinks=None, alibi=None, diag_rows=512,
+):
+    """Launch the INT8 single-pass causal kernel (see
+    _quant_onepass_kernel)."""
+    batch, num_q_heads, q_len, head_dim = qv.shape
+    kv_len = kv_.shape[2]
+    num_q_blocks = q_len // block_q
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, qb: (b, h, qb, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_q, NUM_LANES), lambda b, h, qb: (b, h, qb, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, kv_len, head_dim),
+            lambda b, h, qb: (b, h // q_per_kv, 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, kv_len), lambda b, h, qb: (b, h // q_per_kv, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, kv_len, head_dim),
+            lambda b, h, qb: (b, h // q_per_kv, 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, kv_len), lambda b, h, qb: (b, h // q_per_kv, 0, 0)
+        ),
+    ]
+    extra_inputs = ()
+    have_sink = sinks is not None
+    if have_sink:
+        sinks_l = jax.lax.broadcast_in_dim(
+            sinks.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+        )
+        in_specs.append(pl.BlockSpec((1, NUM_LANES), lambda b, h, qb: (h, 0)))
+        extra_inputs += (sinks_l,)
+    have_alibi = alibi is not None
+    if have_alibi:
+        alibi_l = jax.lax.broadcast_in_dim(
+            alibi.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+        )
+        in_specs.append(pl.BlockSpec((1, NUM_LANES), lambda b, h, qb: (h, 0)))
+        extra_inputs += (alibi_l,)
+
+    base_kernel = functools.partial(
+        _quant_onepass_kernel,
+        sm_scale=float(sm_scale),
+        num_q_blocks=num_q_blocks,
+        diag_rows=diag_rows,
+        softcap=softcap,
+    )
+
+    def kernel(*refs):
+        it = iter(refs)
+        q_r, qs_r, k_r, ks_r, v_r, vs_r = (
+            next(it), next(it), next(it), next(it), next(it), next(it),
+        )
+        sk_r = next(it) if have_sink else None
+        al_r = next(it) if have_alibi else None
+        o_r = next(it)
+        return base_kernel(q_r, qs_r, k_r, ks_r, v_r, vs_r, sk_r, al_r,
+                           o_r)
+
+    rs = diag_rows if num_q_blocks == 1 else block_q
+    n_stairs = q_len // rs
+    cell_tokens = rs * rs * n_stairs * (n_stairs + 1) // 2
+    cost = pl.CostEstimate(
+        flops=4 * batch * num_q_heads * cell_tokens * head_dim,
+        bytes_accessed=(
+            qv.size + kv_.size + vv.size
+            + qv.size * jnp.dtype(out_dtype).itemsize
+        ),
+        transcendentals=batch * num_q_heads * cell_tokens,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, num_q_heads, num_q_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, qb: (b, h, qb, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(qv.shape, out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(qv, qs, kv_, ks, vv, vs, *extra_inputs)
+    return out
+
+
 def flash_attention_quantized(
     inputs: Union[QuantizedAttentionInputs, tuple],
     *,
@@ -363,6 +578,28 @@ def flash_attention_quantized(
         )
     num_q_blocks = q_len // block_q
     num_kv_blocks = kv_len_stored // block_kv_major
+
+    # INT8 single-pass short-seq path (the bf16 onepass geometry with
+    # rank-1 dequant + int8-MXU PV): <= 2K fuses the whole q range into
+    # one staircase cell per head; 4K runs per-q-block two-part cells.
+    # Measured A/B vs the tiled int8 kernel: BENCHLOG 2026-08-20
+    # round 4 (paired in-process, honest protocol).
+    if (
+        getattr(block_sizes, "onepass", False)
+        and dtype_name == "int8"
+        and causal
+        and window is None
+        and kv_len == kv_len_stored == q_len
+        and q_len % 512 == 0
+        and 512 < q_len <= 4096
+    ):
+        op_bq = q_len if q_len <= 2048 else 512
+        return _forward_onepass_quant(
+            qv, qs, kv_, ks, vv, vs,
+            sm_scale=sm_scale, block_q=op_bq, q_per_kv=q_per_kv,
+            out_dtype=out_dtype, interpret=interpret, softcap=softcap,
+            sinks=sinks, alibi=alibi, diag_rows=512,
+        )
 
     if causal:
 
