@@ -564,12 +564,15 @@ def bench_engine_device_decode(
     )
 
     @jax.jit
-    def chain(n, cache, tokens, lengths, page_tables, active, keys, temps,
-              tks, tps, mps, lids, lbias):
+    def chain(n, params, cache, tokens, lengths, page_tables, active,
+              keys, temps, tks, tps, mps, lids, lbias):
+        # params ride as an ARGUMENT: closing over them embeds the whole
+        # model as compile-payload constants (2.4 GB at production shapes
+        # — breaks the relay's remote_compile transport).
         def body(c):
             i, cache, tokens = c
             cache, tokens, _, _, _, _ = impl(
-                engine.params, cache, tokens, lengths, page_tables,
+                params, cache, tokens, lengths, page_tables,
                 active, keys, temps, tks, tps, mps, lids, lbias,
             )
             return i + 1, cache, tokens
@@ -579,7 +582,8 @@ def bench_engine_device_decode(
         )
         return jnp.sum(tokens.astype(jnp.float32))
 
-    args = (engine.cache, engine.last_tokens, engine.lengths, *consts)
+    args = (engine.params, engine.cache, engine.last_tokens,
+            engine.lengths, *consts)
     float(chain(jnp.int32(inner), *args))  # compile (dynamic trip count)
     # Auto-calibrate the window like _time_chained: small-window
     # differentials measure relay dispatch jitter, not the program
