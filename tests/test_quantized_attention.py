@@ -294,7 +294,8 @@ class TestQuantOnepass:
         )
         qi = quantize_attention_inputs(q, k, v, "int8")
         bs_on = BlockSizes(
-            block_q=512, block_kv_major=512, block_kv=512, onepass=True
+            block_q=512, block_kv_major=512, block_kv=512, onepass=True,
+            onepass_diag=512,
         )
         bs_off = BlockSizes(
             block_q=512, block_kv_major=512, block_kv=512, onepass=False
@@ -332,7 +333,8 @@ class TestQuantOnepass:
         q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 2, 2, 512, 512, 128)
         qi = quantize_attention_inputs(q, k, v, "int8")
         bs_on = BlockSizes(
-            block_q=512, block_kv_major=512, block_kv=512, onepass=True
+            block_q=512, block_kv_major=512, block_kv=512, onepass=True,
+            onepass_diag=512,
         )
         flash_attention_quantized(
             qi, causal=True, block_sizes=bs_on, interpret=True

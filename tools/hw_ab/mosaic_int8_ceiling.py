@@ -57,7 +57,9 @@ def run_case(int8):
     def t(n):
         t0 = time.perf_counter(); float(chain(jnp.int32(n), a0, b)); return time.perf_counter() - t0
     float(chain(jnp.int32(2), a0, b))
-    sec = max((min(t(48) for _ in range(3)) - min(t(16) for _ in range(3))) / 32, 1e-9)
+    # Large-window differential (>= 150 ms walls): small windows measure
+    # the relay's ~23 ms dispatch jitter (BENCHLOG 2026-08-20 round 4).
+    sec = max((min(t(512) for _ in range(4)) - min(t(256) for _ in range(4))) / 256, 1e-9)
     flops = 2.0 * CELLS * M * K * N
     print(f"{'int8' if int8 else 'bf16'}: {sec*1e6:8.1f} us/iter  {flops/sec/1e12:6.1f} T(FL)OP/s", flush=True)
 

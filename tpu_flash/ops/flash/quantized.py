@@ -581,19 +581,28 @@ def flash_attention_quantized(
 
     # INT8 single-pass short-seq path (the bf16 onepass geometry with
     # rank-1 dequant + int8-MXU PV): <= 2K fuses the whole q range into
-    # one staircase cell per head; 4K runs per-q-block two-part cells.
-    # Measured A/B vs the tiled int8 kernel: BENCHLOG 2026-08-20
-    # round 4 (paired in-process, honest protocol).
+    # one staircase cell per head. OPT-IN (onepass_diag must be set):
+    # the only paired honest-protocol reading (2K: onepass 59.4 vs the
+    # 512-tile tiled kernel's 51.7 TF/s, BENCHLOG 2026-08-21) beat a
+    # HANDICAPPED baseline — the tiled kernel's default 1024 tiles are
+    # expected well above both (the P re-quantization VPU chain costs
+    # more than the int8-MXU rate saves; Mosaic int8 dots run only
+    # 1.16x bf16 vs raw XLA's 1.77x, tools/hw_ab/mosaic_int8_ceiling).
+    # Kept opt-in for v6e-era re-evaluation rather than auto-routed.
     if (
         getattr(block_sizes, "onepass", False)
+        and block_sizes.onepass_diag is not None
         and dtype_name == "int8"
         and causal
         and window is None
         and kv_len == kv_len_stored == q_len
         and q_len % 512 == 0
-        and 512 < q_len <= 4096
+        and 512 < q_len <= 2048
+        # 4K per-q-block two-part OOMs scoped VMEM (17.1M > 16M): the
+        # int8 path carries an extra int32 scores tile the bf16 kernel
+        # doesn't, so only the <= 2K fused staircase fits.
     ):
-        op_bq = q_len if q_len <= 2048 else 512
+        op_bq = q_len
         return _forward_onepass_quant(
             qv, qs, kv_, ks, vv, vs,
             sm_scale=sm_scale, block_q=op_bq, q_per_kv=q_per_kv,
