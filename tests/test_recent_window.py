@@ -224,3 +224,68 @@ class TestEngineRecentWindow:
         ).max() == 0
         out = eng2.run()[rid2]
         assert out == want
+
+
+class TestFusedRingKernel:
+    @pytest.mark.parametrize("w,lens", [(64, [9, 40, 63]),
+                                        (64, [70, 100, 128]),
+                                        (32, [1, 32, 90])])
+    def test_fused_matches_external_merge(self, w, lens):
+        """paged_attention(recent_k/v) — the ring as a final in-kernel
+        block — must match the two-call external-merge construction."""
+        b, hq, hkv, d, ps, npages, pps = 3, 4, 2, 128, 16, 32, 8
+        key = jax.random.PRNGKey(11)
+        lengths = jnp.asarray(lens, jnp.int32)
+        kt, vt, k_pages, v_pages, tables = _build_pages(
+            key, b, hkv, d, ps, npages, pps, lens, jnp.bfloat16
+        )
+        q = jax.random.normal(jax.random.fold_in(key, 2), (b, hq, d),
+                              jnp.float32)
+        k_ring, v_ring = _ring_from(kt, vt, lens, w)
+        fused = paged_attention(
+            q, k_pages, v_pages, lengths, tables, interpret=True,
+            recent_k=k_ring, recent_v=v_ring,
+        )
+        quant_len = jnp.maximum(lengths - w, 0)
+        o1, m1, l1 = paged_attention(
+            q, k_pages, v_pages, jnp.maximum(quant_len, 1), tables,
+            interpret=True, return_state=True,
+        )
+        o2, m2, l2 = recent_tail_state(
+            q, k_ring, v_ring, lengths, quant_len, sm_scale=d ** -0.5
+        )
+        want = merge_attention_states(
+            o1, m1, l1, o2, m2, l2, part1_valid=quant_len > 0
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(want), rtol=0, atol=8e-3
+        )
+        # And against the monolithic kernel over the same values.
+        ref = paged_attention(q, k_pages, v_pages, lengths, tables,
+                              interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=0, atol=8e-3
+        )
+
+    def test_fused_with_sinks(self):
+        b, hq, hkv, d, ps, npages, pps = 2, 4, 2, 128, 16, 32, 8
+        w, lens = 32, [20, 80]
+        key = jax.random.PRNGKey(13)
+        lengths = jnp.asarray(lens, jnp.int32)
+        kt, vt, k_pages, v_pages, tables = _build_pages(
+            key, b, hkv, d, ps, npages, pps, lens, jnp.bfloat16
+        )
+        q = jax.random.normal(jax.random.fold_in(key, 2), (b, hq, d),
+                              jnp.float32)
+        sinks = jax.random.normal(jax.random.fold_in(key, 3), (hq,),
+                                  jnp.float32)
+        k_ring, v_ring = _ring_from(kt, vt, lens, w)
+        fused = paged_attention(
+            q, k_pages, v_pages, lengths, tables, interpret=True,
+            recent_k=k_ring, recent_v=v_ring, sinks=sinks,
+        )
+        ref = paged_attention(q, k_pages, v_pages, lengths, tables,
+                              interpret=True, sinks=sinks)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=0, atol=8e-3
+        )

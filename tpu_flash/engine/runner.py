@@ -1394,46 +1394,22 @@ class InferenceEngine:
             from tpu_flash.ops.decode import paged_attention
 
             # Exact recent-window tail (KIVI-style): quantized caches with
-            # a ring attend pages for [0, L - W) and the ring for
-            # [L - W, L), merged once — generation stops feeding 4-bit
-            # noise back through the newest (highest-attention) tokens.
-            # Sliding-window layers keep the plain path (the clipped-
-            # length kernel call would mis-place the window).
+            # a ring attend pages for [0, max(L - W, 1)) and the ring for
+            # the rest as a final in-kernel block (one dispatch, shared
+            # softmax state) — generation stops feeding 4-bit noise back
+            # through the newest (highest-attention) tokens. Sliding-
+            # window layers keep the plain path (ring rows fall outside
+            # the kernel's window bookkeeping).
             use_tail = ring and self._windows[li] is None
-            if use_tail:
-                from tpu_flash.ops.decode.tail import (
-                    merge_attention_states,
-                    recent_tail_state,
-                )
-
-                w = cache.recent_window
-                quant_len = jnp.maximum(attn_lengths - w, 0)
-                o1, m1, l1 = paged_attention(
-                    q, k_view, v_view, jnp.maximum(quant_len, 1),
-                    page_tables, interpret=self.interpret,
-                    softcap=cfg.attn_softcap, sinks=None,
-                    alibi=model.alibi_for(q.shape[1], self._tp_axis),
-                    return_state=True,
-                )
-                o2, m2, l2 = recent_tail_state(
-                    q, cache.k_recent[li, :mb], cache.v_recent[li, :mb],
-                    attn_lengths, quant_len,
-                    sm_scale=cfg.head_dim ** -0.5,
-                    softcap=cfg.attn_softcap,
-                    alibi=model.alibi_for(q.shape[1], self._tp_axis),
-                )
-                attn = merge_attention_states(
-                    o1, m1, l1, o2, m2, l2,
-                    part1_valid=quant_len > 0,
-                    sinks=layer.get("sinks"),
-                )
-            else:
-                attn = paged_attention(
-                    q, k_view, v_view, attn_lengths, page_tables,
-                    interpret=self.interpret, window=self._windows[li],
-                    softcap=cfg.attn_softcap, sinks=layer.get("sinks"),
-                    alibi=model.alibi_for(q.shape[1], self._tp_axis),
-                )  # [mb, hq, d]
+            attn = paged_attention(
+                q, k_view, v_view, attn_lengths, page_tables,
+                interpret=self.interpret,
+                window=None if use_tail else self._windows[li],
+                softcap=cfg.attn_softcap, sinks=layer.get("sinks"),
+                alibi=model.alibi_for(q.shape[1], self._tp_axis),
+                recent_k=cache.k_recent[li, :mb] if use_tail else None,
+                recent_v=cache.v_recent[li, :mb] if use_tail else None,
+            )  # [mb, hq, d]
             attn = attn.reshape(x.shape[0], -1)
             proj = attn @ layer["wo"]
             if hook is not None:

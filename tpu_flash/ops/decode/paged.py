@@ -147,6 +147,9 @@ def _paged_attn_kernel(
     alibi_ref=None,  # VMEM [1, q_per_kv_p, NUM_LANES] per-head slope or None
     m_out_ref=None,  # [1, 1, q_per_kv_p, 128] softmax state out (merging)
     l_out_ref=None,
+    ring_k_ref=None,  # VMEM [1, 1, ring_window, head_dim] exact recent K
+    ring_v_ref=None,
+    ring_window: Optional[int] = None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -154,7 +157,27 @@ def _paged_attn_kernel(
     num_blocks = pl.num_programs(2)
     bk = pages_per_block * page_size
 
-    length = lengths_ref[b]
+    def eff_len(idx):
+        # Exact recent-window ring (engine/cache.py): the pages cover
+        # only [0, L - W); the ring block (below) covers the rest in the
+        # SAME online-softmax state. Clamped to >= 1 so every (b, h)
+        # keeps >= 1 active page block — the pipeline walk's invariant.
+        # When the whole context fits the ring, that one structural page
+        # block is fully MASKED (ring_quant_len == 0 below): its DMA is
+        # wasted but no quantized value leaks into the softmax.
+        ln = lengths_ref[idx]
+        if ring_window is None:
+            return ln
+        return jnp.maximum(ln - ring_window, 1)
+
+    length = eff_len(b)
+    true_length = lengths_ref[b]
+    # True page/ring ownership boundary: pages own [0, ring_quant_len),
+    # the ring owns [ring_quant_len, L).
+    ring_quant_len = (
+        None if ring_window is None
+        else jnp.maximum(true_length - ring_window, 0)
+    )
     num_active = pl.cdiv(length, bk)
 
     def first_block(ln):
@@ -187,7 +210,7 @@ def _paged_attn_kernel(
         in-window block, not 0. Safe to chain past the last cell: the
         batch index grows monotonically past ``batch`` (clamp guards the
         lengths lookups), so ``nb < batch`` stays the validity test."""
-        ln = lengths_ref[jnp.minimum(bb, batch - 1)]
+        ln = eff_len(jnp.minimum(bb, batch - 1))
         na = pl.cdiv(ln, bk)
         ni = ii + 1
         roll_h = ni >= na
@@ -196,7 +219,7 @@ def _paged_attn_kernel(
         nh = jnp.where(roll_b, 0, nh)
         nb = jnp.where(roll_b, bb + 1, bb)
         # First block of the NEXT (b, h): same b unless rolling batch.
-        nfirst = first_block(lengths_ref[jnp.minimum(nb, batch - 1)])
+        nfirst = first_block(eff_len(jnp.minimum(nb, batch - 1)))
         ni = jnp.where(roll_h, nfirst, ni)
         return nb, nh, ni
 
@@ -215,7 +238,7 @@ def _paged_attn_kernel(
         # skipped by the walk).
         def count_before(bb):
             def body(x, acc):
-                lx = lengths_ref[x]
+                lx = eff_len(x)
                 per_head = pl.cdiv(lx, bk) - first_block(lx)
                 return acc + jnp.where(x < bb, per_head * num_kv_heads, 0)
 
@@ -394,9 +417,10 @@ def _paged_attn_kernel(
             s = softcap * jnp.tanh(s * (1.0 / softcap))
 
         # Mask positions beyond the sequence length (and, with a sliding
-        # window, before the window's first attended position).
+        # window, before the window's first attended position). With a
+        # recent ring, the pages' ownership ends at ring_quant_len.
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = pos < length
+        valid = pos < (length if ring_window is None else ring_quant_len)
         if window is not None:
             valid = jnp.logical_and(valid, pos >= length - window)
         if alibi_ref is not None:
@@ -507,6 +531,61 @@ def _paged_attn_kernel(
                 )
             )
 
+        if ring_k_ref is not None:
+            # Exact recent-window ring block: the last ring_window tokens
+            # (bf16, unquantized — engine/cache.py dual-writes them) join
+            # the SAME online-softmax state as a final W-wide block.
+            # Ring row j holds position p_j = (L-1) - ((L-1-j) % W);
+            # rows already covered by the pages ([0, eff_len)) and
+            # never-written rows (p_j < 0 folds into p_j < eff_len since
+            # eff_len >= 1) are masked.
+            @pl.when(i == num_active - 1)
+            def _ring_block():
+                rk = ring_k_ref[0, 0]  # [W, d]
+                rv = ring_v_ref[0, 0]
+                s_r = jax.lax.dot_general(
+                    q.astype(rk.dtype), rk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # [q_per_kv_p, W]
+                if softcap is not None:
+                    s_r = softcap * jnp.tanh(s_r * (1.0 / softcap))
+                j = jax.lax.broadcasted_iota(jnp.int32, s_r.shape, 1)
+                last = true_length - 1
+                # lax.rem keeps the dividend's sign: for j > last (rows a
+                # short sequence never wrote) p_j comes out as j itself,
+                # ABOVE last — masked by the upper bound below. Lanes
+                # j >= ring_window are launcher padding (rings smaller
+                # than the 128-lane tile) and alias real residues, so
+                # they are masked unconditionally.
+                p_j = last - jax.lax.rem(last - j, ring_window)
+                if alibi_ref is not None:
+                    s_r = s_r + alibi_ref[0][:, :1] * (
+                        p_j - last
+                    ).astype(jnp.float32)
+                valid_r = jnp.logical_and(
+                    p_j >= ring_quant_len, p_j <= last
+                )
+                if ring_k_ref.shape[2] != ring_window:
+                    valid_r = jnp.logical_and(valid_r, j < ring_window)
+                s_r = jnp.where(valid_r, s_r, DEFAULT_MASK_VALUE)
+                m_prev = m_scratch[...]
+                l_prev = l_scratch[...]
+                m_curr = jnp.max(s_r, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p_r = jnp.exp(s_r - m_next[:, :1])
+                l_scratch[...] = l_prev * alpha + jnp.sum(
+                    p_r, axis=1, keepdims=True
+                )
+                m_scratch[...] = m_next
+                pv_r = jax.lax.dot(
+                    p_r.astype(rv.dtype), rv,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv_r
+
         @pl.when(i == num_active - 1)
         def _epilogue():
             if m_out_ref is not None:
@@ -551,6 +630,8 @@ def paged_attention(
     int4_bitwise_unpack: bool = False,
     fp8_native: Optional[bool] = None,
     return_state: bool = False,
+    recent_k: Optional[jax.Array] = None,  # [batch, hkv, W, d] exact ring
+    recent_v: Optional[jax.Array] = None,
     _debug_skip_scale_dma: bool = False,  # perf diagnostics; WRONG numerics
     _debug_skip_dequant_mul: bool = False,
 ):
@@ -604,6 +685,14 @@ def paged_attention(
         f32-dequant tier. Default (None) probes the device: on for
         v6e+ (native fp8 MXU), off for v5e/CPU.
 
+    ``recent_k``/``recent_v`` ([batch, num_kv_heads, W, head_dim], W a
+    multiple of 128): the engine's exact recent-window ring
+    (engine/cache.py) — token at position p lives at ring row p % W.
+    The kernel then attends pages only for [0, max(L - W, 1)) and the
+    ring for the rest as a final in-state block (ONE dispatch, no
+    external merge; sinks/softcap/alibi compose normally). Incompatible
+    with ``window`` and ``return_state``.
+
     Returns:
       [batch, num_q_heads, head_dim] attention output in q.dtype; with
       ``return_state=True``, a tuple ``(o, m, l)`` with m/l
@@ -612,6 +701,26 @@ def paged_attention(
       ``sinks=None``: the sink logit must be folded exactly once, at the
       caller's final merge.
     """
+    ring_true_w = None
+    if recent_k is not None:
+        if window is not None:
+            raise ValueError("recent_k is incompatible with window")
+        if return_state:
+            raise ValueError("recent_k is incompatible with return_state")
+        if recent_k.shape != recent_v.shape:
+            raise ValueError(
+                f"recent rings must match; got {recent_k.shape} / "
+                f"{recent_v.shape}"
+            )
+        ring_true_w = recent_k.shape[2]
+        pad_w = -ring_true_w % 128  # lane-align the scores tile
+        if pad_w:
+            recent_k = jnp.pad(
+                recent_k, ((0, 0), (0, 0), (0, pad_w), (0, 0))
+            )
+            recent_v = jnp.pad(
+                recent_v, ((0, 0), (0, 0), (0, pad_w), (0, 0))
+            )
     if return_state and sinks is not None:
         raise ValueError(
             "return_state=True requires sinks=None (fold the sink at the "
@@ -733,6 +842,22 @@ def paged_attention(
             ]
             if alibi is not None
             else []
+        )
+        + (
+            [
+                # Block index constant across i: Pallas elides refetches,
+                # so the ring crosses HBM once per (b, h).
+                pl.BlockSpec(
+                    (1, 1, recent_k.shape[2], head_dim),
+                    lambda b, h, i, *_: (b, h, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, recent_k.shape[2], head_dim),
+                    lambda b, h, i, *_: (b, h, 0, 0),
+                ),
+            ]
+            if recent_k is not None
+            else []
         ),
         out_specs=(
             pl.BlockSpec(
@@ -808,17 +933,22 @@ def paged_attention(
     call_args = (lengths, page_indices, q4, k_vals, k_scales, v_vals,
                  v_scales)
     have_sink, have_alibi = sinks is not None, alibi is not None
+    have_ring = recent_k is not None
     if have_sink:
         call_args = call_args + (_per_row_lanes(sinks),)
     if have_alibi:
         call_args = call_args + (_per_row_lanes(alibi),)
-    if have_sink or have_alibi or return_state:
+    if have_ring:
+        call_args = call_args + (recent_k, recent_v)
+    if have_sink or have_alibi or return_state or have_ring:
         base_kernel = kernel
 
         def kernel(lengths_r, pidx_r, q_r, kv_r, ks_r, vv_r, vs_r, *rest):
             it = iter(rest)
             sink_in = next(it) if have_sink else None
             alibi_in = next(it) if have_alibi else None
+            rk_in = next(it) if have_ring else None
+            rv_in = next(it) if have_ring else None
             o_r = next(it)
             m_r = next(it) if return_state else None
             l_r = next(it) if return_state else None
@@ -826,6 +956,8 @@ def paged_attention(
                 lengths_r, pidx_r, q_r, kv_r, ks_r, vv_r, vs_r, o_r,
                 *list(it), sink_ref=sink_in, alibi_ref=alibi_in,
                 m_out_ref=m_r, l_out_ref=l_r,
+                ring_k_ref=rk_in, ring_v_ref=rv_in,
+                ring_window=ring_true_w,
             )
 
     out_shape = jax.ShapeDtypeStruct(q4.shape, q.dtype)
