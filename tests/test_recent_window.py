@@ -289,3 +289,64 @@ class TestFusedRingKernel:
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(ref), rtol=0, atol=8e-3
         )
+
+
+class TestRingInterplay:
+    def test_sliding_window_layers_skip_ring(self):
+        """A sliding-window model with an int4 ring cache must gate the
+        ring off on windowed layers (the ring block has no window
+        bookkeeping) and still generate full-length output."""
+        from tpu_flash.engine.runner import InferenceEngine
+
+        cfg = dataclasses.replace(
+            TINY_TEST, head_dim=128, sliding_window=96
+        )
+        model = FlashTransformer(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        econfig = EngineConfig(
+            max_batch_size=2,
+            max_seq_len=256,
+            prefill_chunk=64,
+            cache=CacheConfig(
+                page_size=128, num_pages=12, max_pages_per_seq=2,
+                kv_dtype="int4", recent_window=128,
+            ),
+        )
+        eng = InferenceEngine(model, params, econfig, interpret=True)
+        rid = eng.submit([5, 9, 2, 7], max_new_tokens=20)
+        out = eng.run()[rid]
+        assert len(out) == 20
+
+    def test_dp_fleet_with_ring_matches_single(self):
+        """DP replicas with int4 ring caches reproduce the single-engine
+        stream (the ring is per-replica device state)."""
+        import jax as _jax
+
+        if len(_jax.devices()) < 2:
+            pytest.skip("needs >= 2 devices")
+        from tpu_flash.engine.dp import DataParallelEngine
+        from tpu_flash.engine.runner import InferenceEngine
+
+        cfg = dataclasses.replace(TINY_TEST, head_dim=128)
+        model = FlashTransformer(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        econfig = EngineConfig(
+            max_batch_size=2,
+            max_seq_len=256,
+            prefill_chunk=64,
+            cache=CacheConfig(
+                page_size=128, num_pages=12, max_pages_per_seq=2,
+                kv_dtype="int4", recent_window=128,
+            ),
+        )
+        single = InferenceEngine(model, params, econfig, interpret=True)
+        rid = single.submit([3, 14, 15, 9], max_new_tokens=16)
+        want = single.run()[rid]
+        dp = DataParallelEngine(
+            model, params, econfig, replicas=2, interpret=True
+        )
+        rids = [dp.submit([3, 14, 15, 9], max_new_tokens=16)
+                for _ in range(3)]
+        outs = dp.run()
+        for r in rids:
+            assert outs[r] == want

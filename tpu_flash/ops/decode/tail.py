@@ -1,4 +1,13 @@
-"""Exact recent-window tail attention for quantized paged decode.
+"""Exact recent-window tail attention for quantized paged decode —
+EXTERNAL-merge construction.
+
+The engine's burst decode now uses the fused form instead
+(``paged_attention(recent_k=..., recent_v=...)``: the ring rides as a
+final in-kernel block, one dispatch). This module remains the reference
+construction the fused kernel is tested against
+(tests/test_recent_window.py) and the building block for paths that
+already hold a softmax state externally (future ragged/prefill tails).
+
 
 KIVI-style residual window (Liu et al. 2024 — "KIVI: A Tuning-Free
 Asymmetric 2bit Quantization for KV Cache" popularized keeping a small
