@@ -13,10 +13,41 @@ import json
 import sys
 
 
+def _backend_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the accelerator in a SUBPROCESS: a dead relay hangs backend
+    init indefinitely (observed 2026-08-21), which would otherwise hang
+    this whole script. Timeout => fall back to the CPU path."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [
+                _sys.executable,
+                "-c",
+                "import jax; import jax.numpy as jnp; "
+                "jnp.zeros(()) + 1; print(jax.default_backend())",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and r.stdout.strip() == "tpu"
+
+
 def main():
+    alive = _backend_alive()
     import jax
 
-    on_tpu = jax.default_backend() == "tpu"
+    if not alive:
+        print(
+            "[bench] accelerator backend unavailable; CPU fallback",
+            file=sys.stderr,
+        )
+        jax.config.update("jax_platforms", "cpu")
+    on_tpu = alive and jax.default_backend() == "tpu"
     from tpu_flash.bench.suite import bench_flash_prefill
 
     if on_tpu:
