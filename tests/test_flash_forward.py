@@ -397,3 +397,89 @@ class TestOnepass:
         run(8192, 8192, True)   # nb > 8 -> triangular grid
         run(512, 8192, False)   # scores tile over budget at op_bq >= 512
         assert len(calls) == n
+
+
+class TestTriPaired:
+    """Paired-q triangular geometry (BlockSizes.tri_pair): two adjacent
+    q-blocks share each K/V fetch. Must be exact vs the oracle, carry
+    residuals/sinks/softcap, and fall back safely when gated off."""
+
+    def _fwd(self, q, k, v, bq, **kw):
+        from tpu_flash.core.config import BlockSizes
+        from tpu_flash.ops.flash.forward import flash_attention_forward
+
+        bs = BlockSizes(
+            block_q=bq, block_kv_major=bq, block_kv=bq,
+            triangular=True, tri_pair=True,
+        )
+        d = q.shape[-1]
+        return flash_attention_forward(
+            q, k, v, causal=True, sm_scale=d**-0.5, block_sizes=bs,
+            triangular=True, interpret=True, **kw,
+        )
+
+    @pytest.mark.parametrize("bq,s", [(128, 512), (128, 1024), (256, 1024)])
+    def test_parity_vs_oracle(self, bq, s):
+        q, k, v = _qkv(jax.random.PRNGKey(0), 1, 2, 2, s, s, 64)
+        out = self._fwd(q, k, v, bq)
+        ref = reference_attention(q, k, v, causal=True, sm_scale=64**-0.5)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+
+    def test_gqa_matches_unpaired(self):
+        q, k, v = _qkv(jax.random.PRNGKey(1), 2, 4, 2, 512, 512, 64)
+        out = self._fwd(q, k, v, 128)
+        from tpu_flash.core.config import BlockSizes
+        from tpu_flash.ops.flash.forward import flash_attention_forward
+
+        bs = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                        triangular=True)
+        ref = flash_attention_forward(
+            q, k, v, causal=True, sm_scale=64**-0.5, block_sizes=bs,
+            triangular=True, interpret=True,
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-6, rtol=1e-6)
+
+    def test_residuals_sinks_softcap(self):
+        from tpu_flash.core.config import BlockSizes
+        from tpu_flash.ops.flash.forward import flash_attention_forward
+
+        q, k, v = _qkv(jax.random.PRNGKey(2), 1, 2, 2, 512, 512, 64)
+        out, lse = self._fwd(q, k, v, 128, save_residuals=True)
+        bs = BlockSizes(block_q=128, block_kv_major=128, block_kv=128,
+                        triangular=True)
+        ref, ref_lse = flash_attention_forward(
+            q, k, v, causal=True, sm_scale=64**-0.5, block_sizes=bs,
+            triangular=True, interpret=True, save_residuals=True,
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(lse, ref_lse, atol=1e-6, rtol=1e-6)
+        sinks = jnp.asarray([0.5, 1.5], jnp.float32)
+        out2 = self._fwd(q, k, v, 128, sinks=sinks)
+        ref2 = reference_attention(
+            q, k, v, causal=True, sm_scale=64**-0.5, sinks=sinks
+        )
+        np.testing.assert_allclose(out2, ref2, **F32_TOL)
+        out3 = self._fwd(q, k, v, 128, softcap=10.0)
+        ref3 = reference_attention(
+            q, k, v, causal=True, sm_scale=64**-0.5, softcap=10.0
+        )
+        np.testing.assert_allclose(out3, ref3, **F32_TOL)
+
+    def test_gated_off_paths_still_exact(self):
+        # Odd q-block count, windows, offsets: tri_pair set must not
+        # change results (falls back to the per-q-block grid).
+        q, k, v = _qkv(jax.random.PRNGKey(3), 1, 2, 2, 384, 384, 64)
+        out = self._fwd(q, k, v, 128)  # 3 q-blocks -> odd, falls back
+        ref = reference_attention(q, k, v, causal=True, sm_scale=64**-0.5)
+        np.testing.assert_allclose(out, ref, **F32_TOL)
+        out2 = self._fwd(q, k, v, 128, window=100)
+        ref2 = reference_attention(
+            q, k, v, causal=True, sm_scale=64**-0.5, window=100
+        )
+        np.testing.assert_allclose(out2, ref2, **F32_TOL)
+        qs = q[:, :, :128]
+        out3 = self._fwd(qs, k, v, 128, q_offset=256)
+        ref3 = reference_attention(
+            qs, k, v, causal=True, sm_scale=64**-0.5, q_offset=256
+        )
+        np.testing.assert_allclose(out3, ref3, **F32_TOL)

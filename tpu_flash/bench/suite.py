@@ -347,9 +347,11 @@ def bench_paged_prefill_chunk(
 
 def _bench_engine(
     num_layers, hidden, num_q_heads, num_kv_heads, head_dim, batch, ctx,
-    page_size, kv_dtype, **engine_kwargs
+    page_size, kv_dtype, recent_window=None, **engine_kwargs
 ):
-    """Shared engine construction for the engine-level benches."""
+    """Shared engine construction for the engine-level benches.
+    ``recent_window`` overrides the CacheConfig default (0 disables the
+    exact recent ring — the ring-cost A/B lever)."""
     from tpu_flash.core.config import CacheConfig, EngineConfig
     from tpu_flash.engine.runner import InferenceEngine
     from tpu_flash.models import FlashTransformer, ModelConfig
@@ -377,6 +379,10 @@ def _bench_engine(
             num_pages=batch * pages_per_seq + 8,
             max_pages_per_seq=pages_per_seq,
             kv_dtype=kv_dtype,
+            **(
+                {} if recent_window is None
+                else {"recent_window": recent_window}
+            ),
         ),
         **engine_kwargs,
     )
@@ -511,6 +517,7 @@ def bench_engine_device_decode(
     burst: int = 8,
     inner: int = 8,
     max_ctx: int = 1024,
+    recent_window=None,
 ):
     """DEVICE-side serving decode throughput: time the engine's own jitted
     burst program (every layer: RMSNorm, QKV, cache append, paged
@@ -536,7 +543,7 @@ def bench_engine_device_decode(
 
     engine = _bench_engine(
         num_layers, hidden, num_q_heads, num_kv_heads, head_dim, batch,
-        max_ctx, page_size, kv_dtype,
+        max_ctx, page_size, kv_dtype, recent_window=recent_window,
     )
     host_rng = np.random.default_rng(1)
     for _ in range(batch):

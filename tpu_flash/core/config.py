@@ -68,6 +68,17 @@ class BlockSizes:
     # cutting the diagonal's masked FLOPs ~1/2 → ~1/(2r). None = launcher
     # default (measured per-geometry policy); 0 = force off.
     onepass_diag: Optional[int] = None
+    # Triangular causal forward only: pair ADJACENT q-blocks (2i, 2i+1)
+    # into one grid cell stream sharing a single K/V sweep — each K/V
+    # major block is fetched once per PAIR instead of once per q-block,
+    # cutting causal K/V HBM re-reads ~45% at 8 q-blocks (20 vs 36 cell
+    # fetches). Compute is unchanged: each cell runs the lo/hi halves as
+    # separate block_q-row dots against the shared K tile (interior
+    # halves mask-free, diagonal halves one full-width masked chunk —
+    # the diag_sub == block policy per half). Launcher-gated to plain
+    # causal self-attention with an even q-block count; out-of-scope
+    # calls keep the per-q-block triangular grid.
+    tri_pair: bool = False
 
     def __post_init__(self):
         for f in dataclasses.fields(self):

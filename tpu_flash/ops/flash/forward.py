@@ -261,26 +261,27 @@ def _flash_fwd_kernel(
 
 
 def _online_softmax_update(
-    m_scratch, l_scratch, acc_scratch, s, v, lo, precision
+    m_scratch, l_scratch, acc_scratch, s, v, lo, precision, hi=None
 ):
-    """One FA2 online-softmax state update on scratch rows [lo:] — the
+    """One FA2 online-softmax state update on scratch rows [lo:hi] — the
     reference's ``updateSoftmaxState`` + ``multiplyVAccumulateO``
     (utils.cuh:58-81, 93-113) as a whole-tile MXU/VPU op, with deferred
-    normalization. ``lo`` must be a static row offset."""
-    m_prev = m_scratch[lo:, :]
-    l_prev = l_scratch[lo:, :]
+    normalization. ``lo``/``hi`` must be static row offsets (``hi=None``
+    means through the last row)."""
+    m_prev = m_scratch[lo:hi, :]
+    l_prev = l_scratch[lo:hi, :]
     m_curr = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
     alpha = jnp.exp(m_prev - m_next)
     p = jnp.exp(s - m_next[:, :1])
     l_curr = jnp.sum(p, axis=1, keepdims=True)
-    l_scratch[lo:, :] = l_prev * alpha + l_curr
-    m_scratch[lo:, :] = m_next
+    l_scratch[lo:hi, :] = l_prev * alpha + l_curr
+    m_scratch[lo:hi, :] = m_next
     pv = jax.lax.dot(
         p.astype(v.dtype), v,
         preferred_element_type=jnp.float32, precision=precision,
     )
-    acc_scratch[lo:, :] = acc_scratch[lo:, :] * alpha[:, :1] + pv
+    acc_scratch[lo:hi, :] = acc_scratch[lo:hi, :] * alpha[:, :1] + pv
 
 
 def _flash_fwd_onepass_kernel(
@@ -754,6 +755,100 @@ def _flash_fwd_tri_kernel(
                   sink_ref)
 
 
+def _flash_fwd_tri2_kernel(
+    # scalar prefetch
+    pmap_ref,  # [n_cells] q-PAIR index of each active cell
+    kvmap_ref,  # [n_cells] kv-block index
+    islast_ref,  # [n_cells] 1 on the pair's final kv cell
+    q_ref,  # [1, 1, 2*block, head_dim] — q blocks 2p and 2p+1 stacked
+    k_ref,  # [1, 1, block, head_dim]
+    v_ref,
+    sink_ref,  # [1, NUM_LANES] f32 or None
+    o_ref,  # [1, 1, 2*block, head_dim]
+    lse_ref,  # [1, 1, 2*block, NUM_LANES] or None
+    m_scratch,  # [2*block, NUM_LANES]
+    l_scratch,
+    acc_scratch,  # [2*block, head_dim]
+    *,
+    sm_scale: float,
+    softcap: Optional[float] = None,
+):
+    """Causal forward over a PAIRED triangular enumeration: each cell
+    serves TWO adjacent q-blocks (2p, 2p+1) from one K/V fetch, so each
+    K/V major block leaves HBM once per pair instead of once per
+    q-block (~45% less causal K/V traffic at 8 q-blocks: 20 cell
+    fetches vs 36). The halves run as separate block-row dots against
+    the shared K tile — per half the diag_sub == block policy holds:
+    interior halves are mask-free, diagonal halves one full-width
+    masked chunk. Math identical to _flash_fwd_tri_kernel; the online
+    state lives per-half in the doubled scratch rows.
+
+    Reference analogue: the CUDA kernel re-streams the whole KV for
+    every Q tile (computers.cuh:33,42); this geometry is the TPU-native
+    escape that sharing a KV sweep across Q tiles buys."""
+    block = k_ref.shape[2]
+    c = pl.program_id(2)
+    p_idx = pmap_ref[c]
+    kv_idx = kvmap_ref[c]
+    diag_lo = 2 * p_idx  # kv index of the LO half's diagonal cell
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    q = q_ref[0, 0]
+    if sm_scale != 1.0:
+        q = q * sm_scale
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    diag_mask = col <= row
+
+    def _half(lo, hi, masked):
+        s = jax.lax.dot_general(
+            q[lo:hi, :], k, TRANS_B_DIM_NUMBERS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+        if masked:
+            s = jnp.where(diag_mask, s, DEFAULT_MASK_VALUE)
+        _online_softmax_update(
+            m_scratch, l_scratch, acc_scratch, s, v, lo, precision, hi
+        )
+
+    @pl.when(kv_idx < diag_lo)
+    def _lo_interior():
+        _half(0, block, masked=False)
+
+    @pl.when(kv_idx == diag_lo)
+    def _lo_diag():
+        _half(0, block, masked=True)
+
+    @pl.when(kv_idx < diag_lo + 1)
+    def _hi_interior():
+        _half(block, None, masked=False)
+
+    @pl.when(kv_idx == diag_lo + 1)
+    def _hi_diag():
+        _half(block, None, masked=True)
+
+    @pl.when(islast_ref[c] == 1)
+    def _epilogue():
+        _finalize(o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
+                  sink_ref)
+
+
 def flash_attention_forward(
     q: jax.Array,  # [batch, num_q_heads, q_len, head_dim] (padded, aligned)
     k: jax.Array,  # [batch, num_kv_heads, kv_len_padded, head_dim]
@@ -1008,6 +1103,31 @@ def flash_attention_forward(
     ]
 
     if causal and (triangular or block_sizes.triangular):
+        # Paired-q geometry (opt-in, BlockSizes.tri_pair): two adjacent
+        # q-blocks share each K/V fetch — same active-FLOP count, ~45%
+        # less K/V HBM traffic at 8 q-blocks. Gates mirror diag_sub's
+        # (plain causal self-attention, square single-level blocks)
+        # plus an even q-block count and no residual-saving extras the
+        # tri2 kernel doesn't carry (window/segments/alibi).
+        if (
+            getattr(block_sizes, "tri_pair", False)
+            and q_offset == 0
+            and kv_len == kv_len_padded
+            and q_len == kv_len_padded
+            and window is None
+            and q_seg is None
+            and alibi is None
+            and block_q == block_kv_major == block_kv
+            and num_q_blocks % 2 == 0
+            and num_q_blocks >= 2
+        ):
+            return _forward_tri_paired(
+                q, k, v,
+                sm_scale=sm_scale, block=block_q,
+                num_q_blocks=num_q_blocks, q_per_kv=q_per_kv,
+                save_residuals=save_residuals, interpret=interpret,
+                softcap=softcap, sinks=sinks,
+            )
         # Diagonal sub-tiling applies only to the plain causal
         # self-attention cell geometry where thr == 0 identifies diagonal
         # cells exactly (see _flash_fwd_tri_kernel). Default (None) is the
@@ -1262,6 +1382,144 @@ def _forward_triangular(
         cost_estimate=cost,
         interpret=interpret,
     )(qmap, kvmap, islast, q, k, v, *extra_inputs)
+
+    o = outs[0]
+    if save_residuals:
+        return o, outs[1][..., 0]
+    return o
+
+
+def build_tri2_cells(num_pairs: int):
+    """(pmap, kvmap, islast) int32 arrays enumerating the PAIRED causal
+    cells: pair p = q-blocks (2p, 2p+1) walks kv blocks 0..2p+1 once —
+    the scalar-prefetch inputs of _flash_fwd_tri2_kernel."""
+    import numpy as np
+
+    pmap, kvmap, islast = [], [], []
+    for p in range(num_pairs):
+        for kv in range(2 * p + 2):
+            pmap.append(p)
+            kvmap.append(kv)
+            islast.append(1 if kv == 2 * p + 1 else 0)
+    return (
+        jnp.asarray(np.asarray(pmap, np.int32)),
+        jnp.asarray(np.asarray(kvmap, np.int32)),
+        jnp.asarray(np.asarray(islast, np.int32)),
+    )
+
+
+def _forward_tri_paired(
+    q, k, v, *, sm_scale, block, num_q_blocks, q_per_kv, save_residuals,
+    interpret, softcap=None, sinks=None,
+):
+    """Causal forward with two adjacent q-blocks sharing each K/V fetch
+    (see _flash_fwd_tri2_kernel). Launcher-gated: plain causal
+    self-attention, square blocks, even q-block count."""
+    batch, num_q_heads, q_len, head_dim = q.shape
+
+    num_pairs = num_q_blocks // 2
+    pmap, kvmap, islast = build_tri2_cells(num_pairs)
+    n_cells = pmap.shape[0]
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, 2 * block, head_dim),
+            lambda b, h, c, pm, km, il: (b, h, pm[c], 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block, head_dim),
+            lambda b, h, c, pm, km, il: (b, h // q_per_kv, km[c], 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block, head_dim),
+            lambda b, h, c, pm, km, il: (b, h // q_per_kv, km[c], 0),
+        ),
+    ]
+    extra_inputs = ()
+    have_sink = sinks is not None
+    if have_sink:
+        sinks_l = jax.lax.broadcast_in_dim(
+            sinks.astype(jnp.float32), (num_q_heads, NUM_LANES), (0,)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, c, pm, km, il: (h, 0))
+        )
+        extra_inputs = (sinks_l,)
+    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, 2 * block, head_dim),
+            lambda b, h, c, pm, km, il: (b, h, pm[c], 0),
+        ),
+    ]
+    if save_residuals:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (batch, num_q_heads, q_len, NUM_LANES), jnp.float32
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 2 * block, NUM_LANES),
+                lambda b, h, c, pm, km, il: (b, h, pm[c], 0),
+            )
+        )
+
+    base_kernel = functools.partial(
+        _flash_fwd_tri2_kernel, sm_scale=sm_scale, softcap=softcap,
+    )
+
+    def kernel(*refs):
+        it = iter(refs)
+        pm, km, il = next(it), next(it), next(it)
+        q_r, k_r, v_r = next(it), next(it), next(it)
+        sk_r = next(it) if have_sink else None
+        o_r = next(it)
+        lse_r = next(it) if save_residuals else None
+        m_s, l_s, acc_s = next(it), next(it), next(it)
+        return base_kernel(
+            pm, km, il, q_r, k_r, v_r, sk_r, o_r, lse_r, m_s, l_s, acc_s,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(batch, num_q_heads, n_cells),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2 * block, NUM_LANES), jnp.float32),  # m
+            pltpu.VMEM((2 * block, NUM_LANES), jnp.float32),  # l
+            pltpu.VMEM((2 * block, head_dim), jnp.float32),  # acc
+        ],
+    )
+    # Active (q_row, kv_col) products: pair p runs (2p+1) full-block
+    # halves plus one diagonal half per side — same count as the plain
+    # triangular enumeration.
+    active = sum(
+        (2 * p + 1) * 2 * block * block + block * block
+        for p in range(num_pairs)
+    )
+    cost = pl.CostEstimate(
+        flops=4 * batch * num_q_heads * active * head_dim,
+        bytes_accessed=(
+            q.size * q.dtype.itemsize
+            + k.size * k.dtype.itemsize
+            + v.size * v.dtype.itemsize
+            + q.size * q.dtype.itemsize
+        ),
+        transcendentals=batch * num_q_heads * active,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(pmap, kvmap, islast, q, k, v, *extra_inputs)
 
     o = outs[0]
     if save_residuals:
