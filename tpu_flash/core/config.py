@@ -78,6 +78,14 @@ class BlockSizes:
     # the diag_sub == block policy per half). Launcher-gated to plain
     # causal self-attention with an even q-block count; out-of-scope
     # calls keep the per-q-block triangular grid.
+    #
+    # MEASURED LOSER on v5e (2026-08-21, tools/hw_ab/tri_pair_ab.py):
+    # 8K causal 112-114 TF/s vs the plain tri grid's 128-129 (bq1024;
+    # bq512 pairs 63) — the K/V re-read traffic it halves was already
+    # hidden behind compute by the grid pipeline, so only the extra
+    # per-cell branches and doubled q/acc VMEM footprint remain. Kept
+    # opt-in: it is the measured proof that the 8K ceiling is per-cell
+    # machinery rate, not K/V bandwidth (ROADMAP R1 resolved).
     tri_pair: bool = False
 
     def __post_init__(self):
