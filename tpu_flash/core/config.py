@@ -166,7 +166,11 @@ class CacheConfig:
     # (stress-model int4 token match 0.10 -> ~1.0 within the window,
     # 0.66-0.79 beyond it; BENCHLOG 2026-08-20). Memory cost: W tokens
     # bf16 per slot per layer (~3-6% of an int4 cache at 8K context).
-    # 0 disables. Ignored for fp caches.
+    # Time cost: free at multi-K contexts, but a fixed ~30 us/layer-
+    # dispatch at short (<~1K) contexts (BENCHLOG 2026-08-21 ring-cost
+    # attribution) — int8 caches, which pass quality gates without the
+    # ring, can set 0 for short-context serving. 0 disables. Ignored
+    # for fp caches.
     recent_window: int = 128
 
     def __post_init__(self):
