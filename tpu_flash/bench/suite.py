@@ -351,7 +351,11 @@ def _bench_engine(
 ):
     """Shared engine construction for the engine-level benches.
     ``recent_window`` overrides the CacheConfig default (0 disables the
-    exact recent ring — the ring-cost A/B lever)."""
+    exact recent ring — the ring-cost A/B lever). ``page_size=None``
+    leaves the whole cache layout on the engine's regime-aware auto
+    policy (utils/tuning.py::select_cache_policy) — the
+    measured-defaults path VERDICT r4 item 3 asks the benches to
+    exercise with no hand flags."""
     from tpu_flash.core.config import CacheConfig, EngineConfig
     from tpu_flash.engine.runner import InferenceEngine
     from tpu_flash.models import FlashTransformer, ModelConfig
@@ -369,21 +373,25 @@ def _bench_engine(
     )
     model = FlashTransformer(cfg)
     params = model.init(jax.random.PRNGKey(0))
-    pages_per_seq = -(-ctx // page_size)
-    ecfg = EngineConfig(
-        max_batch_size=batch,
-        max_seq_len=ctx,
-        prefill_chunk=512,
-        cache=CacheConfig(
+    ring_kw = (
+        {} if recent_window is None else {"recent_window": recent_window}
+    )
+    if page_size is None:  # full auto layout (regime-aware policy)
+        cache = CacheConfig(kv_dtype=kv_dtype, **ring_kw)
+    else:
+        pages_per_seq = -(-ctx // page_size)
+        cache = CacheConfig(
             page_size=page_size,
             num_pages=batch * pages_per_seq + 8,
             max_pages_per_seq=pages_per_seq,
             kv_dtype=kv_dtype,
-            **(
-                {} if recent_window is None
-                else {"recent_window": recent_window}
-            ),
-        ),
+            **ring_kw,
+        )
+    ecfg = EngineConfig(
+        max_batch_size=batch,
+        max_seq_len=ctx,
+        prefill_chunk=512,
+        cache=cache,
         **engine_kwargs,
     )
     return InferenceEngine(model, params, ecfg)
@@ -518,6 +526,8 @@ def bench_engine_device_decode(
     inner: int = 8,
     max_ctx: int = 1024,
     recent_window=None,
+    engine=None,
+    vocab: int = 8192,
 ):
     """DEVICE-side serving decode throughput: time the engine's own jitted
     burst program (every layer: RMSNorm, QKV, cache append, paged
@@ -541,14 +551,19 @@ def bench_engine_device_decode(
 
     import numpy as np
 
-    engine = _bench_engine(
-        num_layers, hidden, num_q_heads, num_kv_heads, head_dim, batch,
-        max_ctx, page_size, kv_dtype, recent_window=recent_window,
-    )
+    if engine is None:
+        engine = _bench_engine(
+            num_layers, hidden, num_q_heads, num_kv_heads, head_dim, batch,
+            max_ctx, page_size, kv_dtype, recent_window=recent_window,
+        )
+    else:  # prebuilt engine (e.g. a trained checkpoint): honor ITS shapes
+        batch = engine.config.max_batch_size
+        max_ctx = engine.config.max_seq_len
+        prompt_len = min(prompt_len, max_ctx - 2)
     host_rng = np.random.default_rng(1)
     for _ in range(batch):
         engine.submit(
-            host_rng.integers(0, 8192, prompt_len).tolist(),
+            host_rng.integers(0, vocab, prompt_len).tolist(),
             max_new_tokens=max_ctx - prompt_len - 1,
         )
     # Step until every request has cleared prefill (generated >= 1) so the
@@ -668,3 +683,108 @@ def bench_train_step(
         roofline_tflops=roofline,
         hbm_gbps=bytes_moved / seconds / 1e9,
     )
+
+
+def bench_engine_speculative(
+    num_layers: int = 4,
+    hidden: int = 1024,
+    num_q_heads: int = 8,
+    num_kv_heads: int = 8,
+    head_dim: int = 128,
+    batch: int = 4,
+    prompt_len: int = 48,
+    new_tokens: int = 96,
+    kv_dtype: str = "bfloat16",
+    spec_k: int = 8,
+    mode: str = "self-draft",  # "self-draft" | "prompt-lookup" | "off"
+):
+    """Serving-level speculative-decoding measurement (VERDICT r4 item 5:
+    the feature was implemented + correctness-tested with zero measured
+    perf). Returns a dict: wall tokens/s, engine steps, decode tokens per
+    step, and the acceptance rate — the last two are attachment-
+    independent (wall tok/s on a relay attachment is dominated by the
+    ~96 ms dispatch round-trips that speculation amortizes).
+
+    Modes:
+      * "self-draft": the draft model IS the target model — drafts match
+        the target's greedy stream wherever the draft's 64-token sliding
+        window sees enough context, so this measures the verify
+        machinery's speedup near its acceptance ceiling (prompt_len is
+        kept under the draft window for that reason).
+      * "prompt-lookup": bigram prompt-lookup drafting on random prompts
+        — the low-acceptance regime; measures speculation OVERHEAD when
+        drafts rarely verify.
+      * "off": speculation_k = 0 baseline (plain burst decode, same
+        prompts/shapes).
+    """
+    import time
+
+    import numpy as np
+
+    from tpu_flash.core.config import CacheConfig, EngineConfig
+    from tpu_flash.engine.runner import InferenceEngine
+    from tpu_flash.models import FlashTransformer, ModelConfig
+
+    cfg = ModelConfig(
+        name="bench-spec",
+        vocab_size=8192,
+        hidden_size=hidden,
+        num_layers=num_layers,
+        num_q_heads=num_q_heads,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        intermediate_size=2 * hidden,
+        dtype="bfloat16",
+    )
+    model = FlashTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ctx = prompt_len + new_tokens + spec_k + 2
+    page_size = 128
+    pages_per_seq = -(-ctx // page_size)
+    ecfg = EngineConfig(
+        max_batch_size=batch,
+        max_seq_len=ctx,
+        prefill_chunk=64,
+        cache=CacheConfig(
+            page_size=page_size,
+            num_pages=batch * pages_per_seq + 8,
+            max_pages_per_seq=pages_per_seq,
+            kv_dtype=kv_dtype,
+        ),
+    )
+    draft = (model, params) if mode == "self-draft" else None
+    engine = InferenceEngine(model, params, ecfg, draft=draft)
+    engine.speculation_k = 0 if mode == "off" else spec_k
+
+    host_rng = np.random.default_rng(7)
+    prompts = [
+        host_rng.integers(0, 8192, prompt_len).tolist() for _ in range(batch)
+    ]
+
+    def run_round():
+        for p in prompts:
+            engine.submit(list(p), max_new_tokens=new_tokens)
+        return engine.run()
+
+    run_round()  # compile warmup (all programs: prefill, verify, burst)
+    engine.metrics = type(engine.metrics)()
+    engine._spec_proposed = 0
+    engine._spec_accepted = 0
+    t0 = time.perf_counter()
+    outs = run_round()
+    wall = time.perf_counter() - t0
+    total = sum(len(v) for v in outs.values())
+    m = engine.metrics.summary()
+    stats = engine.speculation_stats()
+    return {
+        "mode": mode,
+        "tokens_per_s": total / wall,
+        "wall_s": wall,
+        "steps": m["steps"],
+        "decode_tokens_per_step": (
+            m["decode_tokens"] / m["steps"] if m["steps"] else 0.0
+        ),
+        "acceptance_rate": stats["acceptance_rate"],
+        "proposed": stats["proposed"],
+        "outputs": outs,
+    }

@@ -143,21 +143,36 @@ class AttentionConfig:
 class CacheConfig:
     """Paged KV-cache layout: page size, capacity, and quantization.
 
-    Measured v5e guidance (BENCHLOG.md): for production serving use
-    page_size 512-1024 (quantized caches) or ~1024 (bf16) — larger pages
-    cut per-page DMA issues; 128 is a fragmentation-friendly default for
-    short-context workloads. kv_dtype speed order at 8K ctx is
-    int4 > int8 > bfloat16 > float32 (int8-MXU decode path); bfloat16 is
-    the quality-safe default (zero quantization error), int8/int4 the
-    long-context memory levers. "fp8" (e4m3 payload + per-token scales)
-    targets v6e+ where the MXU is fp8-native; on v5e it takes the exact
-    f32-dequant path (the int8-MXU fast tier stays int8/int4-only).
+    Layout knobs default to ``None`` = **auto**: the engine resolves them
+    at init from the serving regime (kv_dtype, max_seq_len, batch) via
+    :func:`tpu_flash.utils.tuning.resolve_cache_config`, so the shipped
+    defaults track the repo's measurements instead of freezing one
+    workload's answer (the helpers.hpp:17-18 lesson — it computed a
+    budget, then hardcoded 64). Measured v5e policy (BENCHLOG.md
+    2026-08-20/21): production serving wants page_size 512 (quantized —
+    at ps=128 the per-page scale DMAs cost 31% at kernel level and 23%
+    at engine level in the KV-bound b32 regime) or 1024 (bf16); int4/fp8
+    need the 128-token exact ring, and int8 rings at >= 2K contexts
+    (free there, and it lifts trained-model greedy match 0.881 -> 1.000)
+    but runs ringless below (where the ring's fixed per-dispatch tax is
+    measurable). Set any field explicitly to override.
+
+    kv_dtype speed order at 8K ctx is int4 > int8 > bfloat16 > float32
+    (int8-MXU decode path); bfloat16 is the quality-safe default (zero
+    quantization error), int8/int4 the long-context memory levers. "fp8"
+    (e4m3 payload + per-token scales) targets v6e+ where the MXU is
+    fp8-native; on v5e it takes the exact f32-dequant path (the int8-MXU
+    fast tier stays int8/int4-only).
     """
 
-    page_size: int = 128  # tokens per page; lane-aligned
-    num_pages: int = 1024
-    max_pages_per_seq: int = 64
-    kv_dtype: str = "bfloat16"  # payload: bfloat16 | int8 | int4 | fp8
+    page_size: Optional[int] = None  # tokens per page; lane-aligned. None=auto
+    num_pages: Optional[int] = None  # None=auto (sized from batch x context)
+    max_pages_per_seq: Optional[int] = None  # None=auto (ceil(max_seq/page))
+    # Payload: bfloat16 | int8 | int4 | int4g32 | fp8. "int4" = per-token
+    # symmetric (fastest 4-bit tier); "int4g32" = per-32-channel-group
+    # ASYMMETRIC (the 4-bit QUALITY tier — picked on trained-checkpoint
+    # evidence, see ops/quant/quantize.py::quantize_group_asym).
+    kv_dtype: str = "bfloat16"
     scale_dtype: str = "float32"
     # Quantized caches only: keep the last ``recent_window`` tokens of each
     # sequence ALSO in an exact bf16 ring (KIVI-style residual window);
@@ -168,30 +183,49 @@ class CacheConfig:
     # bf16 per slot per layer (~3-6% of an int4 cache at 8K context).
     # Time cost: free at multi-K contexts, but a fixed ~30 us/layer-
     # dispatch at short (<~1K) contexts (BENCHLOG 2026-08-21 ring-cost
-    # attribution) — int8 caches, which pass quality gates without the
-    # ring, can set 0 for short-context serving. 0 disables. Ignored
+    # attribution). None = auto: 128 for int4/fp8 (quality-load-bearing),
+    # 0 for int8 (passes quality gates without it). 0 disables. Ignored
     # for fp caches.
-    recent_window: int = 128
+    recent_window: Optional[int] = None
 
     def __post_init__(self):
-        _check_pos("page_size", self.page_size)
-        _check_pos("num_pages", self.num_pages)
-        _check_pos("max_pages_per_seq", self.max_pages_per_seq)
+        if self.page_size is not None:
+            _check_pos("page_size", self.page_size)
+        if self.num_pages is not None:
+            _check_pos("num_pages", self.num_pages)
+        if self.max_pages_per_seq is not None:
+            _check_pos("max_pages_per_seq", self.max_pages_per_seq)
         if self.kv_dtype not in (
-            "bfloat16", "float32", "int8", "int4", "fp8"
+            "bfloat16", "float32", "int8", "int4", "int4g32", "fp8"
         ):
             raise ValueError(f"unsupported kv_dtype {self.kv_dtype!r}")
-        if self.recent_window < 0:
+        if self.recent_window is not None and self.recent_window < 0:
             raise ValueError(
                 f"recent_window must be >= 0, got {self.recent_window}"
             )
 
     @property
     def quantized(self) -> bool:
-        return self.kv_dtype in ("int8", "int4", "fp8")
+        return self.kv_dtype in ("int8", "int4", "int4g32", "fp8")
+
+    @property
+    def resolved(self) -> bool:
+        """True when every auto (None) layout knob has a concrete value."""
+        return not (
+            self.page_size is None
+            or self.num_pages is None
+            or self.max_pages_per_seq is None
+            or self.recent_window is None
+        )
 
     @property
     def max_context(self) -> int:
+        if self.page_size is None or self.max_pages_per_seq is None:
+            raise ValueError(
+                "CacheConfig has unresolved auto fields; resolve via "
+                "tpu_flash.utils.tuning.resolve_cache_config (the engine "
+                "does this at init) before reading max_context"
+            )
         return self.page_size * self.max_pages_per_seq
 
 

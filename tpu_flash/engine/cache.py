@@ -78,7 +78,7 @@ class PagedKVCache:
     ) -> "PagedKVCache":
         quant = config.quantized
         page_rows = config.page_size
-        if config.kv_dtype == "int4":
+        if config.kv_dtype in ("int4", "int4g32"):
             # Token-packed nibbles: half the page rows, full lane width
             # (keeps DMA slices 128-lane aligned; see ops/quant/quantize.py).
             payload_dtype, page_rows = jnp.int8, config.page_size // 2
@@ -99,8 +99,17 @@ class PagedKVCache:
         v_pages = jnp.zeros(shape, payload_dtype)
         # Scales are per *logical token* regardless of payload packing.
         # Distinct buffers (not one aliased array) so jit donation works.
-        scale_shape = (num_layers, num_kv_heads, config.num_pages,
-                       config.page_size)
+        # int4g32 carries per-(token, 32-channel-group) affine pairs
+        # instead: a trailing [2 * d/32] dim of (scale..., zero...) rows
+        # (ops/quant/quantize.py::quantize_group_asym).
+        if config.kv_dtype == "int4g32":
+            from tpu_flash.ops.quant.quantize import INT4_GROUP
+
+            scale_shape = (num_layers, num_kv_heads, config.num_pages,
+                           config.page_size, 2 * (head_dim // INT4_GROUP))
+        else:
+            scale_shape = (num_layers, num_kv_heads, config.num_pages,
+                           config.page_size)
         k_scales = jnp.ones(scale_shape, jnp.float32) if quant else None
         v_scales = jnp.ones(scale_shape, jnp.float32) if quant else None
         k_recent = v_recent = None
@@ -126,12 +135,23 @@ class PagedKVCache:
 
     @property
     def quantized(self) -> bool:
-        return self.kv_dtype in ("int8", "int4", "fp8")
+        return self.kv_dtype in ("int8", "int4", "int4g32", "fp8")
 
     def layer_view(self, layer: int):
         """(k, v) for ops/decode/paged.py — QuantizedTensor when quantized."""
         if not self.quantized:
             return self.k_pages[layer], self.v_pages[layer]
+        if self.kv_dtype == "int4g32":
+            # Group-affine scales keep their [*, page_size, 2*ng] shape.
+            k = QuantizedTensor(
+                self.k_pages[layer], self.k_scales[layer],
+                self.kv_dtype, "tokens",
+            )
+            v = QuantizedTensor(
+                self.v_pages[layer], self.v_scales[layer],
+                self.kv_dtype, "tokens",
+            )
+            return k, v
         packing = "tokens" if self.kv_dtype == "int4" else "lanes"
         k = QuantizedTensor(
             self.k_pages[layer], self.k_scales[layer][..., None],
@@ -171,21 +191,49 @@ class PagedKVCache:
         """
         kq, ks = _quantize_rows(new_k, self.kv_dtype)
         vq, vs = _quantize_rows(new_v, self.kv_dtype)
-        if self.kv_dtype == "int4":
+        if self.kv_dtype in ("int4", "int4g32"):
             # Token-packed nibbles: read-modify-write the shared byte at
             # payload row (offset % rows); low nibble holds tokens in the
             # first half of the page, high nibble the second half.
+            #
+            # COLLISION HANDLING (bug found+fixed 2026-08-21 r5): one
+            # append call may carry BOTH nibble halves of the same byte
+            # (any prefill chunk spanning a half-page boundary, e.g.
+            # chunk >= page_size). A naive per-token RMW scatters
+            # duplicate byte indices whose writes each contain the OTHER
+            # token's field read from the STALE page — last writer wins
+            # and the partner nibble is lost (measured: first-half tokens
+            # of a 1-call full-page append dequantized to garbage). Fix:
+            # every token's write value pre-merges its in-call partner's
+            # nibble (a [T, T] pair matmul), so colliding writers write
+            # IDENTICAL bytes and scatter order stops mattering.
             rows = self.k_pages.shape[3]
             prow = offsets % rows
-            is_high = (offsets >= rows)[:, None, None]
+            is_high = offsets >= rows  # [tok]
+            byte_key = page_ids * rows + prow
+            pair = jnp.logical_and(
+                byte_key[:, None] == byte_key[None, :],
+                is_high[:, None] != is_high[None, :],
+            ).astype(jnp.int32)  # [T, T]: my in-call other-nibble partner
+            has_partner = (jnp.sum(pair, axis=1) > 0)[:, None, None]
+            hi3 = is_high[:, None, None]
 
             def rmw(pages, qi):
-                old = pages[layer, :, page_ids, prow, :]  # [tok, hkv, d]
-                nib = (qi & 0xF).astype(jnp.int8)
-                new = jnp.where(
-                    is_high,
-                    (old & jnp.int8(0x0F)) | (nib << 4),
-                    (old & jnp.int8(-16)) | nib,
+                old = (
+                    pages[layer, :, page_ids, prow, :].astype(jnp.int32)
+                    & 0xFF
+                )  # [tok, hkv, d] as unsigned bytes
+                nib = qi.astype(jnp.int32) & 0xF
+                mine = jnp.where(hi3, nib << 4, nib)
+                partner = jnp.einsum(
+                    "tu,uhd->thd", pair, mine,
+                    preferred_element_type=jnp.int32,
+                )
+                my_field = jnp.where(hi3, 0xF0, 0x0F)
+                keep = jnp.where(has_partner, 0x00, 0xFF ^ my_field)
+                new = (old & keep) | mine | partner
+                new = jax.lax.bitcast_convert_type(
+                    new.astype(jnp.uint8), jnp.int8
                 )
                 return pages.at[layer, :, page_ids, prow, :].set(new)
 
@@ -293,6 +341,13 @@ def _quantize_rows(x: jax.Array, kv_dtype: str):
         )
         # Unpacked nibble values; append() packs them into the shared byte.
         return qi, scale[..., 0]
+    if kv_dtype == "int4g32":
+        from tpu_flash.ops.quant.quantize import quantize_group_asym
+
+        # q [tok, hkv, d] unsigned nibbles; scales [tok, hkv, 2*ng]
+        # (per-group scale rows then zero rows) — append() scatters the
+        # whole trailing dim per token.
+        return quantize_group_asym(x)
     return x, None
 
 

@@ -39,7 +39,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.core.reference import DEFAULT_MASK_VALUE
-from tpu_flash.ops.quant.quantize import QuantizedTensor, _unpack_int4_tokens
+from tpu_flash.ops.quant.quantize import (
+    QuantizedTensor,
+    _unpack_int4_tokens,
+    _unpack_uint4_tokens,
+)
 
 
 class _MultiPageCopy:
@@ -67,6 +71,7 @@ class _MultiPageCopy:
         pages_per_block: int,
         pages_per_seq: int,
         page_size: int,
+        group_scales: bool = False,
     ):
         self._copies = []
         self._scale_copies = []
@@ -78,7 +83,18 @@ class _MultiPageCopy:
                     pages_hbm.at[h, pidx], buf.at[slot, j], sem.at[slot]
                 )
             )
-            if scales_hbm is not None:
+            if scales_hbm is not None and group_scales:
+                # int4g32 group-affine tier: per-page [ps, 2*ng] f32
+                # (scale rows then zero rows per 32-channel group), one
+                # contiguous 4-D slice per page.
+                self._scale_copies.append(
+                    pltpu.make_async_copy(
+                        scales_hbm.at[h, pidx],
+                        scale_buf.at[slot, j],
+                        scale_sem.at[slot],
+                    )
+                )
+            elif scales_hbm is not None:
                 # Scales are [hkv, np, 1, ps]: the page dim is an untiled
                 # batch dim, so single-page slices stay sublane-aligned at
                 # any page_size (a flat [hkv, np, ps] layout trips Mosaic's
@@ -201,6 +217,7 @@ def _paged_attn_kernel(
             page_indices_ref, bb, hh, ii, slot,
             pages_per_block=pages_per_block, pages_per_seq=pages_per_seq,
             page_size=page_size,
+            group_scales=kv_quant == "int4g32",
         )
 
     def next_block_indices(bb, hh, ii):
@@ -337,9 +354,30 @@ def _paged_attn_kernel(
         # payloads keep the f32 path with HIGHEST (true-f32 MXU passes) so
         # the kernel meets the exactness contract vs the oracle.
         native_bf16 = kv_quant is None and k_raw.dtype == jnp.bfloat16
-        quant_mxu = quantized and int8_mxu and kv_quant != "fp8"
+        group_affine = kv_quant == "int4g32"
+        quant_mxu = (
+            quantized and int8_mxu
+            and kv_quant not in ("fp8", "int4g32")
+        )
         fp8_mxu = kv_quant == "fp8" and fp8_native
         precision = jax.lax.Precision.HIGHEST
+
+        def dequant_group(q4, s_all):
+            # int4g32 quality tier: q4 [ppb, ps, d] unsigned nibbles
+            # (i32), s_all [ppb, ps, 2*ng] per-(token, 32-channel-group)
+            # (scale..., zero...) rows. Affine-dequant per lane group —
+            # sublane-broadcast multiplies, no relayout — then feed the
+            # bf16 MXU (bf16 rounding is far below the 4-bit error
+            # floor). See ops/quant/quantize.py::quantize_group_asym.
+            ng = head_dim // 32
+            kf = q4.astype(jnp.float32)
+            parts = []
+            for g in range(ng):
+                sg = s_all[..., g:g + 1]
+                zg = s_all[..., ng + g:ng + g + 1]
+                parts.append(kf[..., g * 32:(g + 1) * 32] * sg + zg)
+            out = jnp.concatenate(parts, axis=-1)
+            return out.reshape(bk, head_dim).astype(jnp.bfloat16)
         if fp8_mxu:
             # v6e+ tier: e4m3 K pages feed the MXU directly; q rows are
             # renormalized into e4m3's range per row (rank-1 dequant, as
@@ -353,6 +391,15 @@ def _paged_attn_kernel(
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * q_scale
+        elif group_affine:
+            k_deq = dequant_group(
+                _unpack_uint4_tokens(k_raw), k_scale_buf[slot]
+            )  # [bk, d] bf16, scales already applied
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), k_deq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
         elif quant_mxu:
             # int8 MXU scores: quantize the (tiny) q rows in-kernel and
             # dot int8 x int8 -> int32, then rank-1 dequant — the [bk, d]
@@ -403,7 +450,7 @@ def _paged_attn_kernel(
                 q_op, k_f, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )  # [q_per_kv, bk]
-        if quantized and not skip_scale_mul:
+        if quantized and not group_affine and not skip_scale_mul:
             kscale = k_scale_buf[slot]  # [1, bk] column scales
             if int4_bitwise:
                 # Hi-nibble columns carry 16x values; 1/16 is a power of
@@ -461,6 +508,16 @@ def _paged_attn_kernel(
                 p8, v_raw.reshape(bk, head_dim),
                 preferred_element_type=jnp.float32,
             ) * c
+            acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
+        elif group_affine:
+            v_deq = dequant_group(
+                _unpack_uint4_tokens(v_raw), v_scale_buf[slot]
+            )  # [bk, d] bf16
+            out = jax.lax.dot(
+                p.astype(jnp.bfloat16), v_deq,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
         elif quant_mxu and int4_bitwise:
             # PV without unpacking: one half-width matmul per nibble
@@ -747,26 +804,35 @@ def paged_attention(
     k_scales = v_scales = None
     if isinstance(k_pages, QuantizedTensor):
         kv_quant = k_pages.dtype_name
-        if kv_quant not in ("int8", "int4", "fp8"):
+        if kv_quant not in ("int8", "int4", "int4g32", "fp8"):
             raise ValueError(f"unsupported KV quant {kv_quant!r}")
-        if kv_quant == "int4" and k_pages.packing != "tokens":
+        if kv_quant in ("int4", "int4g32") and k_pages.packing != "tokens":
             raise ValueError(
                 "int4 KV pages must be token-packed (quantize_pages); "
                 "lane packing breaks TPU DMA alignment"
             )
         k_vals, k_scales = k_pages.values, k_pages.scales
         v_vals, v_scales = v_pages.values, v_pages.scales
-        # [hkv, np, ps, 1] -> [hkv, np, 1, ps]: page dim becomes an untiled
-        # batch dim so per-page DMA slices are alignment-free at any ps.
-        k_scales = k_scales.squeeze(-1)[:, :, None, :]
-        v_scales = v_scales.squeeze(-1)[:, :, None, :]
+        if kv_quant == "int4g32":
+            # Group-affine scales keep their [hkv, np, ps, 2*ng] layout:
+            # per-page slices are contiguous and the kernel wants the
+            # token dim in SUBLANES for lane-group broadcasts.
+            pass
+        else:
+            # [hkv, np, ps, 1] -> [hkv, np, 1, ps]: page dim becomes an
+            # untiled batch dim so per-page DMA slices are alignment-free
+            # at any ps.
+            k_scales = k_scales.squeeze(-1)[:, :, None, :]
+            v_scales = v_scales.squeeze(-1)[:, :, None, :]
     else:
         k_vals, v_vals = k_pages, v_pages
 
     batch, num_q_heads, head_dim = q.shape
     num_kv_heads, num_pages, page_rows, payload_d = k_vals.shape
     # Logical tokens per page (int4 token-packs two per payload row).
-    page_size = page_rows * 2 if kv_quant == "int4" else page_rows
+    page_size = (
+        page_rows * 2 if kv_quant in ("int4", "int4g32") else page_rows
+    )
     pages_per_seq = page_indices.shape[1]
     if num_q_heads % num_kv_heads:
         raise ValueError(
@@ -885,9 +951,19 @@ def paged_attention(
             pltpu.VMEM((q_per_kv_p, 128), jnp.float32),  # l
             pltpu.VMEM((q_per_kv_p, head_dim), jnp.float32),  # acc
             pltpu.VMEM((ns, ppb, page_rows, payload_d), k_vals.dtype),
-            pltpu.VMEM((ns, 1, bk), jnp.float32),  # k scales (flat rows)
+            # Scale buffers: flat [1, bk] column scales per block, except
+            # the int4g32 group-affine tier's [ppb, ps, 2*ng] tiles.
+            pltpu.VMEM(
+                (ns, ppb, page_size, 2 * (head_dim // 32))
+                if kv_quant == "int4g32" else (ns, 1, bk),
+                jnp.float32,
+            ),
             pltpu.VMEM((ns, ppb, page_rows, payload_d), v_vals.dtype),
-            pltpu.VMEM((ns, 1, bk), jnp.float32),
+            pltpu.VMEM(
+                (ns, ppb, page_size, 2 * (head_dim // 32))
+                if kv_quant == "int4g32" else (ns, 1, bk),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((ns,)),
             pltpu.SemaphoreType.DMA((ns,)),
             pltpu.SemaphoreType.DMA((ns,)),

@@ -28,6 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 INT8_MAX = 127.0
 INT4_MAX = 7.0
 FP8_MAX = 448.0  # e4m3fn
+INT4_GROUP = 32  # channels per (scale, zero) group of the int4g32 tier
+INT4_LEVELS = 15.0  # unsigned asymmetric nibbles span [0, 15]
 
 
 class QuantizedTensor(NamedTuple):
@@ -40,17 +42,21 @@ class QuantizedTensor(NamedTuple):
         slices must keep a 128-aligned lane dim, so pages pack two *tokens*
         per byte (row j = token j low nibble, token j + rows/2 high nibble).
     ``scales`` always has the *logical* shape with the last axis reduced
-    to 1.
+    to 1 — EXCEPT "int4g32" (group-wise asymmetric, the quality tier
+    selected on trained-checkpoint evidence, BENCHLOG 2026-08-21 r5):
+    there ``scales`` has last axis ``2 * d/32`` holding the per-32-channel
+    group (scale..., zero...) pairs of each row, and nibbles are UNSIGNED
+    (x ≈ q * scale + zero, q ∈ [0, 15]).
     """
 
     values: jax.Array
     scales: jax.Array
-    dtype_name: str  # "int8" | "int4" | "fp8"
+    dtype_name: str  # "int8" | "int4" | "int4g32" | "fp8"
     packing: str = "lanes"
 
     @property
     def logical_shape(self):
-        if self.dtype_name == "int4":
+        if self.dtype_name in ("int4", "int4g32"):
             if self.packing == "tokens":
                 return (
                     *self.values.shape[:-2],
@@ -95,6 +101,64 @@ def _unpack_int4_tokens(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-2)
 
 
+def _unpack_uint4_tokens(packed: jax.Array) -> jax.Array:
+    """Token-packed UNSIGNED nibbles (the int4g32 payload: q ∈ [0, 15],
+    no sign extension)."""
+    packed = packed.astype(jnp.int32)
+    lo = packed & 0xF
+    hi = (packed >> 4) & 0xF
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def quantize_group_asym(
+    x: jax.Array, group: int = INT4_GROUP
+) -> "tuple[jax.Array, jax.Array]":
+    """Group-wise ASYMMETRIC int4: per (row, ``group``-channel group)
+    affine quantization x ≈ q * scale + zero with unsigned q ∈ [0, 15].
+
+    The int4 quality tier: on the trained checkpoint's real K/V tensors
+    this reads attention-output error 0.094 vs 0.143 for per-token
+    symmetric (tools/quant_scheme_probe.py, BENCHLOG 2026-08-21 r5) —
+    channel-group affine ranges absorb the per-channel offsets/outliers
+    iid-random weights don't have.
+
+    Returns (q [..., rows, d] int32 nibble values,
+             scales [..., rows, 2 * d/group] = per-row [scale..., zero...]).
+    """
+    xf = x.astype(jnp.float32)
+    *lead, rows, d = xf.shape
+    if d % group:
+        raise ValueError(f"head_dim {d} must divide group {group}")
+    ng = d // group
+    xg = xf.reshape(*lead, rows, ng, group)
+    lo = jnp.min(xg, axis=-1)
+    hi = jnp.max(xg, axis=-1)
+    scale = jnp.where(hi - lo == 0, 1.0, (hi - lo) / INT4_LEVELS)
+    q = jnp.clip(
+        jnp.round((xg - lo[..., None]) / scale[..., None]),
+        0.0, INT4_LEVELS,
+    ).astype(jnp.int32)
+    scales = jnp.concatenate([scale, lo], axis=-1)  # [..., rows, 2*ng]
+    return q.reshape(*lead, rows, d), scales
+
+
+def dequantize_group_asym(
+    q: jax.Array, scales: jax.Array, group: int = INT4_GROUP,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Inverse of :func:`quantize_group_asym` (q unpacked, [..., rows, d])."""
+    *lead, rows, d = q.shape
+    ng = d // group
+    scale = scales[..., :ng]
+    zero = scales[..., ng:]
+    xg = (
+        q.reshape(*lead, rows, ng, group).astype(jnp.float32)
+        * scale[..., None]
+        + zero[..., None]
+    )
+    return xg.reshape(*lead, rows, d).astype(dtype)
+
+
 def quantize(
     x: jax.Array, dtype_name: str = "int8", packing: str = "lanes"
 ) -> QuantizedTensor:
@@ -129,12 +193,25 @@ def quantize(
 
 def quantize_pages(pages: jax.Array, dtype_name: str) -> QuantizedTensor:
     """Quantize KV pages [..., page_size, head_dim] in the cache layout:
-    int8 keeps the page shape; int4 token-packs to [..., page_size/2, d]."""
+    int8 keeps the page shape; int4/int4g32 token-pack to
+    [..., page_size/2, d] (int4g32 carries [..., page_size, 2*d/32]
+    group scale/zero rows instead of per-token scales)."""
+    if dtype_name == "int4g32":
+        q, scales = quantize_group_asym(pages)
+        return QuantizedTensor(
+            values=_pack_int4_tokens(q), scales=scales,
+            dtype_name="int4g32", packing="tokens",
+        )
     packing = "tokens" if dtype_name == "int4" else "lanes"
     return quantize(pages, dtype_name, packing=packing)
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    if qt.dtype_name == "int4g32":
+        if qt.packing != "tokens":
+            raise ValueError("int4g32 is a token-packed page format")
+        q = _unpack_uint4_tokens(qt.values)
+        return dequantize_group_asym(q, qt.scales, dtype=dtype)
     if qt.dtype_name == "int4":
         if qt.packing == "tokens":
             vals = _unpack_int4_tokens(qt.values).astype(jnp.float32)

@@ -212,6 +212,118 @@ def default_block_sizes(
 
 
 # ---------------------------------------------------------------------------
+# Regime-aware cache-layout policy: page size + recent-window selection.
+# ---------------------------------------------------------------------------
+
+
+def select_cache_policy(
+    kv_dtype: str,
+    max_seq_len: int,
+    max_batch_size: int,
+    generation: Optional[str] = None,
+) -> dict:
+    """Measured serving-layout policy for the paged KV cache.
+
+    Owns the engine's auto defaults (CacheConfig fields left as None), so
+    the hardware-aware selection lives here with the tile heuristics
+    rather than frozen into config constants — closing the helpers.hpp
+    loop (it computed budgets, then hardcoded 64; helpers.hpp:17-18).
+
+    Measured v5e evidence (BENCHLOG.md):
+    * page_size: quantized caches at ps=128 pay a 31% kernel-level
+      per-page scale-DMA tax (2026-08-20) and a 23% engine-level deficit
+      in the KV-bound b32 production regime (2026-08-21 A/B: ps512+ring0
+      4211 vs default 3428 tok/s); 512-token pages are the measured
+      optimum (1024 ties at 8K). bf16/fp32 caches want 1024 (64-128 KB
+      page DMAs, no scales). Pages never exceed the context (rounded up
+      to the 128-token lane-aligned minimum).
+    * recent_window: int4/fp8 NEED the exact ring (token match
+      0.094 -> 1.000 with W=128) and default to 128 (clamped to the
+      context). int8 passes every random-weight gate with ring=0, but on
+      the TRAINED checkpoint the ring lifts int8 greedy match 0.881 ->
+      1.000 at 1K ctx (BENCHLOG 2026-08-21 r5) — and the ring is free at
+      multi-K contexts while costing ~30 us/layer-dispatch below ~1K
+      (where the b32 engine A/B favors ring=0). So int8 rings at
+      max_seq_len >= 2048 and runs ringless below.
+    * num_pages: reserve-admission capacity (batch x pages/seq) + 25%
+      headroom for prefix-cache reuse + the trash page.
+
+    Returns {"page_size", "num_pages", "max_pages_per_seq",
+    "recent_window"} — every value concrete.
+    """
+    quantized = kv_dtype in ("int8", "int4", "int4g32", "fp8")
+
+    def pow2_at_most(x: int, lo: int = 128) -> int:
+        p = lo
+        while p * 2 <= x:
+            p *= 2
+        return p
+
+    cap = 512 if quantized else 1024
+    page_size = min(cap, pow2_at_most(max(max_seq_len, 128)))
+    max_pages_per_seq = -(-max_seq_len // page_size)
+    reserve = max_batch_size * max_pages_per_seq
+    num_pages = reserve + max(1, reserve // 4) + 1  # +25% prefix headroom
+    if kv_dtype in ("int4", "int4g32", "fp8"):
+        recent_window = min(128, pow2_at_most(max(max_seq_len, 128)))
+    elif kv_dtype == "int8" and max_seq_len >= 2048:
+        recent_window = 128
+    else:
+        recent_window = 0
+    return {
+        "page_size": page_size,
+        "num_pages": num_pages,
+        "max_pages_per_seq": max_pages_per_seq,
+        "recent_window": recent_window,
+    }
+
+
+def resolve_cache_config(
+    cache,
+    *,
+    max_seq_len: int,
+    max_batch_size: int,
+    generation: Optional[str] = None,
+):
+    """Fill a CacheConfig's auto (None) fields from the measured policy.
+
+    Explicitly-set fields always win; only None fields are selected. The
+    auto max_pages_per_seq/num_pages respect an explicit page_size (and
+    vice versa the auto page_size never exceeds an explicit
+    max_pages_per_seq's implied context).
+    """
+    import dataclasses
+
+    if cache.resolved:
+        return cache
+    policy = select_cache_policy(
+        cache.kv_dtype, max_seq_len, max_batch_size, generation
+    )
+    page_size = cache.page_size
+    if page_size is None:
+        page_size = policy["page_size"]
+        if cache.kv_dtype in ("int4", "int4g32") and page_size % 2:
+            page_size += 1  # int4 token-packing needs even pages
+    max_pages_per_seq = cache.max_pages_per_seq
+    if max_pages_per_seq is None:
+        max_pages_per_seq = -(-max_seq_len // page_size)
+    num_pages = cache.num_pages
+    if num_pages is None:
+        reserve = max_batch_size * max_pages_per_seq
+        num_pages = reserve + max(1, reserve // 4) + 1
+    recent_window = cache.recent_window
+    if recent_window is None:
+        recent_window = min(policy["recent_window"], max_seq_len)
+    return dataclasses.replace(
+        cache,
+        page_size=page_size,
+        num_pages=num_pages,
+        max_pages_per_seq=max_pages_per_seq,
+        recent_window=recent_window,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Opt-in empirical autotune: sweep candidate tilings on the attached chip.
 # ---------------------------------------------------------------------------
 
