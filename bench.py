@@ -99,6 +99,13 @@ def main():
         # ~= 133.6 useful TF/s. vs_baseline keeps the nominal 197
         # TF/s roofline denominator for cross-round comparability.
         "vs_measured_ceiling": round(res.tflops / 133.6, 4),
+        # The ASSERTED gate (BASELINE.md rows 2/4/5, renegotiated r5):
+        # >= 95% of the measured geometry ceiling. The nominal-roofline
+        # >= 90% target is unreachable on this part — its own XLA
+        # matmul-chain rate is 85-94% of nominal before any
+        # attention-specific work (BENCHLOG 2026-08-20/21 probes).
+        "target_measured_ceiling": 0.95,
+        "ceiling_pass": bool(res.tflops / 133.6 >= 0.95) if on_tpu else None,
     }
     if spread is not None:
         out["spread"] = spread

@@ -77,8 +77,20 @@ def config2_prefill(iters: int):
     rows = []
     # Headline 2K causal + the single-pass kernel's wider envelope
     # (4K causal, 2K non-causal — BENCHLOG 2026-08-20).
-    for kwargs, target in (
-        (dict(), 0.90),
+    #
+    # The ASSERTED gate is vs_measured_ceiling >= 0.95 (BASELINE.md r5
+    # renegotiation): the part's own XLA score->PV matmul-chain rate is
+    # 167 TF/s (85-94% of the nominal 197 roofline; probe
+    # tools/hw_ab/xla_chain_rate.py area, BENCHLOG 2026-08-20), and the
+    # 2K causal staircase computes 1.25x useful FLOPs -> geometry
+    # ceiling 167 * 0.8 = 133.6 useful TF/s. The nominal-roofline
+    # fraction stays reported for cross-round comparability, but >= 90%
+    # of nominal is unreachable on this hardware (the machinery rate
+    # itself caps below it; tri_pair 0.88x closed the last geometry
+    # hypothesis, BENCHLOG 2026-08-21).
+    ceiling_2k = 133.6
+    for kwargs, ceiling in (
+        (dict(), ceiling_2k),
         (dict(seq=4096), None),
         (dict(causal=False), None),
     ):
@@ -93,8 +105,16 @@ def config2_prefill(iters: int):
             "roofline_tflops": res.roofline_tflops,
             "roofline_frac": res.roofline_frac,
         }
-        if target is not None:
-            row["target_frac"] = target
+        if ceiling is not None:
+            frac = res.tflops / ceiling
+            row["measured_ceiling_tflops"] = ceiling
+            row["vs_measured_ceiling"] = frac
+            row["target_measured_ceiling"] = 0.95
+            row["pass"] = bool(frac >= 0.95)
+            if not row["pass"]:
+                _log(f"  !! REGRESSION: {res.name} at "
+                     f"{100 * frac:.1f}% of the measured ceiling "
+                     f"({ceiling} TF/s); gate is >= 95%")
         rows.append(row)
     return rows
 
@@ -109,18 +129,23 @@ def config3_decode(iters: int):
     from tpu_flash.ops.quant import dequantize, quantize_pages
 
     rows = []
-    for kv_quant, fp_dtype, label in (
-        ("int8", None, "int8"),
-        (None, jnp.bfloat16, "bf16"),  # MXU-native path: decode champion
-        (None, jnp.float32, "fp32"),
+    # Page sizes match the engine's regime-aware auto policy
+    # (utils/tuning.py::select_cache_policy): 512 for quantized caches,
+    # 1024 for fp — and are NAMED in every row (VERDICT r4 item 7: no
+    # decode claim without its ps= in the cell). r1-r4 rows used ps=128,
+    # which for int8 pays a measured 31% per-page scale-DMA tax.
+    for kv_quant, fp_dtype, ps, label in (
+        ("int8", None, 512, "int8"),
+        (None, jnp.bfloat16, 1024, "bf16"),  # MXU-native decode champion
+        (None, jnp.float32, 1024, "fp32"),
     ):
         # Sub-ms steps need long differential windows (BENCHLOG: short
         # windows mis-time on the relay).
         tps, secs, gbps = bench_decode_tokens_per_s(
-            kv_quant=kv_quant, iters=max(64, iters),
+            kv_quant=kv_quant, page_size=ps, iters=max(64, iters),
             **({"fp_dtype": fp_dtype} if fp_dtype is not None else {}),
         )
-        name = f"decode b8 gqa4 4K {label}-kv"
+        name = f"decode b8 gqa4 4K {label}-kv ps{ps}"
         rows.append(
             {
                 "config": 3,
@@ -533,12 +558,21 @@ def config10_engine_device(iters: int):
     # PRODUCTION shape (VERDICT r3 item 7): Llama-3-8B-class decode —
     # hq32/hkv8 GQA-4, d128, hidden 4096, 8 layers (per-layer rates
     # scale linearly to 32L), batch sweep. The toy rows above isolate
-    # per-op floors; this row is the serving-scale datapoint.
+    # per-op floors; this row is the serving-scale datapoint. Cache
+    # layout is the engine's AUTO policy (page_size=None — no hand
+    # flags; VERDICT r4 item 3), with the resolved knobs named inline.
+    from tpu_flash.core.config import CacheConfig
+    from tpu_flash.utils.tuning import resolve_cache_config
+
     for batch, kv_dtype in ((8, "bfloat16"), (8, "int8"),
                             (16, "int8"), (32, "int8")):
+        resolved = resolve_cache_config(
+            CacheConfig(kv_dtype=kv_dtype), max_seq_len=1024,
+            max_batch_size=batch,
+        )
         tps, sec_tok, sec_step = bench_engine_device_decode(
             num_layers=8, hidden=4096, num_q_heads=32, num_kv_heads=8,
-            batch=batch, kv_dtype=kv_dtype, page_size=128,
+            batch=batch, kv_dtype=kv_dtype, page_size=None,
             inner=max(4, iters // 4),
         )
         rows.append(
@@ -546,12 +580,15 @@ def config10_engine_device(iters: int):
                 "config": 10,
                 "name": (
                     f"engine device-side decode b{batch} 8L h32/8kv "
-                    f"d128 hidden4096 gqa4 {kv_dtype}-kv (production "
-                    f"shape; per-layer rates scale)"
+                    f"d128 hidden4096 gqa4 {kv_dtype}-kv auto-layout "
+                    f"ps{resolved.page_size} ring{resolved.recent_window}"
+                    f" (production shape; per-layer rates scale)"
                 ),
                 "metric": "device_decode_tokens_per_s",
                 "value": tps,
                 "step_us": sec_step * 1e6,
+                "page_size": resolved.page_size,
+                "recent_window": resolved.recent_window,
             }
         )
         _log(f"  {rows[-1]['name']}: {tps:.0f} tok/s "
@@ -587,6 +624,47 @@ def config11_train(iters: int):
     return rows
 
 
+def config12_speculative(iters: int):
+    """Speculative decoding measured at serving level (VERDICT r4 item 5).
+    Three rows, same shapes/prompts: plain burst baseline, self-draft
+    speculation (acceptance ceiling: the draft model IS the target, so
+    drafts match wherever its 64-token window suffices), and prompt-
+    lookup on random prompts (the low-acceptance overhead regime).
+    decode_tokens_per_step is the attachment-independent figure; wall
+    tok/s on a relay attachment mostly shows how speculation amortizes
+    the ~96 ms dispatch round trips."""
+    from tpu_flash.bench.suite import bench_engine_speculative
+
+    rows = []
+    # k=8 matches the burst cap (speculation replaces bursting step for
+    # step there); k=16 is the regime bursting can't reach — a verified
+    # draft advances 17 tokens in ONE dispatch vs the 8-step burst cap.
+    for mode, k in (
+        ("off", 8), ("self-draft", 8), ("self-draft", 16),
+        ("prompt-lookup", 8),
+    ):
+        r = bench_engine_speculative(mode=mode, spec_k=k)
+        rows.append(
+            {
+                "config": 12,
+                "name": (
+                    f"speculative serving {mode} k{k} b4 4L bf16-kv "
+                    f"ps128 (48-token prompts, 96 new)"
+                ),
+                "metric": "tokens_per_s",
+                "value": r["tokens_per_s"],
+                "steps": r["steps"],
+                "decode_tokens_per_step": r["decode_tokens_per_step"],
+                "acceptance_rate": r["acceptance_rate"],
+            }
+        )
+        _log(f"  {mode} k{k}: {r['tokens_per_s']:.0f} tok/s, "
+             f"{r['steps']} steps, "
+             f"{r['decode_tokens_per_step']:.2f} tok/step, "
+             f"accept {r['acceptance_rate']:.2f}")
+    return rows
+
+
 CONFIGS = {
     1: lambda iters: config1_parity(),
     2: config2_prefill,
@@ -600,6 +678,7 @@ CONFIGS = {
     9: config9_quant_quality,
     10: config10_engine_device,
     11: config11_train,
+    12: config12_speculative,
 }
 
 
