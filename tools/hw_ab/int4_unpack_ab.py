@@ -1,59 +1,64 @@
-"""HW A/B: int4 decode nibble unpack (VERDICT r1 item 5, third attempt).
+#!/usr/bin/env python
+"""ROADMAP R8 re-justification probe (VERDICT r4 item 6): measure the
+int4 nibble-unpack tax at PRODUCTION page sizes under the honest
+protocol, paired in ONE process so relay session wobble cancels.
 
-Old path: i8->i32 widening + 2 shifts + i32 concat + i32->i8 narrowing on
-the whole [tokens, d] payload (the measured VPU bound: 174 us vs ~90 us
-payload-DMA floor). New path (int4_bitwise_unpack=True): nibble planes via
-i8 AND/XOR only — lo+8 = (byte & 0x0F) ^ 0x08, 16*hi = byte & 0xF0 — with
-the bias/x16 folded into rank-1 matmul corrections and scales. K scores
-are bitwise-identical; PV runs as two half-matmuls (per-half P scales).
-Interleaved round-robin timing. Run: python tools/hw_ab/int4_unpack_ab.py
+R8 (pre-separated nibble-plane page format) was scoped on the ps=128-era
+number (174 us unpack vs ~90 us byte floor at 8K). The honest-protocol
+re-measurement said 15-25 us at ps=1024 (BENCHLOG "RESOLVED-BY-TUNING").
+This probe decides R8's fate: the nibble-plane format's CEILING is the
+int4-minus-int8-scaled delta — int4 moves HALF the payload bytes of
+int8, so with a free unpack int4 decode should cost ~(int8_kv_time/2 +
+fixed); any excess above that is what a page-format change could
+recover.
+
+Run:  python tools/hw_ab/int4_unpack_ab.py
 """
-import jax, jax.numpy as jnp, numpy as np
-from tpu_flash.bench.suite import _time_chained
-from tpu_flash.ops.decode import paged_attention
-from tpu_flash.ops.quant import quantize_pages, QuantizedTensor
 
-print("backend:", jax.default_backend(), flush=True)
+import json
+import os
+import sys
 
-HQ, HKV, D, PS = 32, 8, 128, 1024
-REPS = 3
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
-for ctx, bb in ((8192, 8), (32768, 4)):
-    pps = ctx // PS
-    npages = bb * pps + 1
-    ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    kf = jax.random.normal(ks[0], (HKV, npages, PS, D), jnp.float32)
-    vf = jax.random.normal(ks[1], (HKV, npages, PS, D), jnp.float32)
-    tables = jax.random.permutation(ks[2], npages)[: bb * pps].reshape(
-        bb, pps).astype(jnp.int32)
-    q = jax.random.normal(ks[3], (bb, HQ, D), jnp.bfloat16)
-    lengths = jnp.full((bb,), ctx - 3, jnp.int32)
-    kq, vq = quantize_pages(kf, "int4"), quantize_pages(vf, "int4")
-    parts = (kq.values, kq.scales, vq.values, vq.scales)
-    rebuild = lambda kv, ksc, vv, vs: (
-        QuantizedTensor(kv, ksc, "int4", "tokens"),
-        QuantizedTensor(vv, vs, "int4", "tokens"),
-    )
+from tpu_flash.bench.suite import bench_decode_tokens_per_s  # noqa: E402
 
-    steps = {
-        name: (lambda q, *p, bw=bw: paged_attention(
-            q, *rebuild(*p), lengths, tables, pages_per_compute_block=4,
-            int4_bitwise_unpack=bw))
-        for name, bw in (("unpack-i32", False), ("bitwise-i8", True))
-    }
-    outs = {n: np.asarray(jax.jit(fn)(q, *parts)) for n, fn in steps.items()}
-    err = float(np.max(np.abs(outs["bitwise-i8"].astype(np.float32)
-                              - outs["unpack-i32"].astype(np.float32))))
-    print(f"ctx{ctx}: bitwise vs unpack max diff {err:.2e} "
-          "(PV P-quant split differs; K scores bitwise-equal)", flush=True)
 
-    acc = {n: [] for n in steps}
-    for r in range(REPS):
-        for n, fn in steps.items():
-            acc[n].append(_time_chained(fn, q, *parts, inner=64))
-    for n in steps:
-        t = float(np.median(acc[n]))
-        print(f"ctx{ctx} {n}: {t*1e6:.0f} us/step {bb/t/1e3:.1f}k tok/s "
-              "(runs: " + ",".join(f"{x*1e6:.0f}" for x in acc[n]) + ")",
-              flush=True)
-print("DONE", flush=True)
+def main():
+    rows = []
+    for ps in (512, 1024):
+        for dtype in ("int8", "int4"):
+            tps, secs, gbps = bench_decode_tokens_per_s(
+                context=8192, kv_quant=dtype, page_size=ps, iters=64,
+            )
+            rows.append({
+                "kv": dtype, "ps": ps, "tokens_per_s": round(tps, 1),
+                "step_us": round(secs * 1e6, 2),
+                "kv_hbm_gbps": round(gbps, 1),
+            })
+            print(f"  {dtype} ps{ps}: {tps:.0f} tok/s "
+                  f"({secs * 1e6:.1f} us/step, {gbps:.0f} GB/s)",
+                  file=sys.stderr)
+    for ps in (512, 1024):
+        i8 = next(r for r in rows if r["kv"] == "int8" and r["ps"] == ps)
+        i4 = next(r for r in rows if r["kv"] == "int4" and r["ps"] == ps)
+        delta = i4["step_us"] - i8["step_us"]
+        # int4 payload is half int8's; scales identical. If unpack were
+        # free, int4 would save ~half the int8 KV-read time. The
+        # nibble-plane ceiling = measured int4 step - (int8 step - half
+        # its KV-read share); report the raw delta as the upper bound.
+        print(f"ps{ps}: int4 - int8 = {delta:+.1f} us/step "
+              f"({100 * delta / i8['step_us']:+.1f}% vs int8) — "
+              f"nibble-plane format can recover AT MOST this plus the "
+              f"halved-payload advantage int4 isn't showing",
+              file=sys.stderr)
+        rows.append({"kv": "delta", "ps": ps,
+                     "int4_minus_int8_us": round(delta, 2),
+                     "pct_vs_int8": round(100 * delta / i8["step_us"], 1)})
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
