@@ -61,7 +61,7 @@ class TestGroupAsymQuant:
         pages = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16, 128))
         qt = quantize_pages(pages, "int4g32")
         assert qt.values.shape == (2, 3, 8, 128)  # ps/2 payload rows
-        assert qt.scales.shape == (2, 3, 16, 8)  # [ps, 2*ng]
+        assert qt.scales.shape == (2, 3, 8, 16)  # [2*ng, ps] transposed
         rt = dequantize(qt)
         assert float(jnp.max(jnp.abs(rt - pages))) < 0.3
 

@@ -100,13 +100,15 @@ class PagedKVCache:
         # Scales are per *logical token* regardless of payload packing.
         # Distinct buffers (not one aliased array) so jit donation works.
         # int4g32 carries per-(token, 32-channel-group) affine pairs
-        # instead: a trailing [2 * d/32] dim of (scale..., zero...) rows
-        # (ops/quant/quantize.py::quantize_group_asym).
+        # instead, stored TRANSPOSED per page: [2 * d/32, page_size]
+        # (group rows in sublanes, tokens in lanes — the layout the
+        # decode kernel's column-broadcast dequant consumes without a
+        # transpose; ops/quant/quantize.py::quantize_group_asym).
         if config.kv_dtype == "int4g32":
             from tpu_flash.ops.quant.quantize import INT4_GROUP
 
             scale_shape = (num_layers, num_kv_heads, config.num_pages,
-                           config.page_size, 2 * (head_dim // INT4_GROUP))
+                           2 * (head_dim // INT4_GROUP), config.page_size)
         else:
             scale_shape = (num_layers, num_kv_heads, config.num_pages,
                            config.page_size)
@@ -250,7 +252,12 @@ class PagedKVCache:
                 vq.astype(self.v_pages.dtype)
             )
         k_scales, v_scales = self.k_scales, self.v_scales
-        if self.quantized:
+        if self.kv_dtype == "int4g32":
+            # Affine rows live transposed: [.., np, 2*ng, ps]; each
+            # token scatters its [2*ng] column at lane ``offset``.
+            k_scales = k_scales.at[layer, :, page_ids, :, offsets].set(ks)
+            v_scales = v_scales.at[layer, :, page_ids, :, offsets].set(vs)
+        elif self.quantized:
             k_scales = k_scales.at[layer, :, page_ids, offsets].set(ks)
             v_scales = v_scales.at[layer, :, page_ids, offsets].set(vs)
         k_recent, v_recent = self.k_recent, self.v_recent

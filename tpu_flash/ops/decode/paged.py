@@ -84,9 +84,9 @@ class _MultiPageCopy:
                 )
             )
             if scales_hbm is not None and group_scales:
-                # int4g32 group-affine tier: per-page [ps, 2*ng] f32
-                # (scale rows then zero rows per 32-channel group), one
-                # contiguous 4-D slice per page.
+                # int4g32 group-affine tier: per-page [2*ng, ps] f32
+                # (scale rows then zero rows per 32-channel group,
+                # tokens in lanes), one contiguous slice per page.
                 self._scale_copies.append(
                     pltpu.make_async_copy(
                         scales_hbm.at[h, pidx],
@@ -361,23 +361,6 @@ def _paged_attn_kernel(
         )
         fp8_mxu = kv_quant == "fp8" and fp8_native
         precision = jax.lax.Precision.HIGHEST
-
-        def dequant_group(q4, s_all):
-            # int4g32 quality tier: q4 [ppb, ps, d] unsigned nibbles
-            # (i32), s_all [ppb, ps, 2*ng] per-(token, 32-channel-group)
-            # (scale..., zero...) rows. Affine-dequant per lane group —
-            # sublane-broadcast multiplies, no relayout — then feed the
-            # bf16 MXU (bf16 rounding is far below the 4-bit error
-            # floor). See ops/quant/quantize.py::quantize_group_asym.
-            ng = head_dim // 32
-            kf = q4.astype(jnp.float32)
-            parts = []
-            for g in range(ng):
-                sg = s_all[..., g:g + 1]
-                zg = s_all[..., ng + g:ng + g + 1]
-                parts.append(kf[..., g * 32:(g + 1) * 32] * sg + zg)
-            out = jnp.concatenate(parts, axis=-1)
-            return out.reshape(bk, head_dim).astype(jnp.bfloat16)
         if fp8_mxu:
             # v6e+ tier: e4m3 K pages feed the MXU directly; q rows are
             # renormalized into e4m3's range per row (rank-1 dequant, as
@@ -392,14 +375,31 @@ def _paged_attn_kernel(
                 preferred_element_type=jnp.float32,
             ) * q_scale
         elif group_affine:
-            k_deq = dequant_group(
-                _unpack_uint4_tokens(k_raw), k_scale_buf[slot]
-            )  # [bk, d] bf16, scales already applied
-            s = jax.lax.dot_general(
-                q.astype(jnp.bfloat16), k_deq, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )
+            # int4g32 quality tier, affine dequant folded into the
+            # SCORES (no K-tile dequant materialization, no transposes):
+            # k_d = q4*s_g(token) + z_g(token) for d in group g, so
+            #   s = sum_g [ (q_g . q4_g^T) * s_col_g + qsum_g * z_col_g ]
+            # where s_col/z_col are [1, bk] tokens-in-lanes rows straight
+            # from the page scale tiles ([2*ng, ps] per page) — the same
+            # column-broadcast pattern as the symmetric tiers. Nibbles
+            # are exact in bf16, so the partial dots ride the bf16 MXU.
+            ng = head_dim // 32
+            k4 = _unpack_uint4_tokens(k_raw)  # [ppb, ps, d] i32 [0,15]
+            kbf = k4.reshape(bk, head_dim).astype(jnp.bfloat16)
+            q_bf = q.astype(jnp.bfloat16)
+            s_all = k_scale_buf[slot]  # [ppb, 2*ng, ps]
+            s = jnp.zeros((q.shape[0], bk), jnp.float32)
+            for g in range(ng):
+                lo, hi = g * 32, (g + 1) * 32
+                p_g = jax.lax.dot_general(
+                    q_bf[:, lo:hi], kbf[:, lo:hi],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s_col = s_all[:, g, :].reshape(1, bk)
+                z_col = s_all[:, ng + g, :].reshape(1, bk)
+                qsum_g = jnp.sum(q[:, lo:hi], axis=1, keepdims=True)
+                s = s + p_g * s_col + qsum_g * z_col
         elif quant_mxu:
             # int8 MXU scores: quantize the (tiny) q rows in-kernel and
             # dot int8 x int8 -> int32, then rank-1 dequant — the [bk, d]
@@ -510,14 +510,27 @@ def _paged_attn_kernel(
             ) * c
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
         elif group_affine:
-            v_deq = dequant_group(
-                _unpack_uint4_tokens(v_raw), v_scale_buf[slot]
-            )  # [bk, d] bf16
-            out = jax.lax.dot(
-                p.astype(jnp.bfloat16), v_deq,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )
+            # PV with the affine fold on P's columns, per channel group:
+            #   o[:, g] = (p * s_col_g) . v4[:, g] + (p . z_col_g) * 1_g
+            # — the scale-fold the symmetric tiers do, plus a rank-1
+            # zero-point correction per group.
+            ng = head_dim // 32
+            v4 = _unpack_uint4_tokens(v_raw)  # [ppb, ps, d]
+            vbf = v4.reshape(bk, head_dim).astype(jnp.bfloat16)
+            sv_all = v_scale_buf[slot]  # [ppb, 2*ng, ps]
+            parts = []
+            for g in range(ng):
+                lo, hi = g * 32, (g + 1) * 32
+                s_col = sv_all[:, g, :].reshape(1, bk)
+                z_col = sv_all[:, ng + g, :].reshape(1, bk)
+                pg = (p * s_col).astype(jnp.bfloat16)
+                og = jax.lax.dot(
+                    pg, vbf[:, lo:hi],
+                    preferred_element_type=jnp.float32,
+                )
+                zg = jnp.sum(p * z_col, axis=1, keepdims=True)
+                parts.append(og + zg)
+            out = jnp.concatenate(parts, axis=-1)
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
         elif quant_mxu and int4_bitwise:
             # PV without unpacking: one half-width matmul per nibble
@@ -814,9 +827,10 @@ def paged_attention(
         k_vals, k_scales = k_pages.values, k_pages.scales
         v_vals, v_scales = v_pages.values, v_pages.scales
         if kv_quant == "int4g32":
-            # Group-affine scales keep their [hkv, np, ps, 2*ng] layout:
-            # per-page slices are contiguous and the kernel wants the
-            # token dim in SUBLANES for lane-group broadcasts.
+            # Group-affine scales keep their [hkv, np, 2*ng, ps] layout
+            # (tokens in LANES): per-page [2*ng, ps] slices are
+            # lane-aligned like the symmetric tiers' flat rows, and the
+            # kernel reads [1, bk] column vectors per group directly.
             pass
         else:
             # [hkv, np, ps, 1] -> [hkv, np, 1, ps]: page dim becomes an
@@ -952,15 +966,16 @@ def paged_attention(
             pltpu.VMEM((q_per_kv_p, head_dim), jnp.float32),  # acc
             pltpu.VMEM((ns, ppb, page_rows, payload_d), k_vals.dtype),
             # Scale buffers: flat [1, bk] column scales per block, except
-            # the int4g32 group-affine tier's [ppb, ps, 2*ng] tiles.
+            # the int4g32 group-affine tier's [ppb, 2*ng, ps] tiles
+            # (group rows in sublanes, tokens in lanes).
             pltpu.VMEM(
-                (ns, ppb, page_size, 2 * (head_dim // 32))
+                (ns, ppb, 2 * (head_dim // 32), page_size)
                 if kv_quant == "int4g32" else (ns, 1, bk),
                 jnp.float32,
             ),
             pltpu.VMEM((ns, ppb, page_rows, payload_d), v_vals.dtype),
             pltpu.VMEM(
-                (ns, ppb, page_size, 2 * (head_dim // 32))
+                (ns, ppb, 2 * (head_dim // 32), page_size)
                 if kv_quant == "int4g32" else (ns, 1, bk),
                 jnp.float32,
             ),

@@ -198,8 +198,14 @@ def quantize_pages(pages: jax.Array, dtype_name: str) -> QuantizedTensor:
     group scale/zero rows instead of per-token scales)."""
     if dtype_name == "int4g32":
         q, scales = quantize_group_asym(pages)
+        # Page layout stores the affine rows TRANSPOSED: [..., 2*ng, ps]
+        # (group rows in sublanes, tokens in lanes) — the same
+        # tokens-in-lanes layout the symmetric tiers use, so per-page DMA
+        # slices stay lane-aligned and the kernel consumes them as
+        # [1, bk] column vectors without any in-kernel transpose.
         return QuantizedTensor(
-            values=_pack_int4_tokens(q), scales=scales,
+            values=_pack_int4_tokens(q),
+            scales=jnp.swapaxes(scales, -1, -2),
             dtype_name="int4g32", packing="tokens",
         )
     packing = "tokens" if dtype_name == "int4" else "lanes"
@@ -211,7 +217,10 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
         if qt.packing != "tokens":
             raise ValueError("int4g32 is a token-packed page format")
         q = _unpack_uint4_tokens(qt.values)
-        return dequantize_group_asym(q, qt.scales, dtype=dtype)
+        # Scales ride transposed in the page layout ([..., 2*ng, ps]).
+        return dequantize_group_asym(
+            q, jnp.swapaxes(qt.scales, -1, -2), dtype=dtype
+        )
     if qt.dtype_name == "int4":
         if qt.packing == "tokens":
             vals = _unpack_int4_tokens(qt.values).astype(jnp.float32)
