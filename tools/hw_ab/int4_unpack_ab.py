@@ -28,7 +28,7 @@ from tpu_flash.bench.suite import bench_decode_tokens_per_s  # noqa: E402
 def main():
     rows = []
     for ps in (512, 1024):
-        for dtype in ("int8", "int4"):
+        for dtype in ("int8", "int4", "int4g32"):
             tps, secs, gbps = bench_decode_tokens_per_s(
                 context=8192, kv_quant=dtype, page_size=ps, iters=64,
             )

@@ -697,6 +697,8 @@ def bench_engine_speculative(
     kv_dtype: str = "bfloat16",
     spec_k: int = 8,
     mode: str = "self-draft",  # "self-draft" | "prompt-lookup" | "off"
+    model_and_params=None,  # e.g. a trained checkpoint (see config 12)
+    prompts=None,  # token lists; default: random in [0, 8192)
 ):
     """Serving-level speculative-decoding measurement (VERDICT r4 item 5:
     the feature was implemented + correctness-tested with zero measured
@@ -725,19 +727,25 @@ def bench_engine_speculative(
     from tpu_flash.engine.runner import InferenceEngine
     from tpu_flash.models import FlashTransformer, ModelConfig
 
-    cfg = ModelConfig(
-        name="bench-spec",
-        vocab_size=8192,
-        hidden_size=hidden,
-        num_layers=num_layers,
-        num_q_heads=num_q_heads,
-        num_kv_heads=num_kv_heads,
-        head_dim=head_dim,
-        intermediate_size=2 * hidden,
-        dtype="bfloat16",
-    )
-    model = FlashTransformer(cfg)
-    params = model.init(jax.random.PRNGKey(0))
+    if model_and_params is not None:
+        model, params = model_and_params
+    else:
+        cfg = ModelConfig(
+            name="bench-spec",
+            vocab_size=8192,
+            hidden_size=hidden,
+            num_layers=num_layers,
+            num_q_heads=num_q_heads,
+            num_kv_heads=num_kv_heads,
+            head_dim=head_dim,
+            intermediate_size=2 * hidden,
+            dtype="bfloat16",
+        )
+        model = FlashTransformer(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+    if prompts is not None:
+        prompt_len = max(len(p) for p in prompts)
+        batch = len(prompts)
     ctx = prompt_len + new_tokens + spec_k + 2
     page_size = 128
     pages_per_seq = -(-ctx // page_size)
@@ -756,10 +764,12 @@ def bench_engine_speculative(
     engine = InferenceEngine(model, params, ecfg, draft=draft)
     engine.speculation_k = 0 if mode == "off" else spec_k
 
-    host_rng = np.random.default_rng(7)
-    prompts = [
-        host_rng.integers(0, 8192, prompt_len).tolist() for _ in range(batch)
-    ]
+    if prompts is None:
+        host_rng = np.random.default_rng(7)
+        prompts = [
+            host_rng.integers(0, 8192, prompt_len).tolist()
+            for _ in range(batch)
+        ]
 
     def run_round():
         for p in prompts:
