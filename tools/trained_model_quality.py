@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-perf", action="store_true")
+    ap.add_argument("--skip-quality", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -77,17 +78,21 @@ def main():
     prompts = held_out_prompts(args.prompts, args.prompt_len)
     rows = []
 
-    # Serving defaults (auto ring: int8 0, int4/fp8 128): context ~1K >>
-    # ring, so most attended tokens ride quantized pages.
+    # Serving defaults (auto ring: int4/int4g32/fp8 128; int8 rings at
+    # >=2K): context ~1K >> ring, so most attended tokens ride
+    # quantized pages.
     gen_kwargs = dict(
         page_size=512, max_seq_len=2048, prefill_chunk=256,
         max_batch_size=args.prompts,
     )
-    report = quant_quality_report(
-        model, params, prompts, max_new_tokens=args.new_tokens,
-        kv_dtypes=("int8", "int4", "int4g32", "fp8"),
-        baseline_dtype="bfloat16", **gen_kwargs,
-    )
+    if args.skip_quality:
+        report = {}
+    else:
+        report = quant_quality_report(
+            model, params, prompts, max_new_tokens=args.new_tokens,
+            kv_dtypes=("int8", "int4", "int4g32", "fp8"),
+            baseline_dtype="bfloat16", **gen_kwargs,
+        )
     for dt, r in report.items():
         rows.append({
             "name": f"trained-model quant quality {dt}-kv "
@@ -101,11 +106,13 @@ def main():
 
     # Hard stress: ring 32 << ctx (the configuration that read int4 0.396
     # on the random-weight model).
-    report_bw = quant_quality_report(
-        model, params, prompts, max_new_tokens=args.new_tokens,
-        kv_dtypes=("int8", "int4", "int4g32"), baseline_dtype="bfloat16",
-        recent_window=32, **gen_kwargs,
-    )
+    report_bw = {}
+    if not args.skip_quality:
+        report_bw = quant_quality_report(
+            model, params, prompts, max_new_tokens=args.new_tokens,
+            kv_dtypes=("int8", "int4", "int4g32"),
+            baseline_dtype="bfloat16", recent_window=32, **gen_kwargs,
+        )
     for dt, r in report_bw.items():
         rows.append({
             "name": f"trained-model quant quality {dt}-kv ring32 stress "
