@@ -17,10 +17,13 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--kv-dtype", default="bfloat16",
-                    choices=["bfloat16", "float32", "int8", "int4", "fp8"])
+                    choices=["bfloat16", "float32", "int8", "int4",
+                             "int4g32", "fp8"])
     ap.add_argument("--max-batch-size", type=int, default=8)
     ap.add_argument("--max-seq-len", type=int, default=2048)
-    ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--page-size", type=int, default=None,
+                    help="tokens per page; default: the engine's "
+                    "regime-aware auto policy (utils/tuning.py)")
     ap.add_argument("--hf-dir", default=None,
                     help="HF checkpoint dir (config.json + weights)")
     ap.add_argument("--byte-tokenizer", action="store_true",
@@ -47,18 +50,22 @@ def main():
         model = FlashTransformer(cfg)
         params = model.init(jax.random.PRNGKey(0))
 
-    pps = -(-args.max_seq_len // args.page_size)
+    if args.page_size is None:  # auto layout (resolved at engine init)
+        cache = CacheConfig(kv_dtype=args.kv_dtype)
+    else:
+        pps = -(-args.max_seq_len // args.page_size)
+        cache = CacheConfig(
+            page_size=args.page_size,
+            num_pages=args.max_batch_size * pps + 8,
+            max_pages_per_seq=pps,
+            kv_dtype=args.kv_dtype,
+        )
     engine = InferenceEngine(
         model, params,
         EngineConfig(
             max_batch_size=args.max_batch_size,
             max_seq_len=args.max_seq_len,
-            cache=CacheConfig(
-                page_size=args.page_size,
-                num_pages=args.max_batch_size * pps + 8,
-                max_pages_per_seq=pps,
-                kv_dtype=args.kv_dtype,
-            ),
+            cache=cache,
         ),
     )
     tok = ByteTokenizer(offset=0) if args.byte_tokenizer else None
