@@ -384,22 +384,36 @@ def _paged_attn_kernel(
             # column-broadcast pattern as the symmetric tiers. Nibbles
             # are exact in bf16, so the partial dots ride the bf16 MXU.
             ng = head_dim // 32
+            qr = q.shape[0]
             k4 = _unpack_uint4_tokens(k_raw)  # [ppb, ps, d] i32 [0,15]
             kbf = k4.reshape(bk, head_dim).astype(jnp.bfloat16)
             q_bf = q.astype(jnp.bfloat16)
             s_all = k_scale_buf[slot]  # [ppb, 2*ng, ps]
-            s = jnp.zeros((q.shape[0], bk), jnp.float32)
+            # ONE full-width MXU call for all ng group partials: stack
+            # lane-masked q copies (rows g*qr..(g+1)*qr see only group
+            # g's 32 lanes), dot against the full K tile, then apply the
+            # per-group column scales to the row bands. 4x the (tiny,
+            # M=8-row) FLOPs for 1/4 the MXU dispatches — decode here is
+            # op-overhead-bound, not FLOP-bound.
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (ng, 1, head_dim), 2
+            ) // 32
+            grp = jax.lax.broadcasted_iota(jnp.int32, (ng, 1, 1), 0)
+            q_stack = jnp.where(
+                lane == grp, q_bf[None], jnp.bfloat16(0)
+            ).reshape(ng * qr, head_dim)
+            p_all = jax.lax.dot_general(
+                q_stack, kbf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(ng, qr, bk)
+            s = jnp.zeros((qr, bk), jnp.float32)
             for g in range(ng):
-                lo, hi = g * 32, (g + 1) * 32
-                p_g = jax.lax.dot_general(
-                    q_bf[:, lo:hi], kbf[:, lo:hi],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
                 s_col = s_all[:, g, :].reshape(1, bk)
                 z_col = s_all[:, ng + g, :].reshape(1, bk)
-                qsum_g = jnp.sum(q[:, lo:hi], axis=1, keepdims=True)
-                s = s + p_g * s_col + qsum_g * z_col
+                qsum_g = jnp.sum(
+                    q[:, g * 32:(g + 1) * 32], axis=1, keepdims=True
+                )
+                s = s + p_all[g] * s_col + qsum_g * z_col
         elif quant_mxu:
             # int8 MXU scores: quantize the (tiny) q rows in-kernel and
             # dot int8 x int8 -> int32, then rank-1 dequant — the [bk, d]
@@ -515,21 +529,32 @@ def _paged_attn_kernel(
             # — the scale-fold the symmetric tiers do, plus a rank-1
             # zero-point correction per group.
             ng = head_dim // 32
+            qr = p.shape[0]
             v4 = _unpack_uint4_tokens(v_raw)  # [ppb, ps, d]
             vbf = v4.reshape(bk, head_dim).astype(jnp.bfloat16)
             sv_all = v_scale_buf[slot]  # [ppb, 2*ng, ps]
+            # Stacked PV mirror of the scores path: rows g*qr..(g+1)*qr
+            # carry p folded with group g's column scales; one full-width
+            # dot, then each band contributes only its group's 32 lanes.
+            p_stack = jnp.concatenate(
+                [
+                    (p * sv_all[:, g, :].reshape(1, bk)).astype(
+                        jnp.bfloat16
+                    )
+                    for g in range(ng)
+                ],
+                axis=0,
+            )  # [ng*qr, bk]
+            o_all = jax.lax.dot(
+                p_stack, vbf, preferred_element_type=jnp.float32
+            ).reshape(ng, qr, head_dim)
             parts = []
             for g in range(ng):
-                lo, hi = g * 32, (g + 1) * 32
-                s_col = sv_all[:, g, :].reshape(1, bk)
-                z_col = sv_all[:, ng + g, :].reshape(1, bk)
-                pg = (p * s_col).astype(jnp.bfloat16)
-                og = jax.lax.dot(
-                    pg, vbf[:, lo:hi],
-                    preferred_element_type=jnp.float32,
+                zg = jnp.sum(
+                    p * sv_all[:, ng + g, :].reshape(1, bk),
+                    axis=1, keepdims=True,
                 )
-                zg = jnp.sum(p * z_col, axis=1, keepdims=True)
-                parts.append(og + zg)
+                parts.append(o_all[g, :, g * 32:(g + 1) * 32] + zg)
             out = jnp.concatenate(parts, axis=-1)
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
         elif quant_mxu and int4_bitwise:
