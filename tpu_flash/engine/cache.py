@@ -105,10 +105,11 @@ class PagedKVCache:
         # decode kernel's column-broadcast dequant consumes without a
         # transpose; ops/quant/quantize.py::quantize_group_asym).
         if config.kv_dtype == "int4g32":
-            from tpu_flash.ops.quant.quantize import INT4_GROUP
+            from tpu_flash.ops.quant.quantize import int4g32_num_groups
 
             scale_shape = (num_layers, num_kv_heads, config.num_pages,
-                           2 * (head_dim // INT4_GROUP), config.page_size)
+                           2 * int4g32_num_groups(head_dim),
+                           config.page_size)
         else:
             scale_shape = (num_layers, num_kv_heads, config.num_pages,
                            config.page_size)

@@ -43,6 +43,7 @@ from tpu_flash.ops.quant.quantize import (
     QuantizedTensor,
     _unpack_int4_tokens,
     _unpack_uint4_tokens,
+    int4g32_num_groups,
 )
 
 
@@ -383,7 +384,8 @@ def _paged_attn_kernel(
             # from the page scale tiles ([2*ng, ps] per page) — the same
             # column-broadcast pattern as the symmetric tiers. Nibbles
             # are exact in bf16, so the partial dots ride the bf16 MXU.
-            ng = head_dim // 32
+            ng = int4g32_num_groups(head_dim)
+            gw = head_dim // ng  # group width (32, or d for tiny dims)
             qr = q.shape[0]
             k4 = _unpack_uint4_tokens(k_raw)  # [ppb, ps, d] i32 [0,15]
             kbf = k4.reshape(bk, head_dim).astype(jnp.bfloat16)
@@ -397,7 +399,7 @@ def _paged_attn_kernel(
             # op-overhead-bound, not FLOP-bound.
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (ng, 1, head_dim), 2
-            ) // 32
+            ) // gw
             grp = jax.lax.broadcasted_iota(jnp.int32, (ng, 1, 1), 0)
             q_stack = jnp.where(
                 lane == grp, q_bf[None], jnp.bfloat16(0)
@@ -411,7 +413,7 @@ def _paged_attn_kernel(
                 s_col = s_all[:, g, :].reshape(1, bk)
                 z_col = s_all[:, ng + g, :].reshape(1, bk)
                 qsum_g = jnp.sum(
-                    q[:, g * 32:(g + 1) * 32], axis=1, keepdims=True
+                    q[:, g * gw:(g + 1) * gw], axis=1, keepdims=True
                 )
                 s = s + p_all[g] * s_col + qsum_g * z_col
         elif quant_mxu:
@@ -528,7 +530,8 @@ def _paged_attn_kernel(
             #   o[:, g] = (p * s_col_g) . v4[:, g] + (p . z_col_g) * 1_g
             # — the scale-fold the symmetric tiers do, plus a rank-1
             # zero-point correction per group.
-            ng = head_dim // 32
+            ng = int4g32_num_groups(head_dim)
+            gw = head_dim // ng
             qr = p.shape[0]
             v4 = _unpack_uint4_tokens(v_raw)  # [ppb, ps, d]
             vbf = v4.reshape(bk, head_dim).astype(jnp.bfloat16)
@@ -554,7 +557,7 @@ def _paged_attn_kernel(
                     p * sv_all[:, ng + g, :].reshape(1, bk),
                     axis=1, keepdims=True,
                 )
-                parts.append(o_all[g, :, g * 32:(g + 1) * 32] + zg)
+                parts.append(o_all[g, :, g * gw:(g + 1) * gw] + zg)
             out = jnp.concatenate(parts, axis=-1)
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
         elif quant_mxu and int4_bitwise:
@@ -994,13 +997,13 @@ def paged_attention(
             # the int4g32 group-affine tier's [ppb, 2*ng, ps] tiles
             # (group rows in sublanes, tokens in lanes).
             pltpu.VMEM(
-                (ns, ppb, 2 * (head_dim // 32), page_size)
+                (ns, ppb, 2 * int4g32_num_groups(head_dim), page_size)
                 if kv_quant == "int4g32" else (ns, 1, bk),
                 jnp.float32,
             ),
             pltpu.VMEM((ns, ppb, page_rows, payload_d), v_vals.dtype),
             pltpu.VMEM(
-                (ns, ppb, 2 * (head_dim // 32), page_size)
+                (ns, ppb, 2 * int4g32_num_groups(head_dim), page_size)
                 if kv_quant == "int4g32" else (ns, 1, bk),
                 jnp.float32,
             ),

@@ -18,7 +18,7 @@ of packed KV is still a dense (page, head_dim/2) tile for DMA.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,15 @@ INT4_MAX = 7.0
 FP8_MAX = 448.0  # e4m3fn
 INT4_GROUP = 32  # channels per (scale, zero) group of the int4g32 tier
 INT4_LEVELS = 15.0  # unsigned asymmetric nibbles span [0, 15]
+
+
+def int4g32_num_groups(head_dim: int) -> int:
+    """Groups per row of the int4g32 tier: d/32 when 32 divides d, else
+    ONE whole-row group (per-token asymmetric — the graceful fallback
+    for tiny test dims like d=16)."""
+    if head_dim >= INT4_GROUP and head_dim % INT4_GROUP == 0:
+        return head_dim // INT4_GROUP
+    return 1
 
 
 class QuantizedTensor(NamedTuple):
@@ -111,7 +120,7 @@ def _unpack_uint4_tokens(packed: jax.Array) -> jax.Array:
 
 
 def quantize_group_asym(
-    x: jax.Array, group: int = INT4_GROUP
+    x: jax.Array, group: Optional[int] = None
 ) -> "tuple[jax.Array, jax.Array]":
     """Group-wise ASYMMETRIC int4: per (row, ``group``-channel group)
     affine quantization x ≈ q * scale + zero with unsigned q ∈ [0, 15].
@@ -127,6 +136,8 @@ def quantize_group_asym(
     """
     xf = x.astype(jnp.float32)
     *lead, rows, d = xf.shape
+    if group is None:
+        group = d // int4g32_num_groups(d)
     if d % group:
         raise ValueError(f"head_dim {d} must divide group {group}")
     ng = d // group
@@ -143,12 +154,13 @@ def quantize_group_asym(
 
 
 def dequantize_group_asym(
-    q: jax.Array, scales: jax.Array, group: int = INT4_GROUP,
-    dtype=jnp.float32,
+    q: jax.Array, scales: jax.Array, dtype=jnp.float32
 ) -> jax.Array:
-    """Inverse of :func:`quantize_group_asym` (q unpacked, [..., rows, d])."""
+    """Inverse of :func:`quantize_group_asym` (q unpacked, [..., rows, d]);
+    the group count is inferred from the scales' trailing dim."""
     *lead, rows, d = q.shape
-    ng = d // group
+    ng = scales.shape[-1] // 2
+    group = d // ng
     scale = scales[..., :ng]
     zero = scales[..., ng:]
     xg = (
