@@ -244,9 +244,14 @@ def bench_decode_tokens_per_s(
     kv_bytes = (
         2 * batch * num_kv_heads * attended * head_dim * payload_itemsize
     )
-    if kv_quant == "int4":
+    if kv_quant in ("int4", "int4g32"):
         kv_bytes /= 2
-    if kv_quant:
+    if kv_quant == "int4g32":  # per-(token, 32-group) scale+zero pairs
+        from tpu_flash.ops.quant.quantize import int4g32_num_groups
+
+        kv_bytes += (2 * batch * num_kv_heads * attended
+                     * 2 * int4g32_num_groups(head_dim) * 4)
+    elif kv_quant:
         kv_bytes += 2 * batch * num_kv_heads * attended * 4  # scales
     return batch / secs, secs, kv_bytes / secs / 1e9
 
@@ -338,9 +343,14 @@ def bench_paged_prefill_chunk(
     kv_bytes = (
         2 * batch * num_kv_heads * attended * head_dim * payload_itemsize
     )
-    if kv_quant == "int4":
+    if kv_quant in ("int4", "int4g32"):
         kv_bytes /= 2
-    if kv_quant:
+    if kv_quant == "int4g32":  # per-(token, 32-group) scale+zero pairs
+        from tpu_flash.ops.quant.quantize import int4g32_num_groups
+
+        kv_bytes += (2 * batch * num_kv_heads * attended
+                     * 2 * int4g32_num_groups(head_dim) * 4)
+    elif kv_quant:
         kv_bytes += 2 * batch * num_kv_heads * attended * 4  # scales
     return secs, kv_bytes / secs / 1e9
 
