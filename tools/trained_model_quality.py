@@ -90,7 +90,7 @@ def main():
     else:
         report = quant_quality_report(
             model, params, prompts, max_new_tokens=args.new_tokens,
-            kv_dtypes=("int8", "int4", "int4g32", "fp8"),
+            kv_dtypes=("int8", "int4", "int4g32", "k8v4", "fp8"),
             baseline_dtype="bfloat16", **gen_kwargs,
         )
     for dt, r in report.items():
@@ -110,7 +110,7 @@ def main():
     if not args.skip_quality:
         report_bw = quant_quality_report(
             model, params, prompts, max_new_tokens=args.new_tokens,
-            kv_dtypes=("int8", "int4", "int4g32"),
+            kv_dtypes=("int8", "int4", "int4g32", "k8v4"),
             baseline_dtype="bfloat16", recent_window=32, **gen_kwargs,
         )
     for dt, r in report_bw.items():

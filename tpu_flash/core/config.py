@@ -168,10 +168,12 @@ class CacheConfig:
     page_size: Optional[int] = None  # tokens per page; lane-aligned. None=auto
     num_pages: Optional[int] = None  # None=auto (sized from batch x context)
     max_pages_per_seq: Optional[int] = None  # None=auto (ceil(max_seq/page))
-    # Payload: bfloat16 | int8 | int4 | int4g32 | fp8. "int4" = per-token
+    # Payload: bfloat16|int8|int4|int4g32|k8v4|fp8. "int4" = per-token
     # symmetric (fastest 4-bit tier); "int4g32" = per-32-channel-group
     # ASYMMETRIC (the 4-bit QUALITY tier — picked on trained-checkpoint
-    # evidence, see ops/quant/quantize.py::quantize_group_asym).
+    # evidence, see ops/quant/quantize.py::quantize_group_asym);
+    # "k8v4" = MIXED: K int8 + V int4 (generation quality tracks K
+    # precision hardest — the byte-equivalent 4-bit-class tier).
     kv_dtype: str = "bfloat16"
     scale_dtype: str = "float32"
     # Quantized caches only: keep the last ``recent_window`` tokens of each
@@ -196,7 +198,8 @@ class CacheConfig:
         if self.max_pages_per_seq is not None:
             _check_pos("max_pages_per_seq", self.max_pages_per_seq)
         if self.kv_dtype not in (
-            "bfloat16", "float32", "int8", "int4", "int4g32", "fp8"
+            "bfloat16", "float32", "int8", "int4", "int4g32", "k8v4",
+            "fp8"
         ):
             raise ValueError(f"unsupported kv_dtype {self.kv_dtype!r}")
         if self.recent_window is not None and self.recent_window < 0:
@@ -206,7 +209,9 @@ class CacheConfig:
 
     @property
     def quantized(self) -> bool:
-        return self.kv_dtype in ("int8", "int4", "int4g32", "fp8")
+        return self.kv_dtype in (
+            "int8", "int4", "int4g32", "k8v4", "fp8"
+        )
 
     @property
     def resolved(self) -> bool:

@@ -51,7 +51,7 @@ class PagedKVCache:
     k_scales: Optional[jax.Array]
     v_scales: Optional[jax.Array]
     page_size: int
-    kv_dtype: str  # "bfloat16" | "float32" | "int8" | "int4" | "fp8"
+    kv_dtype: str  # bfloat16|float32|int8|int4|int4g32|k8v4|fp8
     k_recent: Optional[jax.Array] = None
     v_recent: Optional[jax.Array] = None
 
@@ -77,26 +77,38 @@ class PagedKVCache:
         num_slots: int = 0,
     ) -> "PagedKVCache":
         quant = config.quantized
-        page_rows = config.page_size
-        if config.kv_dtype in ("int4", "int4g32"):
-            # Token-packed nibbles: half the page rows, full lane width
-            # (keeps DMA slices 128-lane aligned; see ops/quant/quantize.py).
-            payload_dtype, page_rows = jnp.int8, config.page_size // 2
-            if config.page_size % 2:
-                raise ValueError("int4 cache requires an even page_size")
-        elif config.kv_dtype == "int8":
-            payload_dtype = jnp.int8
-        elif config.kv_dtype == "fp8":
-            # e4m3 payload (native MXU dtype on v6e+; software-cast on
-            # v5e — see BENCHLOG fp8 notes). Same per-token scale layout
-            # as int8.
-            payload_dtype = jnp.float8_e4m3fn
-        else:
-            payload_dtype = jnp.dtype(config.kv_dtype)
-        shape = (num_layers, num_kv_heads, config.num_pages,
-                 page_rows, head_dim)
-        k_pages = jnp.zeros(shape, payload_dtype)
-        v_pages = jnp.zeros(shape, payload_dtype)
+
+        def side_layout(dtype_name):
+            """(payload dtype, payload rows/page) of one cache side."""
+            if dtype_name in ("int4", "int4g32"):
+                # Token-packed nibbles: half the page rows, full lane
+                # width (keeps DMA slices 128-lane aligned;
+                # ops/quant/quantize.py).
+                if config.page_size % 2:
+                    raise ValueError(
+                        "int4 cache requires an even page_size"
+                    )
+                return jnp.int8, config.page_size // 2
+            if dtype_name == "int8":
+                return jnp.int8, config.page_size
+            if dtype_name == "fp8":
+                # e4m3 payload (native MXU dtype on v6e+; software-cast
+                # on v5e — BENCHLOG fp8 notes). Same per-token scale
+                # layout as int8.
+                return jnp.float8_e4m3fn, config.page_size
+            return jnp.dtype(dtype_name), config.page_size
+
+        k_dt, v_dt = side_dtypes(config.kv_dtype)
+        k_payload, k_rows = side_layout(k_dt)
+        v_payload, v_rows = side_layout(v_dt)
+        k_pages = jnp.zeros(
+            (num_layers, num_kv_heads, config.num_pages, k_rows, head_dim),
+            k_payload,
+        )
+        v_pages = jnp.zeros(
+            (num_layers, num_kv_heads, config.num_pages, v_rows, head_dim),
+            v_payload,
+        )
         # Scales are per *logical token* regardless of payload packing.
         # Distinct buffers (not one aliased array) so jit donation works.
         # int4g32 carries per-(token, 32-channel-group) affine pairs
@@ -138,7 +150,9 @@ class PagedKVCache:
 
     @property
     def quantized(self) -> bool:
-        return self.kv_dtype in ("int8", "int4", "int4g32", "fp8")
+        return self.kv_dtype in (
+            "int8", "int4", "int4g32", "k8v4", "fp8"
+        )
 
     def layer_view(self, layer: int):
         """(k, v) for ops/decode/paged.py — QuantizedTensor when quantized."""
@@ -155,14 +169,14 @@ class PagedKVCache:
                 self.kv_dtype, "tokens",
             )
             return k, v
-        packing = "tokens" if self.kv_dtype == "int4" else "lanes"
+        k_dt, v_dt = side_dtypes(self.kv_dtype)
         k = QuantizedTensor(
             self.k_pages[layer], self.k_scales[layer][..., None],
-            self.kv_dtype, packing,
+            k_dt, "tokens" if k_dt == "int4" else "lanes",
         )
         v = QuantizedTensor(
             self.v_pages[layer], self.v_scales[layer][..., None],
-            self.kv_dtype, packing,
+            v_dt, "tokens" if v_dt == "int4" else "lanes",
         )
         return k, v
 
@@ -192,9 +206,10 @@ class PagedKVCache:
         readable from the ring (pass slots=None on paths that do not
         consume the ring).
         """
-        kq, ks = _quantize_rows(new_k, self.kv_dtype)
-        vq, vs = _quantize_rows(new_v, self.kv_dtype)
-        if self.kv_dtype in ("int4", "int4g32"):
+        k_dt, v_dt = side_dtypes(self.kv_dtype)
+        kq, ks = _quantize_rows(new_k, k_dt)
+        vq, vs = _quantize_rows(new_v, v_dt)
+        def write_packed(pages, qi):
             # Token-packed nibbles: read-modify-write the shared byte at
             # payload row (offset % rows); low nibble holds tokens in the
             # first half of the page, high nibble the second half.
@@ -210,7 +225,7 @@ class PagedKVCache:
             # every token's write value pre-merges its in-call partner's
             # nibble (a [T, T] pair matmul), so colliding writers write
             # IDENTICAL bytes and scatter order stops mattering.
-            rows = self.k_pages.shape[3]
+            rows = pages.shape[3]
             prow = offsets % rows
             is_high = offsets >= rows  # [tok]
             byte_key = page_ids * rows + prow
@@ -220,38 +235,41 @@ class PagedKVCache:
             ).astype(jnp.int32)  # [T, T]: my in-call other-nibble partner
             has_partner = (jnp.sum(pair, axis=1) > 0)[:, None, None]
             hi3 = is_high[:, None, None]
-
-            def rmw(pages, qi):
-                old = (
-                    pages[layer, :, page_ids, prow, :].astype(jnp.int32)
-                    & 0xFF
-                )  # [tok, hkv, d] as unsigned bytes
-                nib = qi.astype(jnp.int32) & 0xF
-                mine = jnp.where(hi3, nib << 4, nib)
-                partner = jnp.einsum(
-                    "tu,uhd->thd", pair, mine,
-                    preferred_element_type=jnp.int32,
-                )
-                my_field = jnp.where(hi3, 0xF0, 0x0F)
-                keep = jnp.where(has_partner, 0x00, 0xFF ^ my_field)
-                new = (old & keep) | mine | partner
-                new = jax.lax.bitcast_convert_type(
-                    new.astype(jnp.uint8), jnp.int8
-                )
-                return pages.at[layer, :, page_ids, prow, :].set(new)
-
-            k_pages = rmw(self.k_pages, kq)
-            v_pages = rmw(self.v_pages, vq)
-        else:
-            # Mixed basic/advanced indexing moves the advanced (token) dim
-            # to the front: the scatter target shape is [tokens, hkv, d] —
-            # exactly the layout of the incoming tokens.
-            k_pages = self.k_pages.at[layer, :, page_ids, offsets, :].set(
-                kq.astype(self.k_pages.dtype)
+            old = (
+                pages[layer, :, page_ids, prow, :].astype(jnp.int32)
+                & 0xFF
+            )  # [tok, hkv, d] as unsigned bytes
+            nib = qi.astype(jnp.int32) & 0xF
+            mine = jnp.where(hi3, nib << 4, nib)
+            partner = jnp.einsum(
+                "tu,uhd->thd", pair, mine,
+                preferred_element_type=jnp.int32,
             )
-            v_pages = self.v_pages.at[layer, :, page_ids, offsets, :].set(
-                vq.astype(self.v_pages.dtype)
+            my_field = jnp.where(hi3, 0xF0, 0x0F)
+            keep = jnp.where(has_partner, 0x00, 0xFF ^ my_field)
+            new = (old & keep) | mine | partner
+            new = jax.lax.bitcast_convert_type(
+                new.astype(jnp.uint8), jnp.int8
             )
+            return pages.at[layer, :, page_ids, prow, :].set(new)
+
+        def write_rows(pages, qi):
+            # Mixed basic/advanced indexing moves the advanced (token)
+            # dim to the front: the scatter target shape is
+            # [tokens, hkv, d] — exactly the incoming tokens' layout.
+            return pages.at[layer, :, page_ids, offsets, :].set(
+                qi.astype(pages.dtype)
+            )
+
+        packed = ("int4", "int4g32")
+        k_pages = (
+            write_packed(self.k_pages, kq) if k_dt in packed
+            else write_rows(self.k_pages, kq)
+        )
+        v_pages = (
+            write_packed(self.v_pages, vq) if v_dt in packed
+            else write_rows(self.v_pages, vq)
+        )
         k_scales, v_scales = self.k_scales, self.v_scales
         if self.kv_dtype == "int4g32":
             # Affine rows live transposed: [.., np, 2*ng, ps]; each
@@ -322,6 +340,16 @@ class PagedKVCache:
         return dataclasses.replace(
             self, k_recent=k_recent, v_recent=v_recent
         )
+
+
+def side_dtypes(kv_dtype: str):
+    """(k_dtype, v_dtype) of a cache tier. "k8v4" is the mixed tier:
+    K at int8 (generation quality tracks K precision much harder than
+    V's — the r5 scheme sims read k8+v4 at 0.80 prefix vs 0.54 for
+    uniform int4g32), V at token-packed int4."""
+    if kv_dtype == "k8v4":
+        return "int8", "int4"
+    return kv_dtype, kv_dtype
 
 
 def _quantize_rows(x: jax.Array, kv_dtype: str):

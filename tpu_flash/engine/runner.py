@@ -589,7 +589,7 @@ class InferenceEngine:
         path: its per-group affine dequant is not implemented in the
         paged-prefill kernel (decode IS in-kernel; prefill history
         gather measured ~parity with the paged sweep anyway)."""
-        if self.config.cache.kv_dtype == "int4g32":
+        if self.config.cache.kv_dtype in ("int4g32", "k8v4"):
             return False
         mode = self.config.paged_prefill
         if mode == "auto":
@@ -607,17 +607,19 @@ class InferenceEngine:
         attention call compile once per chunk index. ``start_page`` drops
         leading pages a sliding window can never attend. Returns k/v
         [B, hkv, hist_len, d]."""
+        from tpu_flash.engine.cache import side_dtypes
         from tpu_flash.ops.quant import QuantizedTensor, dequantize
 
         ps = self.config.cache.page_size
         n_pages = -(-hist_len // ps)
         pages = table_rows[:, start_page : start_page + n_pages]  # [B, np]
         dtype = self.model.dtype
+        k_dt, v_dt = side_dtypes(cache.kv_dtype)
 
-        def gather(pages_arr, scales_arr):
+        def gather(pages_arr, scales_arr, side_dtype):
             # [hkv, B, np, page_rows, d] via fancy page indexing.
             vals = pages_arr[layer][:, pages]
-            if cache.kv_dtype == "int4g32":
+            if side_dtype == "int4g32":
                 # Group-affine scales ride with their full trailing
                 # [ps, 2*ng] shape (quantize.py::dequantize_group_asym).
                 scales = scales_arr[layer][:, pages]
@@ -626,11 +628,11 @@ class InferenceEngine:
                     dtype,
                 )
             elif cache.quantized:
-                packing = "tokens" if cache.kv_dtype == "int4" else "lanes"
+                packing = "tokens" if side_dtype == "int4" else "lanes"
                 scales = scales_arr[layer][:, pages]  # [hkv, B, np, ps]
                 dense = dequantize(
                     QuantizedTensor(
-                        vals, scales[..., None], cache.kv_dtype, packing
+                        vals, scales[..., None], side_dtype, packing
                     ),
                     dtype,
                 )
@@ -641,8 +643,8 @@ class InferenceEngine:
             return dense.transpose(1, 0, 2, 3)
 
         return (
-            gather(cache.k_pages, cache.k_scales),
-            gather(cache.v_pages, cache.v_scales),
+            gather(cache.k_pages, cache.k_scales, k_dt),
+            gather(cache.v_pages, cache.v_scales, v_dt),
         )
 
     def _chunked_prefill_impl(self, hist_len, params, cache, tokens,

@@ -151,7 +151,8 @@ def _paged_attn_kernel(
     page_size: int,
     head_dim: int,
     sm_scale: float,
-    kv_quant: Optional[str],  # None | "int8" | "int4"
+    kv_quant: Optional[str],  # K-side: None | int8 | int4 | int4g32 | fp8
+    v_quant: Optional[str] = None,  # V-side override (None = same as K)
     int8_mxu: bool = False,  # quantized payloads ride the int8 MXU
     int4_bitwise_unpack: bool = True,  # nibble planes via i8 AND/XOR
     fp8_native: bool = False,  # e4m3 pages feed the MXU directly (v6e+)
@@ -173,6 +174,12 @@ def _paged_attn_kernel(
     i = pl.program_id(2)
     num_blocks = pl.num_programs(2)
     bk = pages_per_block * page_size
+    # Per-side quantization (the k8v4 mixed tier stores K at int8 and V
+    # at int4: generation quality tracks K precision much harder than
+    # V's — BENCHLOG 2026-08-21 scheme sims — so the mixed cache spends
+    # its bytes where they matter).
+    k_q = kv_quant
+    v_q = v_quant if v_quant is not None else kv_quant
 
     def eff_len(idx):
         # Exact recent-window ring (engine/cache.py): the pages cover
@@ -211,14 +218,15 @@ def _paged_attn_kernel(
 
     scales_on = quantized and not skip_scale_dma
 
-    def make_copy(pages, scales, buf, sbuf, sem, ssem, bb, hh, ii, slot):
+    def make_copy(pages, scales, buf, sbuf, sem, ssem, bb, hh, ii, slot,
+                  group=False):
         return _MultiPageCopy(
             pages, scales if scales_on else None, buf,
             sbuf if scales_on else None, sem, ssem if scales_on else None,
             page_indices_ref, bb, hh, ii, slot,
             pages_per_block=pages_per_block, pages_per_seq=pages_per_seq,
             page_size=page_size,
-            group_scales=kv_quant == "int4g32",
+            group_scales=group,
         )
 
     def next_block_indices(bb, hh, ii):
@@ -272,11 +280,11 @@ def _paged_attn_kernel(
         def start_copies(bb, hh, ii, ss):
             make_copy(
                 k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
-                k_scale_sem, bb, hh, ii, ss,
+                k_scale_sem, bb, hh, ii, ss, group=k_q == "int4g32",
             ).start()
             make_copy(
                 v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
-                v_scale_sem, bb, hh, ii, ss,
+                v_scale_sem, bb, hh, ii, ss, group=v_q == "int4g32",
             ).start()
 
         @pl.when(cells_before == 0)
@@ -307,13 +315,17 @@ def _paged_attn_kernel(
         # --- wait K, compute scores ---
         make_copy(
             k_pages_hbm, k_scales_hbm, k_buf, k_scale_buf, k_sem,
-            k_scale_sem, b, h, i, slot,
+            k_scale_sem, b, h, i, slot, group=k_q == "int4g32",
         ).wait()
 
         q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [q_per_kv, d]
 
-        int4_bitwise = (
-            kv_quant == "int4" and int8_mxu and int4_bitwise_unpack
+        k_bitwise = (
+            k_q == "int4" and int8_mxu and int4_bitwise_unpack
+            and not skip_scale_mul
+        )
+        v_bitwise = (
+            v_q == "int4" and int8_mxu and int4_bitwise_unpack
             and not skip_scale_mul
         )
         # Nibble planes without any i32 round trip: Mosaic legalizes
@@ -327,7 +339,7 @@ def _paged_attn_kernel(
         # chain and P-split relayout outweigh the converts saved) —
         # default-off, kept as the recorded third dead end for the int4
         # VPU unpack bound (VERDICT r1 item 5).
-        half_rows = (page_size // 2) * pages_per_block if int4_bitwise else 0
+        half_rows = (page_size // 2) * pages_per_block if v_bitwise else 0
 
         def nibble_planes(raw):
             # raw: [ppb, ps/2, d] packed i8 -> (lo+8, 16*hi) planes,
@@ -344,7 +356,7 @@ def _paged_attn_kernel(
             return (tok % page_size) < (page_size // 2)
 
         k_raw = k_buf[slot]  # [ppb, page_rows, head_dim]
-        if kv_quant == "int4" and not int4_bitwise:
+        if k_q == "int4" and not k_bitwise:
             # Token-packed nibbles: [ppb, ps/2, d] -> [ppb, ps, d].
             k_raw = _unpack_int4_tokens(k_raw)
 
@@ -355,14 +367,14 @@ def _paged_attn_kernel(
         # payloads keep the f32 path with HIGHEST (true-f32 MXU passes) so
         # the kernel meets the exactness contract vs the oracle.
         native_bf16 = kv_quant is None and k_raw.dtype == jnp.bfloat16
-        group_affine = kv_quant == "int4g32"
-        quant_mxu = (
-            quantized and int8_mxu
-            and kv_quant not in ("fp8", "int4g32")
-        )
-        fp8_mxu = kv_quant == "fp8" and fp8_native
+        k_group = k_q == "int4g32"
+        v_group = v_q == "int4g32"
+        k_mxu = k_q in ("int8", "int4") and int8_mxu
+        v_mxu = v_q in ("int8", "int4") and int8_mxu
+        k_fp8_mxu = k_q == "fp8" and fp8_native
+        v_fp8_mxu = v_q == "fp8" and fp8_native
         precision = jax.lax.Precision.HIGHEST
-        if fp8_mxu:
+        if k_fp8_mxu:
             # v6e+ tier: e4m3 K pages feed the MXU directly; q rows are
             # renormalized into e4m3's range per row (rank-1 dequant, as
             # the int8-MXU path does with 127). The [bk, d] VPU
@@ -375,7 +387,7 @@ def _paged_attn_kernel(
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * q_scale
-        elif group_affine:
+        elif k_group:
             # int4g32 quality tier, affine dequant folded into the
             # SCORES (no K-tile dequant materialization, no transposes):
             # k_d = q4*s_g(token) + z_g(token) for d in group g, so
@@ -416,7 +428,7 @@ def _paged_attn_kernel(
                     q[:, g * gw:(g + 1) * gw], axis=1, keepdims=True
                 )
                 s = s + p_all[g] * s_col + qsum_g * z_col
-        elif quant_mxu:
+        elif k_mxu:
             # int8 MXU scores: quantize the (tiny) q rows in-kernel and
             # dot int8 x int8 -> int32, then rank-1 dequant — the [bk, d]
             # VPU int->f32 conversion (the measured int8-decode bottleneck,
@@ -428,7 +440,7 @@ def _paged_attn_kernel(
             q8 = jnp.clip(
                 jnp.round(q / q_scale), -127, 127
             ).astype(jnp.int8)
-            if int4_bitwise:
+            if k_bitwise:
                 # One bk-wide matmul on the biased nibble planes; the +8
                 # lo bias cancels against 8 * rowsum(q8) (exact int math,
                 # bitwise-identical scores to the unpack path) and the
@@ -466,9 +478,9 @@ def _paged_attn_kernel(
                 q_op, k_f, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )  # [q_per_kv, bk]
-        if quantized and not group_affine and not skip_scale_mul:
+        if k_q is not None and not k_group and not skip_scale_mul:
             kscale = k_scale_buf[slot]  # [1, bk] column scales
-            if int4_bitwise:
+            if k_bitwise:
                 # Hi-nibble columns carry 16x values; 1/16 is a power of
                 # two, so scale/16 rounds identically to dividing the
                 # score — bitwise-equal to the unpack path.
@@ -507,13 +519,13 @@ def _paged_attn_kernel(
         # --- wait V, accumulate output ---
         make_copy(
             v_pages_hbm, v_scales_hbm, v_buf, v_scale_buf, v_sem,
-            v_scale_sem, b, h, i, slot,
+            v_scale_sem, b, h, i, slot, group=v_q == "int4g32",
         ).wait()
 
         v_raw = v_buf[slot]
-        if kv_quant == "int4" and not int4_bitwise:
+        if v_q == "int4" and not v_bitwise:
             v_raw = _unpack_int4_tokens(v_raw)
-        if fp8_mxu:
+        if v_fp8_mxu:
             # PV on the fp8 MXU: renormalize each (p * v_scale) row into
             # e4m3's range; the e4m3 V payload is the matmul operand.
             pv_f = p * v_scale_buf[slot]
@@ -525,7 +537,7 @@ def _paged_attn_kernel(
                 preferred_element_type=jnp.float32,
             ) * c
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
-        elif group_affine:
+        elif v_group:
             # PV with the affine fold on P's columns, per channel group:
             #   o[:, g] = (p * s_col_g) . v4[:, g] + (p . z_col_g) * 1_g
             # — the scale-fold the symmetric tiers do, plus a rank-1
@@ -560,7 +572,7 @@ def _paged_attn_kernel(
                 parts.append(o_all[g, :, g * gw:(g + 1) * gw] + zg)
             out = jnp.concatenate(parts, axis=-1)
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
-        elif quant_mxu and int4_bitwise:
+        elif v_mxu and v_bitwise:
             # PV without unpacking: one half-width matmul per nibble
             # plane. P's columns split per page into the (lo, hi) token
             # halves; each half is scale-folded and quantized separately
@@ -596,7 +608,7 @@ def _paged_attn_kernel(
                 p8_hi, v_hi, preferred_element_type=jnp.int32
             ).astype(jnp.float32) * (sc_hi * (1.0 / 16.0))
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + out
-        elif quant_mxu:
+        elif v_mxu:
             # PV on the int8 MXU: fold the per-token V scales into P's
             # columns (as the f32 path does), quantize the P rows, dot
             # int8, rank-1 dequant. P >= 0 so the int8 range is one-sided.
@@ -620,7 +632,7 @@ def _paged_attn_kernel(
             else:
                 v_f = v_raw.reshape(bk, head_dim).astype(jnp.float32)
                 p_op = p
-            if quantized and not skip_scale_mul:
+            if v_q is not None and not skip_scale_mul:
                 p_op = p_op * v_scale_buf[slot]  # fold V scales into P
             acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + (
                 jax.lax.dot(
@@ -841,40 +853,66 @@ def paged_attention(
     if softcap is not None and softcap <= 0:
         raise ValueError(f"softcap must be > 0, got {softcap}")
 
-    kv_quant = None
+    kv_quant = v_quant = None
     k_scales = v_scales = None
+    if isinstance(k_pages, QuantizedTensor) != isinstance(
+        v_pages, QuantizedTensor
+    ):
+        raise ValueError(
+            "K and V pages must both be quantized or both dense "
+            "(mixed tiers use two quantized dtypes, e.g. k8v4)"
+        )
     if isinstance(k_pages, QuantizedTensor):
         kv_quant = k_pages.dtype_name
-        if kv_quant not in ("int8", "int4", "int4g32", "fp8"):
-            raise ValueError(f"unsupported KV quant {kv_quant!r}")
-        if kv_quant in ("int4", "int4g32") and k_pages.packing != "tokens":
+        v_quant = v_pages.dtype_name
+        allowed = ("int8", "int4", "int4g32", "fp8")
+        if kv_quant not in allowed or v_quant not in allowed:
             raise ValueError(
-                "int4 KV pages must be token-packed (quantize_pages); "
-                "lane packing breaks TPU DMA alignment"
+                f"unsupported KV quant {kv_quant!r}/{v_quant!r}"
             )
+        for qt in (k_pages, v_pages):
+            if qt.dtype_name in ("int4", "int4g32") and (
+                qt.packing != "tokens"
+            ):
+                raise ValueError(
+                    "int4 KV pages must be token-packed (quantize_pages);"
+                    " lane packing breaks TPU DMA alignment"
+                )
         k_vals, k_scales = k_pages.values, k_pages.scales
         v_vals, v_scales = v_pages.values, v_pages.scales
-        if kv_quant == "int4g32":
-            # Group-affine scales keep their [hkv, np, 2*ng, ps] layout
-            # (tokens in LANES): per-page [2*ng, ps] slices are
-            # lane-aligned like the symmetric tiers' flat rows, and the
-            # kernel reads [1, bk] column vectors per group directly.
-            pass
-        else:
+
+        def _prep_scales(scales, dtype_name):
+            if dtype_name == "int4g32":
+                # Group-affine scales keep their [hkv, np, 2*ng, ps]
+                # layout (tokens in LANES): per-page [2*ng, ps] slices
+                # are lane-aligned like the symmetric tiers' flat rows,
+                # and the kernel reads [1, bk] column vectors per group.
+                return scales
             # [hkv, np, ps, 1] -> [hkv, np, 1, ps]: page dim becomes an
             # untiled batch dim so per-page DMA slices are alignment-free
             # at any ps.
-            k_scales = k_scales.squeeze(-1)[:, :, None, :]
-            v_scales = v_scales.squeeze(-1)[:, :, None, :]
+            return scales.squeeze(-1)[:, :, None, :]
+
+        k_scales = _prep_scales(k_scales, kv_quant)
+        v_scales = _prep_scales(v_scales, v_quant)
     else:
         k_vals, v_vals = k_pages, v_pages
 
     batch, num_q_heads, head_dim = q.shape
     num_kv_heads, num_pages, page_rows, payload_d = k_vals.shape
+    v_page_rows, v_payload_d = v_vals.shape[2], v_vals.shape[3]
     # Logical tokens per page (int4 token-packs two per payload row).
     page_size = (
         page_rows * 2 if kv_quant in ("int4", "int4g32") else page_rows
     )
+    v_page_size = (
+        v_page_rows * 2 if v_quant in ("int4", "int4g32") else v_page_rows
+    )
+    if v_page_size != page_size:
+        raise ValueError(
+            f"K and V pages disagree on tokens/page: {page_size} vs "
+            f"{v_page_size}"
+        )
     pages_per_seq = page_indices.shape[1]
     if num_q_heads % num_kv_heads:
         raise ValueError(
@@ -1001,10 +1039,10 @@ def paged_attention(
                 if kv_quant == "int4g32" else (ns, 1, bk),
                 jnp.float32,
             ),
-            pltpu.VMEM((ns, ppb, page_rows, payload_d), v_vals.dtype),
+            pltpu.VMEM((ns, ppb, v_page_rows, v_payload_d), v_vals.dtype),
             pltpu.VMEM(
                 (ns, ppb, 2 * int4g32_num_groups(head_dim), page_size)
-                if kv_quant == "int4g32" else (ns, 1, bk),
+                if v_quant == "int4g32" else (ns, 1, bk),
                 jnp.float32,
             ),
             pltpu.SemaphoreType.DMA((ns,)),
@@ -1024,6 +1062,7 @@ def paged_attention(
         head_dim=head_dim,
         sm_scale=float(sm_scale if sm_scale is not None else head_dim**-0.5),
         kv_quant=kv_quant,
+        v_quant=v_quant,
         int8_mxu=int8_mxu,
         skip_scale_dma=_debug_skip_scale_dma,
         skip_scale_mul=_debug_skip_dequant_mul,

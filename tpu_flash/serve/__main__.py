@@ -18,7 +18,7 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "int8", "int4",
-                             "int4g32", "fp8"])
+                             "int4g32", "k8v4", "fp8"])
     ap.add_argument("--max-batch-size", type=int, default=8)
     ap.add_argument("--max-seq-len", type=int, default=2048)
     ap.add_argument("--page-size", type=int, default=None,

@@ -251,7 +251,7 @@ def select_cache_policy(
     Returns {"page_size", "num_pages", "max_pages_per_seq",
     "recent_window"} — every value concrete.
     """
-    quantized = kv_dtype in ("int8", "int4", "int4g32", "fp8")
+    quantized = kv_dtype in ("int8", "int4", "int4g32", "k8v4", "fp8")
 
     def pow2_at_most(x: int, lo: int = 128) -> int:
         p = lo
@@ -264,7 +264,7 @@ def select_cache_policy(
     max_pages_per_seq = -(-max_seq_len // page_size)
     reserve = max_batch_size * max_pages_per_seq
     num_pages = reserve + max(1, reserve // 4) + 1  # +25% prefix headroom
-    if kv_dtype in ("int4", "int4g32", "fp8"):
+    if kv_dtype in ("int4", "int4g32", "k8v4", "fp8"):
         recent_window = min(128, pow2_at_most(max(max_seq_len, 128)))
     elif kv_dtype == "int8" and max_seq_len >= 2048:
         recent_window = 128
@@ -302,7 +302,9 @@ def resolve_cache_config(
     page_size = cache.page_size
     if page_size is None:
         page_size = policy["page_size"]
-        if cache.kv_dtype in ("int4", "int4g32") and page_size % 2:
+        if cache.kv_dtype in ("int4", "int4g32", "k8v4") and (
+            page_size % 2
+        ):
             page_size += 1  # int4 token-packing needs even pages
     max_pages_per_seq = cache.max_pages_per_seq
     if max_pages_per_seq is None:
