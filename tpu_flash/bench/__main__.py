@@ -477,7 +477,7 @@ def config9_quant_quality(iters):
     # lane-aligned per page); the d=16/ps=8 CI sizing is interpret-only.
     report = quant_quality_report(
         model, params, prompts, max_new_tokens=32,
-        kv_dtypes=("int8", "int4", "int4g32", "fp8"),
+        kv_dtypes=("int8", "int4", "int4g32", "k8v4", "fp8"),
         baseline_dtype="bfloat16",
         page_size=128, max_seq_len=512, prefill_chunk=64,
     )
@@ -502,7 +502,8 @@ def config9_quant_quality(iters):
     # the point of the mechanism, but would make this row trivial).
     report_bw = quant_quality_report(
         model, params, prompts, max_new_tokens=96,
-        kv_dtypes=("int8", "int4", "int4g32"), baseline_dtype="bfloat16",
+        kv_dtypes=("int8", "int4", "int4g32", "k8v4"),
+        baseline_dtype="bfloat16",
         page_size=128, max_seq_len=512, prefill_chunk=64,
         recent_window=32,
     )
