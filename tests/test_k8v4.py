@@ -105,3 +105,41 @@ def test_engine_generation_tracks_bf16():
     ref = run("bfloat16")
     assert len(got) == 8
     assert got[0] == ref[0]
+
+
+def test_snapshot_restore_roundtrip(tmp_path):
+    """Engine KV snapshot/restore must carry the mixed tier's per-side
+    payload shapes and scales (checkpoint/store.py is layout-generic;
+    this pins it for k8v4 — CLAUDE.md KV-lifecycle rule)."""
+    from tpu_flash.checkpoint.store import restore_engine, snapshot_engine
+
+    cfg = dataclasses.replace(TINY_TEST, head_dim=128)
+    model = FlashTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def mk():
+        return InferenceEngine(
+            model, params,
+            EngineConfig(
+                max_batch_size=2, max_seq_len=128, prefill_chunk=32,
+                cache=CacheConfig(
+                    page_size=32, num_pages=16, max_pages_per_seq=4,
+                    kv_dtype="k8v4", recent_window=0,
+                ),
+            ),
+            interpret=True,
+        )
+
+    eng = mk()
+    rid = eng.submit([3, 14, 15, 9, 2, 6, 53, 58], max_new_tokens=6)
+    # Run prefill + a few decode steps, snapshot mid-generation.
+    for _ in range(3):
+        if eng.scheduler.has_work():
+            eng.step()
+    snapshot_engine(str(tmp_path / "snap"), eng)
+    finished = dict(eng.run())
+
+    eng2 = mk()
+    restore_engine(str(tmp_path / "snap"), eng2)
+    resumed = eng2.run()
+    assert resumed[rid] == finished[rid]
